@@ -1,0 +1,170 @@
+"""Geospatial scalar layer — pure Spark Column math (JVM/whole-stage-codegen).
+
+Design notes
+------------
+The cell scheme ("qcell") is an H3-shaped API over a lat/lon quadgrid:
+
+- resolution ``r`` in [0, 26]; a cell is ``180/2^r`` degrees tall and wide
+  (the lon axis has ``2^(r+1)`` cells because it spans 360 degrees).
+- cell id packs (r, x, y) into one BIGINT: ``r*2^53 + x*2^26 + y`` where
+  ``x = floor((lon+180)/cell_deg)`` (clamped), ``y = floor((lat+90)/cell_deg)``
+  (clamped). Arithmetic-only so the *identical* formula runs in DuckDB for the
+  correctness oracle, and Catalyst codegens it — no Python in the hot path.
+- ``cell_parent`` shifts x/y; ``ring`` enumerates the (2d+1)^2 neighbor block
+  with longitude wraparound and latitude clamping at the poles.
+
+This mirrors the reference's BSP cut-plane spatial decomposition
+(/root/reference/bsp_tree/bsp_tree.go:22-60) as a *static* grid: candidate
+generation walks grid rings (analog of best-first tree descent,
+/root/reference/index/bsp_tree_index.go:35-92) and exact haversine re-ranks
+(analog of the SqL2 re-rank, /root/reference/index/flat_index.go:26-82).
+
+Every function here has a ``*_SQL`` template string used verbatim by the
+DuckDB oracle so engine and oracle share one formula definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0088
+# one degree of latitude in km (and of longitude at the equator)
+KM_PER_DEG = 111.19492664455873  # pi/180 * EARTH_RADIUS_KM
+
+MAX_RES = 26
+_X_SHIFT = 2**26
+_R_SHIFT = 2**53
+
+# Web-Mercator latitude clamp
+MERCATOR_MAX_LAT = 85.05112878
+
+
+def cell_deg(res: int) -> float:
+    """Cell edge length in degrees at resolution ``res``."""
+    return 180.0 / (1 << res)
+
+
+def encode_cell(lat: Column, lon: Column, res: int) -> Column:
+    """lat/lon -> packed qcell id at ``res``. Pure column arithmetic."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    nx, ny = 2 << res, 1 << res
+    step = F.lit(cell_deg(res))
+    x = F.least(F.floor((lon + F.lit(180.0)) / step), F.lit(nx - 1)).cast("long")
+    x = F.greatest(x, F.lit(0))
+    y = F.least(F.floor((lat + F.lit(90.0)) / step), F.lit(ny - 1)).cast("long")
+    y = F.greatest(y, F.lit(0))
+    return (F.lit(res) * F.lit(_R_SHIFT) + x * F.lit(_X_SHIFT) + y).cast("long")
+
+
+def encode_cell_sql(lat: str, lon: str, res: int) -> str:
+    """The identical formula as ANSI SQL (DuckDB oracle)."""
+    nx, ny = 2 << res, 1 << res
+    step = repr(cell_deg(res))
+    x = f"GREATEST(LEAST(CAST(FLOOR(({lon} + 180.0) / {step}) AS BIGINT), {nx - 1}), 0)"
+    y = f"GREATEST(LEAST(CAST(FLOOR(({lat} + 90.0) / {step}) AS BIGINT), {ny - 1}), 0)"
+    return f"(CAST({res} AS BIGINT) * {_R_SHIFT} + {x} * {_X_SHIFT} + {y})"
+
+
+def cell_res(cell: Column) -> Column:
+    return (cell / F.lit(_R_SHIFT)).cast("long")
+
+
+def cell_x(cell: Column) -> Column:
+    return ((cell % F.lit(_R_SHIFT)) / F.lit(_X_SHIFT)).cast("long")
+
+
+def cell_y(cell: Column) -> Column:
+    return (cell % F.lit(_X_SHIFT)).cast("long")
+
+
+def cell_parent(cell: Column, parent_res: int, child_res: int) -> Column:
+    """Parent cell at ``parent_res`` of a cell known to be at ``child_res``.
+
+    Shifting x/y right by the res delta — the quadgrid analog of the H3
+    parent op. Arithmetic only (codegen-able).
+    """
+    if parent_res > child_res:
+        raise ValueError("parent_res must be <= child_res")
+    shift = 1 << (child_res - parent_res)
+    px = (cell_x(cell) / F.lit(shift)).cast("long")
+    py = (cell_y(cell) / F.lit(shift)).cast("long")
+    return (F.lit(parent_res) * F.lit(_R_SHIFT) + px * F.lit(_X_SHIFT) + py).cast("long")
+
+
+def ring_cells(cell: Column, res: int, radius: int) -> Column:
+    """array<long> of all cells within Chebyshev grid distance ``radius``.
+
+    Longitude wraps (x mod nx); latitude clamps (rows beyond the poles are
+    dropped). Built from ``sequence`` + ``transform``/``flatten`` —
+    expression-only, so ``explode(ring_cells(...))`` stays JVM-side. The ring
+    is the candidate-generation budget knob (reference: search_k /
+    maxCandidates, /root/reference/countrymaam.go:40-45).
+    """
+    nx, ny = 2 << res, 1 << res
+    x, y = cell_x(cell), cell_y(cell)
+    dxs = F.sequence(F.lit(-radius), F.lit(radius))
+    dys = F.sequence(F.lit(-radius), F.lit(radius))
+    base = F.lit(res) * F.lit(_R_SHIFT)
+
+    def one_row(dy: Column) -> Column:
+        yy = y + dy
+        return F.when(
+            (yy >= 0) & (yy < ny),
+            F.transform(
+                dxs,
+                lambda dx: base + F.pmod(x + dx, F.lit(nx)) * F.lit(_X_SHIFT) + yy,
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    return F.array_distinct(F.flatten(F.transform(dys, one_row)))
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in km. Pure column math -> whole-stage codegen."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2.0
+    dlon = F.radians(lon2 - lon1) / 2.0
+    a = F.pow(F.sin(dlat), 2) + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(dlon), 2)
+    a = F.least(a, F.lit(1.0))
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def haversine_km_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Identical haversine as SQL for the DuckDB oracle."""
+    return (
+        f"(2.0 * {EARTH_RADIUS_KM!r} * ASIN(SQRT(LEAST(1.0, "
+        f"POW(SIN(RADIANS(({lat2}) - ({lat1})) / 2.0), 2) + "
+        f"COS(RADIANS({lat1})) * COS(RADIANS({lat2})) * "
+        f"POW(SIN(RADIANS(({lon2}) - ({lon1})) / 2.0), 2)))))"
+    )
+
+
+def tile_xyz(lat: Column, lon: Column, z: int) -> tuple[Column, Column]:
+    """Web-Mercator (slippy-map) tile (x, y) at zoom ``z``. Column math.
+
+    Latitude is clamped to the Mercator domain; x wraps at the antimeridian.
+    """
+    n = 1 << z
+    lat_c = F.greatest(F.least(lat, F.lit(MERCATOR_MAX_LAT)), F.lit(-MERCATOR_MAX_LAT))
+    xt = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))).cast("long")
+    xt = F.least(F.greatest(xt, F.lit(0)), F.lit(n - 1))
+    rlat = F.radians(lat_c)
+    merc = F.log(F.tan(rlat) + F.lit(1.0) / F.cos(rlat))
+    yt = F.floor((F.lit(1.0) - merc / F.lit(3.141592653589793)) / F.lit(2.0) * F.lit(float(n))).cast("long")
+    yt = F.least(F.greatest(yt, F.lit(0)), F.lit(n - 1))
+    return xt, yt
+
+
+def tile_xyz_sql(lat: str, lon: str, z: int) -> tuple[str, str]:
+    n = 1 << z
+    lat_c = f"GREATEST(LEAST({lat}, {MERCATOR_MAX_LAT!r}), {-MERCATOR_MAX_LAT!r})"
+    xt = (
+        f"LEAST(GREATEST(CAST(FLOOR((({lon}) + 180.0) / 360.0 * {float(n)!r}) AS BIGINT), 0), {n - 1})"
+    )
+    merc = f"LN(TAN(RADIANS({lat_c})) + 1.0 / COS(RADIANS({lat_c})))"
+    yt = (
+        f"LEAST(GREATEST(CAST(FLOOR((1.0 - {merc} / 3.141592653589793) / 2.0 * {float(n)!r}) AS BIGINT), 0), {n - 1})"
+    )
+    return xt, yt

@@ -1,0 +1,235 @@
+"""Text-analysis scalar layer for web-text pipelines. Pure Column math.
+
+Everything is expression-only (no Python UDFs): tokenization via
+``split``/``filter``, hashing via ``md5`` (stable across engines — the DuckDB
+oracle uses the byte-identical formula), folds via ``aggregate``/``transform``.
+
+Hash design: ``tok_hash = int(md5(tok)[:15 hex], 16)`` (60 bits) reduced
+mod ``M31 = 2^31 - 1`` before any arithmetic so products stay far from BIGINT
+overflow in both Spark (ANSI mode) and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+M31 = 2147483647  # 2^31 - 1, Mersenne prime
+
+# tiny per-language stopword lists for the n-gram/stopword language heuristic.
+# Deliberately small + ASCII so the identical lists inline into oracle SQL.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "this"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "est", "pour", "dans", "une", "que"],
+    "pt": ["de", "que", "uma", "para", "com", "os", "dos", "mais", "como", "foi"],
+    "ja": ["no", "wa", "ni", "wo", "ga", "desu", "shite", "kara", "made", "koto"],
+}
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokens(text: Column) -> Column:
+    """lowercased alnum tokens, empties dropped. Same regex as the oracle."""
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+
+
+def tokens_sql(text: str) -> str:
+    return (
+        f"list_filter(regexp_split_to_array(lower({text}), '{TOKEN_SPLIT_RE}'), t -> t <> '')"
+    )
+
+
+def tok_hash(tok: Column) -> Column:
+    """60-bit md5-derived hash reduced mod M31. Engine-portable."""
+    return (F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long") % F.lit(M31)).cast("long")
+
+
+def tok_hash_sql(tok: str) -> str:
+    return f"(('0x' || substr(md5({tok}), 1, 15))::BIGINT % {M31})"
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def token_count_sql(text: str) -> str:
+    return f"CAST(len({tokens_sql(text)}) AS BIGINT)"
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def stopword_hits_sql(text: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"CAST(len(list_filter({tokens_sql(text)}, t -> list_contains([{words}], t))) AS BIGINT)"
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish web-text quality heuristic.
+
+    0.4 * stopword-ratio(en) + 0.3 * alnum-char ratio + 0.3 * length factor,
+    rounded to 4 dp (cross-engine float hygiene).
+    """
+    toks = tokens(text)
+    ntok = F.size(toks).cast("double")
+    sw = stopword_hits(text, "en").cast("double")
+    sw_ratio = F.when(ntok > 0, sw / ntok).otherwise(F.lit(0.0))
+    nchar = F.length(text).cast("double")
+    alnum = F.length(F.regexp_replace(F.lower(text), TOKEN_SPLIT_RE, "")).cast("double")
+    alnum_ratio = F.when(nchar > 0, alnum / nchar).otherwise(F.lit(0.0))
+    len_factor = F.least(nchar / F.lit(500.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * sw_ratio + F.lit(0.3) * alnum_ratio + F.lit(0.3) * len_factor, 4
+    )
+
+
+def quality_score_sql(text: str) -> str:
+    toks = tokens_sql(text)
+    sw = stopword_hits_sql(text, "en")
+    return (
+        f"ROUND(0.4 * (CASE WHEN len({toks}) > 0 THEN CAST({sw} AS DOUBLE) / len({toks}) ELSE 0.0 END) "
+        f"+ 0.3 * (CASE WHEN length({text}) > 0 THEN CAST(length(regexp_replace(lower({text}), '{TOKEN_SPLIT_RE}', '', 'g')) AS DOUBLE) / length({text}) ELSE 0.0 END) "
+        f"+ 0.3 * LEAST(CAST(length({text}) AS DOUBLE) / 500.0, 1.0), 4)"
+    )
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    return [(lang, stopword_hits(text, lang)) for lang in STOPWORDS]
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over per-language stopword hits; ties -> lexicographically
+    smallest language code; zero hits everywhere -> 'und'."""
+    scores = lang_scores(text)
+    pairs = F.array(*[F.struct(s.alias("hits"), F.lit(lang).alias("lang")) for lang, s in scores])
+    best = F.array_max(
+        F.transform(pairs, lambda p: F.struct(p["hits"].alias("hits"), (-F.ascii(p["lang"])).alias("_o"), p["lang"].alias("lang")))
+    )
+    # array_max on struct compares fields in order: hits asc, then -ascii(first
+    # char) asc == lang desc... we want lexicographically smallest on ties, so
+    # compare (hits, negated-rank). Simpler + portable: explicit CASE chain.
+    langs = sorted(STOPWORDS)
+    expr = F.lit("und")
+    best_hits = F.greatest(*[s for _, s in scores])
+    for lang in reversed(langs):
+        hit = dict(scores)[lang]
+        expr = F.when((best_hits > 0) & (hit == best_hits), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def lang_id_sql(text: str) -> str:
+    langs = sorted(STOPWORDS)
+    hits = {lang: stopword_hits_sql(text, lang) for lang in langs}
+    best = "GREATEST(" + ", ".join(hits[lang] for lang in langs) + ")"
+    # same CASE chain, first (lexicographically smallest) winning lang
+    cases = " ".join(
+        f"WHEN {hits[lang]} = __best THEN '{lang}'" for lang in langs
+    )
+    return (
+        f"(SELECT CASE WHEN __best = 0 THEN 'und' {cases} ELSE 'und' END "
+        f"FROM (SELECT {best} AS __best) __b)"
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint: sum((i+1) * tok_hash_i) mod M31.
+
+    Position-weighted so permuted documents differ; bounded (< 2^59) so the
+    arithmetic is exact in both engines.
+    """
+    hs = F.transform(tokens(text), lambda t, i: (i + F.lit(1)).cast("long") * tok_hash(t))
+    return (F.aggregate(hs, F.lit(0).cast("long"), lambda acc, h: acc + h) % F.lit(M31)).cast(
+        "long"
+    )
+
+
+def fingerprint_sql(text: str) -> str:
+    return (
+        f"(list_sum(list_transform({tokens_sql(text)}, (t, i) -> i * {tok_hash_sql('t')})) % {M31})"
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram strings (space-joined), sorted — the near-dup unit."""
+    toks = tokens(text)
+    k = F.size(toks) - F.lit(n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_sort(F.array_distinct(grams))
+
+
+def shingles_sql(text: str, n: int = 3) -> str:
+    toks = tokens_sql(text)
+    parts = " || ' ' || ".join(f"__t[i + {j}]" for j in range(n))
+    return (
+        f"list_sort(list_distinct((SELECT CASE WHEN len(__t) >= {n} THEN "
+        f"list_transform(generate_series(1, len(__t) - {n - 1}), i -> {parts}) "
+        f"ELSE [] END FROM (SELECT {toks} AS __t) __s)))"
+    )
+
+
+def minhash_sig(shingle_arr: Column, num_hashes: int = 16) -> Column:
+    """array<long> minhash signature over shingle strings.
+
+    Universal-hash family h_i(s) = (a_i * tok_hash(s) + b_i) mod M31 with
+    fixed seeded coefficients; empty shingle set -> all M31 (sentinel max).
+    """
+    coeffs = _minhash_coeffs(num_hashes)
+    hs = F.transform(shingle_arr, tok_hash)
+    sig = []
+    for a, b in coeffs:
+        mapped = F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(M31))
+        sig.append(
+            F.coalesce(F.array_min(mapped), F.lit(M31).cast("long")).alias("m")
+        )
+    return F.array(*sig)
+
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    # fixed LCG-derived coefficients (deterministic, engine-independent)
+    coeffs, state = [], 88172645463325252
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        a = state % (M31 - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        b = state % M31
+        coeffs.append((a % 65521 + 1, b % M31))  # keep a small: a*h < 2^47
+    return coeffs
+
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """SimHash over token hashes: bit j set iff sum over tokens of
+    (+1 if bit j of tok_hash else -1) > 0. 32 bits (tok_hash is mod M31)."""
+    hs = F.transform(tokens(text), tok_hash)
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        vote = F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda s, h, j=j: s + F.when(F.shiftright(h, j) % 2 == 1, 1).otherwise(-1),
+        )
+        acc = acc + F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def simhash_sql(text: str, bits: int = 32) -> str:
+    toks = tokens_sql(text)
+    hs = f"list_transform({toks}, t -> {tok_hash_sql('t')})"
+    terms = []
+    for j in range(bits):
+        vote = (
+            f"list_sum(list_transform(__h, h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN COALESCE({vote}, 0) > 0 THEN {1 << j}::BIGINT ELSE 0 END)")
+    return f"(SELECT {' + '.join(terms)} FROM (SELECT {hs} AS __h) __sh)"

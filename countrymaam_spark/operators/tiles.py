@@ -1,0 +1,83 @@
+"""Raster<->vector tile assignment: page points -> Web-Mercator (z, x, y)
+tiles, plus per-tile rollup counts. Pure column math (closed-form floor math,
+SURVEY.md §7 step 5); the ln/tan intermediate is rounded to 9 dp before the
+floor so the identical DuckDB oracle floors the same value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from countrymaam_spark.functions import geo
+
+
+def assign_tiles(pages_geo: DataFrame, zooms: list[int]) -> DataFrame:
+    """-> (url, z, xt, yt) for each zoom level (explode over zooms)."""
+    parts = []
+    for z in zooms:
+        xt, yt = _tile_cols(z)
+        parts.append(
+            pages_geo.filter(F.col("lat").isNotNull()).select(
+                "url", F.lit(z).alias("z"), xt.alias("xt"), yt.alias("yt")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _tile_cols(z: int):
+    n = 1 << z
+    lat_c = F.greatest(
+        F.least(F.col("lat"), F.lit(geo.MERCATOR_MAX_LAT)), F.lit(-geo.MERCATOR_MAX_LAT)
+    )
+    xt = F.floor(F.round((F.col("lon") + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)), 9)).cast("long")
+    xt = F.least(F.greatest(xt, F.lit(0)), F.lit(n - 1))
+    rlat = F.radians(lat_c)
+    merc = F.log(F.tan(rlat) + F.lit(1.0) / F.cos(rlat))
+    yt = F.floor(
+        F.round((F.lit(1.0) - merc / F.lit(3.141592653589793)) / F.lit(2.0) * F.lit(float(n)), 9)
+    ).cast("long")
+    yt = F.least(F.greatest(yt, F.lit(0)), F.lit(n - 1))
+    return xt, yt
+
+
+def tile_counts(pages_geo: DataFrame, zooms: list[int]) -> DataFrame:
+    """Per-tile page counts — the rollup a tile server would pre-compute."""
+    return (
+        assign_tiles(pages_geo, zooms)
+        .groupBy("z", "xt", "yt")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+def _tile_sql(z: int, lat: str, lon: str) -> tuple[str, str]:
+    n = 1 << z
+    lat_c = f"GREATEST(LEAST({lat}, {geo.MERCATOR_MAX_LAT!r}), {-geo.MERCATOR_MAX_LAT!r})"
+    xt = (
+        f"LEAST(GREATEST(CAST(FLOOR(ROUND((({lon}) + 180.0) / 360.0 * {float(n)!r}, 9)) AS BIGINT), 0), {n - 1})"
+    )
+    merc = f"LN(TAN(RADIANS({lat_c})) + 1.0 / COS(RADIANS({lat_c})))"
+    yt = (
+        f"LEAST(GREATEST(CAST(FLOOR(ROUND((1.0 - {merc} / 3.141592653589793) / 2.0 * {float(n)!r}, 9)) AS BIGINT), 0), {n - 1})"
+    )
+    return xt, yt
+
+
+def assign_tiles_sql(pages_rel: str, zooms: list[int]) -> str:
+    selects = []
+    for z in zooms:
+        xt, yt = _tile_sql(z, "lat", "lon")
+        selects.append(
+            f"SELECT url, {z} AS z, {xt} AS xt, {yt} AS yt FROM {pages_rel} WHERE lat IS NOT NULL"
+        )
+    return " UNION ALL ".join(selects)
+
+
+def tile_counts_sql(pages_rel: str, zooms: list[int]) -> str:
+    return (
+        f"SELECT z, xt, yt, COUNT(*) AS n_pages FROM ({assign_tiles_sql(pages_rel, zooms)}) t "
+        f"GROUP BY z, xt, yt"
+    )

@@ -1,0 +1,69 @@
+"""kNN correctness: flat vs DuckDB oracle; cell-index kNN must equal flat
+exactly (the escalation guarantee) — the reference's 'budget >= corpus implies
+exact' invariant generalized (countrymaam_test.go:212)."""
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from countrymaam_spark.operators.geotag import extract_geo
+from countrymaam_spark.operators.knn import cell_knn, flat_knn, flat_knn_sql
+from countrymaam_spark.sources import pages as pg
+
+
+@pytest.fixture(scope="module")
+def geo_small(spark):
+    out = pg.ensure_fixtures("sf0.001")
+    pages = spark.read.parquet(os.path.join(out, "pages.parquet"))
+    g = extract_geo(pages).select("url", "lat", "lon").cache()
+    g.count()
+    return g
+
+
+@pytest.fixture(scope="module")
+def queries_small(spark):
+    out = pg.ensure_fixtures("sf0.001")
+    # keep tests fast: 40 queries incl. the 8 edge cases at the tail
+    q = spark.read.parquet(os.path.join(out, "knn_queries.parquet"))
+    return q.filter((F.col("query_id") < 32) | (F.col("query_id") >= 192)).cache()
+
+
+def _key(rows):
+    return sorted((r["query_id"], r["rk"], r["url"]) for r in rows)
+
+
+def test_flat_knn_matches_duckdb(spark, geo_small, queries_small):
+    got = _key(flat_knn(geo_small, queries_small, k=10).collect())
+    out = pg.fixture_dir("sf0.001")
+    pages_p = os.path.join(out, "pages.parquet")
+    q_ids = [r["query_id"] for r in queries_small.select("query_id").collect()]
+    oracle_sql = flat_knn_sql(
+        f"(SELECT url, CAST(NULLIF(regexp_extract(text, 'near \\w+ \\((-?[0-9]+\\.[0-9]+), (-?[0-9]+\\.[0-9]+)\\)', 1), '') AS DOUBLE) lat, "
+        f"CAST(NULLIF(regexp_extract(text, 'near \\w+ \\((-?[0-9]+\\.[0-9]+), (-?[0-9]+\\.[0-9]+)\\)', 2), '') AS DOUBLE) lon FROM '{pages_p}')",
+        f"(SELECT * FROM '{os.path.join(out, 'knn_queries.parquet')}' WHERE query_id IN ({','.join(map(str, q_ids))}))",
+        k=10,
+    )
+    want = sorted((q, rk, u) for q, rk, u, _ in duckdb.sql(oracle_sql).fetchall())
+    assert got == want
+
+
+def test_cell_knn_equals_flat(spark, geo_small, queries_small):
+    flat = _key(flat_knn(geo_small, queries_small, k=10).collect())
+    cell = _key(cell_knn(geo_small, queries_small, k=10, res=6).collect())
+    assert cell == flat
+
+
+def test_cell_knn_other_res_and_k(spark, geo_small, queries_small):
+    flat = _key(flat_knn(geo_small, queries_small, k=3).collect())
+    cell = _key(cell_knn(geo_small, queries_small, k=3, res=8, init_radius=1).collect())
+    assert cell == flat
+
+
+def test_knn_fewer_than_k_results_legal(spark, geo_small):
+    """Reference invariant 4: fewer than k results when corpus < k."""
+    tiny = geo_small.limit(4)
+    q = geo_small.sparkSession.createDataFrame([(0, 10.0, 10.0)], "query_id long, lat double, lon double")
+    got = flat_knn(tiny, q, k=10).collect()
+    assert len(got) == 4

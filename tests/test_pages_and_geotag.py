@@ -1,0 +1,65 @@
+"""Fixture determinism + geotag extraction byte-identity invariant."""
+
+import os
+
+import duckdb
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from countrymaam_spark.operators.geotag import extract_geo, extract_geo_sql
+from countrymaam_spark.sources import pages as pg
+
+
+def test_generator_deterministic(tmp_path):
+    t1 = pg.gen_pages(500)
+    t2 = pg.gen_pages(500)
+    assert t1.equals(t2)
+
+
+def test_fixture_files_exist():
+    out = pg.ensure_fixtures("sf0.001")
+    for f in ("pages.parquet", "pages_truth.parquet", "knn_queries.parquet", "polygon_edges.parquet"):
+        assert os.path.exists(os.path.join(out, f))
+    t = pq.read_table(os.path.join(out, "pages.parquet"))
+    assert t.num_rows == pg.SF_ROWS["sf0.001"]
+    assert t.column_names == ["url", "warc_ts", "html", "text", "lang"]
+
+
+def test_extract_geo_recovers_truth(spark):
+    out = pg.ensure_fixtures("sf0.001")
+    pages = spark.read.parquet(os.path.join(out, "pages.parquet"))
+    truth = spark.read.parquet(os.path.join(out, "pages_truth.parquet"))
+    got = extract_geo(pages).select("url", "lat", "lon")
+    joined = got.join(truth, "url")
+    bad = joined.filter(
+        (F.col("lat") != F.col("_true_lat")) | (F.col("lon") != F.col("_true_lon"))
+        | F.col("lat").isNull()
+    )
+    assert bad.count() == 0
+
+
+def test_text_byte_identity_sha(spark):
+    """sha256(text) computed by the engine == generator-side sha (DuckDB)."""
+    out = pg.ensure_fixtures("sf0.001")
+    p = os.path.join(out, "pages.parquet")
+    engine = {
+        r["url"]: r["text_sha"]
+        for r in extract_geo(spark.read.parquet(p)).select("url", "text_sha").collect()
+    }
+    oracle = dict(duckdb.sql(f"SELECT url, sha256(text) FROM '{p}'").fetchall())
+    assert engine == oracle
+
+
+def test_extract_geo_matches_duckdb_oracle(spark):
+    out = pg.ensure_fixtures("sf0.001")
+    p = os.path.join(out, "pages.parquet")
+    engine = {
+        (r["url"], r["lat"], r["lon"])
+        for r in extract_geo(spark.read.parquet(p)).select("url", "lat", "lon").collect()
+    }
+    oracle = set(
+        duckdb.sql(
+            f"SELECT url, lat, lon FROM ({extract_geo_sql(repr(p))})"
+        ).fetchall()
+    )
+    assert engine == oracle
