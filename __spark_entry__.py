@@ -1,38 +1,297 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship cell-index kNN join on sf0.001.
+``queries()`` exposes every implemented operator (SURVEY.md §2);
+``oracle_sql()`` provides the DuckDB-equivalent SQL. Geo queries run over the
+deterministic pages fixture (countrymaam_spark.sources.pages, seed 42) whose
+parquet the oracle reads by absolute path; text/dedup/ANN queries run over the
+driver's pre-registered documents/embeddings/events/lineitem views.
+
+Column names are aliased identically on both sides (driver hashes values with
+columns sorted by name). Floating-point outputs are rounded (3-6 dp) so
+last-ulp differences between JVM and DuckDB math never flip the hash.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from countrymaam_spark.functions import geo as G
+from countrymaam_spark.functions import text as T
+from countrymaam_spark.operators import ann, dedup
+from countrymaam_spark.operators.geotag import extract_geo, extract_geo_sql
+from countrymaam_spark.operators.knn import cell_knn, flat_knn, flat_knn_sql
+from countrymaam_spark.operators.pip import point_in_polygon, point_in_polygon_sql
+from countrymaam_spark.operators.tiles import assign_tiles, assign_tiles_sql, tile_counts, tile_counts_sql
+from countrymaam_spark.sources import pages as PG
+
+ORACLE_SF = "sf0.01"  # the driver compares at sf=0.01
+ZOOMS = [4, 8, 12]
+CELL_RES = 7
+PARENT_RES = 4
+
+
+def _pages_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_geo(PG.load_pages(spark, sf_dir))
+
+
+def _fixture(sf: str, name: str) -> str:
+    return os.path.join(PG.ensure_fixtures(sf), name)
+
+
+def _pages_geo_rel(sf: str) -> str:
+    """DuckDB relation: geotagged pages over the fixture parquet."""
+    return "(" + extract_geo_sql(f"'{_fixture(sf, 'pages.parquet')}'") + ")"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: cell-index kNN join (candidate rings + exact re-rank)."""
+    sf_dir = "/root/testdata/sf0.001"
+    g = _pages_geo(spark, sf_dir).select("url", "lat", "lon")
+    q = PG.load_knn_queries(spark, sf_dir)
+    return cell_knn(g, q, k=10, res=6)
 
+
+# --------------------------------------------------------------------------
+# queries: name -> (spark, sf_dir) -> DataFrame
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- geo pipeline over the pages fixture ---
+    q["geotag_extract"] = lambda s, d: _pages_geo(s, d).select("url", "lat", "lon", "text_sha")
 
+    q["cell_encode"] = lambda s, d: (
+        _pages_geo(s, d)
+        .filter(F.col("lat").isNotNull())
+        .select(
+            "url",
+            G.encode_cell(F.col("lat"), F.col("lon"), CELL_RES).alias("cell"),
+            G.encode_cell(F.col("lat"), F.col("lon"), PARENT_RES).alias("parent_cell"),
+        )
+    )
+
+    q["tile_assign"] = lambda s, d: assign_tiles(_pages_geo(s, d), ZOOMS)
+    q["tile_counts"] = lambda s, d: tile_counts(_pages_geo(s, d), ZOOMS)
+
+    q["knn_flat"] = lambda s, d: flat_knn(
+        _pages_geo(s, d), PG.load_knn_queries(s, d), k=10
+    )
+    q["knn_cell_index"] = lambda s, d: cell_knn(
+        _pages_geo(s, d), PG.load_knn_queries(s, d), k=10, res=CELL_RES
+    )
+
+    q["pip_join"] = lambda s, d: point_in_polygon(
+        _pages_geo(s, d), PG.load_polygon_edges(s, d), res=6
+    )
+    q["pip_counts"] = lambda s, d: (
+        PG.load_polygon_edges(s, d)
+        .select("poly_id")
+        .distinct()
+        .join(
+            point_in_polygon(_pages_geo(s, d), PG.load_polygon_edges(s, d), res=6),
+            "poly_id",
+            "left",
+        )
+        .groupBy("poly_id")
+        .agg(F.count("url").alias("n_pages"))
+    )
+
+    # --- text analysis over the driver documents table ---
+    def _docs(s: SparkSession, d: str) -> DataFrame:
+        return s.read.parquet(os.path.join(d, "documents.parquet"))
+
+    q["doc_token_count"] = lambda s, d: _docs(s, d).select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    q["doc_lang_id"] = lambda s, d: _docs(s, d).select(
+        "doc_id", T.lang_id(F.col("text")).alias("lang_pred")
+    )
+    q["doc_quality_score"] = lambda s, d: _docs(s, d).select(
+        "doc_id", T.quality_score(F.col("text")).alias("quality")
+    )
+    q["doc_fingerprint"] = lambda s, d: _docs(s, d).select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fp")
+    )
+    q["doc_simhash"] = lambda s, d: dedup.simhash_docs(_docs(s, d))
+
+    # --- dedup family ---
+    q["dedup_exact"] = lambda s, d: dedup.exact_dup_groups(_docs(s, d))
+    q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d), tau=0.05)
+    q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d), tau=0.8)
+    q["dedup_simhash_pairs"] = lambda s, d: dedup.simhash_near_pairs(_docs(s, d), max_hamming=3)
+
+    # --- embedding similarity over the driver embeddings table ---
+    def _emb(s: SparkSession, d: str) -> DataFrame:
+        return s.read.parquet(os.path.join(d, "embeddings.parquet"))
+
+    def _emb_queries(s: SparkSession, d: str) -> DataFrame:
+        return (
+            _emb(s, d)
+            .filter(F.col("vec_id") < 8)
+            .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        )
+
+    q["embed_knn_l2"] = lambda s, d: ann.brute_knn(_emb(s, d), _emb_queries(s, d), k=5)
+    q["embed_knn_cosine"] = lambda s, d: ann.brute_knn(
+        _emb(s, d), _emb_queries(s, d), k=5, metric="cosine"
+    )
+    q["embed_lsh_knn"] = lambda s, d: ann.rp_lsh_knn(
+        _emb(s, d), _emb_queries(s, d), k=5, n_tables=8, bits=4
+    )
+    q["embed_near_pairs"] = lambda s, d: ann.cosine_near_pairs(_emb(s, d), tau=0.5)
+
+    # --- relational/window coverage over driver tables ---
+    def _events(s: SparkSession, d: str) -> DataFrame:
+        return s.read.parquet(os.path.join(d, "events.parquet"))
+
+    q["events_daily_agg"] = lambda s, d: (
+        _events(s, d)
+        .groupBy(F.col("event_type"), F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+    def _top_users(s: SparkSession, d: str) -> DataFrame:
+        from countrymaam_spark.operators.topk import topk_per_group
+
+        totals = (
+            _events(s, d)
+            .groupBy("event_type", "user_id")
+            .agg(F.round(F.sum("value"), 3).alias("total_value"))
+        )
+        return topk_per_group(
+            totals.withColumn("neg", -F.col("total_value")),
+            ["event_type"],
+            "neg",
+            "user_id",
+            5,
+            dedup=False,
+        ).select("event_type", "user_id", "total_value", "rk")
+
+    q["events_top_users"] = _top_users
+
+    q["lineitem_pricing_summary"] = lambda s, d: (
+        s.read.parquet(os.path.join(d, "lineitem.parquet"))
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 3).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 3).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+    q["order_customer_join"] = lambda s, d: (
+        s.read.parquet(os.path.join(d, "orders.parquet"))
+        .join(
+            F.broadcast(s.read.parquet(os.path.join(d, "customer.parquet"))),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 3).alias("revenue"),
+        )
+    )
+
+    return q
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB, sf0.01 views pre-registered; pages fixture by path)
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    pg = _pages_geo_rel(ORACLE_SF)
+    q_rel = f"'{_fixture(ORACLE_SF, 'knn_queries.parquet')}'"
+    e_rel = f"'{_fixture(ORACLE_SF, 'polygon_edges.parquet')}'"
+    cell = G.encode_cell_sql("lat", "lon", CELL_RES)
+    parent = G.encode_cell_sql("lat", "lon", PARENT_RES)
+    knn = flat_knn_sql(pg, q_rel, k=10)
+
+    o: dict[str, str] = {}
+    o["geotag_extract"] = f"SELECT url, lat, lon, text_sha FROM {pg}"
+    o["cell_encode"] = (
+        f"SELECT url, {cell} AS cell, {parent} AS parent_cell FROM {pg} WHERE lat IS NOT NULL"
+    )
+    o["tile_assign"] = assign_tiles_sql(pg, ZOOMS)
+    o["tile_counts"] = tile_counts_sql(pg, ZOOMS)
+    o["knn_flat"] = knn
+    o["knn_cell_index"] = knn  # the escalation guarantee makes the index exact
+    o["pip_join"] = point_in_polygon_sql(pg, e_rel)
+    o["pip_counts"] = f"""
+        SELECT p.poly_id, COUNT(i.url) AS n_pages
+        FROM (SELECT DISTINCT poly_id FROM {e_rel}) p
+        LEFT JOIN ({point_in_polygon_sql(pg, e_rel)}) i ON p.poly_id = i.poly_id
+        GROUP BY p.poly_id
     """
-    return {}
+
+    o["doc_token_count"] = f"SELECT doc_id, {T.token_count_sql('text')} AS n_tokens FROM documents"
+    o["doc_lang_id"] = f"SELECT doc_id, {T.lang_id_sql('text')} AS lang_pred FROM documents"
+    o["doc_quality_score"] = (
+        f"SELECT doc_id, {T.quality_score_sql('text')} AS quality FROM documents"
+    )
+    o["doc_fingerprint"] = f"SELECT doc_id, {T.fingerprint_sql('text')} AS fp FROM documents"
+    o["doc_simhash"] = dedup.simhash_docs_sql("documents")
+
+    o["dedup_exact"] = dedup.exact_dup_groups_sql("documents")
+    o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_sql("documents", tau=0.05)
+    # LSH recall at tau=0.8 is ~1.0 with 16 hashes / 8 bands (and the exact
+    # verification step removes all false positives) -> exact oracle applies
+    o["dedup_minhash_lsh"] = dedup.ngram_jaccard_pairs_sql("documents", tau=0.8)
+    # dedup_simhash_pairs: banded-LSH candidate set — rows-only check (no oracle)
+
+    emb_q = "(SELECT * FROM embeddings WHERE vec_id < 8)"
+    o["embed_knn_l2"] = ann.brute_knn_sql("embeddings", emb_q, k=5)
+    o["embed_knn_cosine"] = ann.brute_knn_sql("embeddings", emb_q, k=5, metric="cosine")
+    # embed_lsh_knn: approximate — rows-only check (no oracle)
+    o["embed_near_pairs"] = ann.cosine_near_pairs_sql("embeddings", tau=0.5)
+
+    o["events_daily_agg"] = """
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+               ROUND(SUM(value), 3) AS sum_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2
+    """
+    o["events_top_users"] = """
+        SELECT event_type, user_id, total_value, rk FROM (
+            SELECT event_type, user_id, total_value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY -total_value ASC, user_id ASC
+                   ) AS rk
+            FROM (
+                SELECT event_type, user_id, ROUND(SUM(value), 3) AS total_value
+                FROM events GROUP BY 1, 2
+            ) t
+        ) r WHERE rk <= 5
+    """
+    o["lineitem_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 3) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 3) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY 1, 2
+    """
+    o["order_customer_join"] = """
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 3) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    """
+    return o

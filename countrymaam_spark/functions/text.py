@@ -212,14 +212,19 @@ def simhash(text: Column, bits: int = 32) -> Column:
     """SimHash over token hashes: bit j set iff sum over tokens of
     (+1 if bit j of tok_hash else -1) > 0. 32 bits (tok_hash is mod M31)."""
     hs = F.transform(tokens(text), tok_hash)
-    acc = F.lit(0).cast("long")
-    for j in range(bits):
-        vote = F.aggregate(
+
+    def bit_vote(j: int):
+        return F.aggregate(
             hs,
             F.lit(0).cast("long"),
-            lambda s, h, j=j: s + F.when(F.shiftright(h, j) % 2 == 1, 1).otherwise(-1),
+            lambda s, h: s + F.when(F.shiftright(h, j) % 2 == 1, F.lit(1)).otherwise(F.lit(-1)),
         )
-        acc = acc + F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        acc = acc + F.when(bit_vote(j) > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
     return acc
 
 

@@ -1,0 +1,239 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_knn`` — exact top-k under squared L2 or cosine: broadcast queries,
+  column-expression distance, window top-k. The DataFrame form of the
+  reference's FlatIndex scan (/root/reference/index/flat_index.go:26-82) +
+  finalizer (/root/reference/countrymaam.go:38-69): one corpus pass, no
+  shuffle of the corpus, partial top-k (WindowGroupLimit) before exchange.
+
+- ``rp_lsh_knn`` — random-hyperplane LSH: sign-bit signatures bucket the
+  corpus (the rp-tree cut plane, /root/reference/bsp_tree/random_projection.go:26-32,
+  degenerated to a static forest of oblique planes); queries probe their own
+  bucket in every table and exact-re-rank the union. ``n_tables`` is the
+  recall/budget knob (more tables = more candidates = reference search_k).
+
+- ``cosine_near_pairs`` — near-duplicate detection by embedding cosine.
+
+Scale: distances are codegen'd column expressions at fixture dims; at very
+large dim swap `_dist` for a numpy/Arrow `mapInPandas` kernel — the plan shape
+(broadcast + window) is unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from countrymaam_spark.functions import vector as V
+from countrymaam_spark.operators.topk import topk_per_group
+
+
+def _dist(metric: str, a, b):
+    if metric == "sq_l2":
+        return V.sq_l2(a, b)
+    if metric == "cosine":
+        return 1.0 - V.cosine_sim(a, b)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def brute_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "sq_l2",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """-> (query_id, rk, vec_id, dist). Exact; excludes self-matches when
+    query ids collide with corpus ids."""
+    q = F.broadcast(
+        queries.select(F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv"))
+    )
+    pairs = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .crossJoin(q)
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("dist", _dist(metric, F.col("cv"), F.col("qv")))
+    )
+    out = topk_per_group(pairs, ["qid"], "dist", "cid", k, dedup=False)
+    return out.select(
+        F.col("qid").alias("query_id"),
+        "rk",
+        F.col("cid").alias("vec_id"),
+        F.round("dist", 3).alias("dist"),
+    )
+
+
+def brute_knn_sql(
+    corpus_rel: str, queries_rel: str, k: int = 10, metric: str = "sq_l2"
+) -> str:
+    """DuckDB oracle: order-preserving per-element double math (matches the
+    Spark fold up to last-ulp; dist rounded to 3 dp on both sides)."""
+    if metric == "sq_l2":
+        d = (
+            "list_sum(list_transform(generate_series(1, len(c.embedding)), "
+            "i -> POW(CAST(c.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE), 2)))"
+        )
+    elif metric == "cosine":
+        dot = (
+            "list_sum(list_transform(generate_series(1, len(c.embedding)), "
+            "i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+        )
+        na = (
+            "SQRT(list_sum(list_transform(generate_series(1, len(c.embedding)), "
+            "i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))"
+        )
+        nb = (
+            "SQRT(list_sum(list_transform(generate_series(1, len(q.embedding)), "
+            "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))"
+        )
+        d = f"(1.0 - {dot} / ({na} * {nb}))"
+    else:
+        raise ValueError(metric)
+    return f"""
+        SELECT query_id, rk, vec_id, ROUND(dist, 3) AS dist FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {d} AS dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id ORDER BY {d} ASC, c.vec_id ASC
+                   ) AS rk
+            FROM {corpus_rel} c, {queries_rel} q
+            WHERE c.vec_id <> q.vec_id
+        ) t WHERE rk <= {k}
+    """
+
+
+def _hyperplanes(dim: int, n_tables: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, bits, dim))
+
+
+def rp_signature(vec_col, planes: np.ndarray) -> "F.Column":
+    """array<long> of per-table sign-bit bucket keys for one plane tensor."""
+    n_tables, bits, _ = planes.shape
+    keys = []
+    for t in range(n_tables):
+        acc = F.lit(0).cast("long")
+        for b in range(bits):
+            w = planes[t, b]
+            proj = F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(float(x)) for x in w]),
+                    lambda x, y: (x * y).cast("double"),
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            acc = acc + F.when(proj > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        keys.append(acc)
+    return F.array(*keys)
+
+
+def rp_lsh_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_tables: int = 8,
+    bits: int = 8,
+    dim: int | None = None,
+    metric: str = "sq_l2",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate kNN: union of same-bucket candidates over n_tables random
+    hyperplane tables, exact re-rank. -> (query_id, rk, vec_id, dist)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_tables, bits, seed)
+    c_sig = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        F.posexplode(rp_signature(F.col(vec_col), planes)).alias("tbl", "key"),
+    )
+    q_sig = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.col(query_vec_col).alias("qv"),
+        F.posexplode(rp_signature(F.col(query_vec_col), planes)).alias("tbl", "key"),
+    )
+    cands = (
+        c_sig.join(F.broadcast(q_sig), ["tbl", "key"])
+        .filter(F.col("cid") != F.col("qid"))
+        .dropDuplicates(["qid", "cid"])
+        .withColumn("dist", _dist(metric, F.col("cv"), F.col("qv")))
+    )
+    out = topk_per_group(
+        cands.select("qid", "cid", "dist"), ["qid"], "dist", "cid", k, dedup=False
+    )
+    return out.select(
+        F.col("qid").alias("query_id"),
+        "rk",
+        F.col("cid").alias("vec_id"),
+        F.round("dist", 3).alias("dist"),
+    )
+
+
+def cosine_near_pairs(
+    corpus: DataFrame,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    bits: int = 8,
+    exact: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= tau -> (id_a, id_b, cos).
+
+    ``exact=True`` -> all-pairs via self-join (oracle-matching; quadratic —
+    fixture scale only). ``exact=False`` -> LSH-bucketed candidates (the scale
+    path; recall < 1 for borderline pairs)."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if exact:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        dim = len(corpus.select(vec_col).first()[0])
+        planes = _hyperplanes(dim, n_tables, bits, seed)
+        sig = corpus.select(
+            F.col(id_col).alias("did"),
+            F.col(vec_col).alias("v"),
+            F.posexplode(rp_signature(F.col(vec_col), planes)).alias("tbl", "key"),
+        )
+        sa = sig.select(F.col("did").alias("id_a"), F.col("v").alias("va"), "tbl", "key")
+        sb = sig.select(F.col("did").alias("id_b"), F.col("v").alias("vb"), "tbl", "key")
+        pairs = (
+            sa.join(sb, ["tbl", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    cos = F.round(V.cosine_sim(F.col("va"), F.col("vb")), 3)
+    return pairs.withColumn("cos", cos).filter(F.col("cos") >= tau).select("id_a", "id_b", "cos")
+
+
+def cosine_near_pairs_sql(corpus_rel: str, tau: float = 0.95) -> str:
+    dot = (
+        "list_sum(list_transform(generate_series(1, len(a.embedding)), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    )
+    na = (
+        "SQRT(list_sum(list_transform(generate_series(1, len(a.embedding)), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))"
+    )
+    nb = (
+        "SQRT(list_sum(list_transform(generate_series(1, len(b.embedding)), "
+        "i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))"
+    )
+    return f"""
+        SELECT id_a, id_b, cos FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND({dot} / ({na} * {nb}), 3) AS cos
+            FROM {corpus_rel} a, {corpus_rel} b
+            WHERE a.vec_id < b.vec_id
+        ) t WHERE cos >= {tau}
+    """

@@ -1,0 +1,224 @@
+"""Deduplication family for web-text training-data pipelines.
+
+All outputs are deterministic and oracle-checkable:
+
+- ``exact_dup_groups``   — sha256(text) hash-groupBy (map-side combinable).
+- ``ngram_jaccard_pairs``— EXACT near-dup pairs via a distributed
+  inverted-index join on word n-gram shingles (the scalable exact algorithm:
+  only docs sharing >= 1 shingle ever meet; no cross join anywhere).
+- ``minhash_lsh_pairs``  — MinHash signatures -> LSH band buckets -> candidate
+  pairs -> exact-Jaccard verification. The candidates-then-verify shape is the
+  countrymaam pattern (/root/reference/countrymaam.go:38-69: approximate
+  candidate stream, exact re-rank); band count is the budget knob.
+- ``simhash_docs``       — 32-bit SimHash fingerprints (portable md5 hashing).
+
+Scale notes: the inverted-index join explodes |docs| x |shingles| rows but
+never materializes the pair matrix; hot shingles (stopword-only grams) are
+capped by ``max_shingle_freq`` (drop grams occurring in more than N docs —
+they only generate candidate pairs that cheaper grams already generate, a
+standard prefix-filter trick).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from countrymaam_spark.functions import text as T
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, canonical_id, group_size): groups of byte-identical texts.
+    Docs with no duplicate are excluded. canonical = min id in group."""
+    h = docs.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("h"))
+    w = Window.partitionBy("h")
+    return (
+        h.withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .filter(F.col("group_size") > 1)
+        .select(F.col(id_col), "canonical_id", "group_size")
+    )
+
+
+def exact_dup_groups_sql(docs_rel: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+        SELECT {id_col}, canonical_id, group_size FROM (
+            SELECT {id_col},
+                   MIN({id_col}) OVER (PARTITION BY sha256({text_col})) AS canonical_id,
+                   COUNT(*) OVER (PARTITION BY sha256({text_col})) AS group_size
+            FROM {docs_rel}
+        ) t WHERE group_size > 1
+    """
+
+
+def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("did"), T.shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    tau: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """EXACT pairs with shingle-set Jaccard >= tau -> (id_a, id_b, jac).
+
+    Inverted-index self-join: explode distinct shingles, equi-join on the
+    shingle, count shared per pair. |intersect| = shared,
+    |union| = n_a + n_b - shared. ``max_shingle_freq`` drops ubiquitous
+    shingles for scale (loses exactness only for pairs whose every shared
+    shingle is ubiquitous — keep None for oracle parity).
+    """
+    s = _doc_shingles(docs, id_col, text_col, n)
+    inv = s.select("did", "n_sh", F.explode("sh").alias("g"))
+    if max_shingle_freq is not None:
+        freq = inv.groupBy("g").agg(F.count("*").alias("df"))
+        inv = inv.join(F.broadcast(freq.filter(F.col("df") <= max_shingle_freq)), "g")
+    a = inv.select(F.col("did").alias("id_a"), F.col("n_sh").alias("na"), "g")
+    b = inv.select(F.col("did").alias("id_b"), F.col("n_sh").alias("nb"), "g")
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        pairs.withColumn("jac", F.round(jac, 4))
+        .filter(F.col("jac") >= tau)
+        .select("id_a", "id_b", "jac")
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    docs_rel: str, tau: float = 0.5, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    sh = T.shingles_sql(text_col, n)
+    return f"""
+        WITH s AS (
+            SELECT {id_col} AS did, {sh} AS sh FROM {docs_rel}
+        ), inv AS (
+            SELECT did, len(sh) AS n_sh, unnest(sh) AS g FROM s
+        ), pairs AS (
+            SELECT a.did AS id_a, b.did AS id_b, a.n_sh AS na, b.n_sh AS nb,
+                   COUNT(*) AS shared
+            FROM inv a JOIN inv b ON a.g = b.g AND a.did < b.did
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT id_a, id_b,
+               ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 4) AS jac
+        FROM pairs
+        WHERE ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 4) >= {tau}
+    """
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    tau: float = 0.8,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash+LSH candidate generation, exact-Jaccard verification.
+
+    bands x rows = num_hashes; a pair is a candidate iff some band of the
+    signature matches exactly (bucket equi-join — never a cross join). The
+    verification re-rank makes the OUTPUT exact w.r.t. tau up to LSH recall
+    (recall at s=tau: 1-(1-tau^(num_hashes/bands))^bands, ~0.9997 at
+    defaults) — the reference's recall-vs-budget tradeoff
+    (/root/reference/countrymaam.go:40-45) with bands as the budget.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("bands must divide num_hashes")
+    rows = num_hashes // bands
+    s = _doc_shingles(docs, id_col, text_col, n).withColumn(
+        "sig", T.minhash_sig(F.col("sh"), num_hashes)
+    )
+    # band key: (band_idx, sig slice) -> bucket join
+    band_rows = s.select(
+        "did",
+        "sh",
+        "n_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("did", "sh", "n_sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = band_rows.select(
+        F.col("did").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na"), "band", "key"
+    )
+    b = band_rows.select(
+        F.col("did").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb"), "band", "key"
+    )
+    cands = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b", "na", "nb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = F.round(shared / (F.col("na") + F.col("nb") - shared), 4)
+    return (
+        cands.withColumn("jac", jac)
+        .filter(F.col("jac") >= tau)
+        .select("id_a", "id_b", "jac")
+    )
+
+
+def simhash_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, simhash): 32-bit portable SimHash per doc."""
+    return docs.select(F.col(id_col), T.simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_docs_sql(docs_rel: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"SELECT {id_col}, {T.simhash_sql(text_col)} AS simhash FROM {docs_rel}"
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """SimHash near-dup pairs via 4-block banding (any pair within hamming
+    distance <= 3 shares at least one of 4 8-bit blocks exactly — pigeonhole),
+    then exact hamming verification. -> (id_a, id_b, hamming)."""
+    sh = simhash_docs(docs, id_col, text_col)
+    blocks = sh.select(
+        F.col(id_col).alias("did"),
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255)).alias("bv"),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("did", "simhash", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv"))
+    a = blocks.select(F.col("did").alias("id_a"), F.col("simhash").alias("ha"), "blk", "bv")
+    b = blocks.select(F.col("did").alias("id_b"), F.col("simhash").alias("hb"), "blk", "bv")
+    cands = (
+        a.join(b, ["blk", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cands.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,77 @@
+"""Dedup family: exact groups, inverted-index n-gram Jaccard vs DuckDB,
+MinHash-LSH and SimHash banding on planted near-dups."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from countrymaam_spark.operators import dedup
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS).cache()
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the old river bank tonight"
+    other = "completely different content about databases and distributed query engines"
+    rows = [(1, base), (2, base), (3, near), (4, other), (5, "x")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dup_groups(spark, planted):
+    got = {(r["doc_id"], r["canonical_id"], r["group_size"]) for r in dedup.exact_dup_groups(planted).collect()}
+    assert got == {(1, 1, 2), (2, 1, 2)}
+
+
+def test_exact_dup_groups_matches_oracle(spark, docs):
+    got = {tuple(r) for r in dedup.exact_dup_groups(docs).collect()}
+    want = set(duckdb.sql(dedup.exact_dup_groups_sql(f"'{DOCS}'")).fetchall())
+    assert got == want  # documents are all-unique -> both empty
+
+
+def test_ngram_jaccard_matches_oracle(spark, docs):
+    got = {tuple(r) for r in dedup.ngram_jaccard_pairs(docs, tau=0.05).collect()}
+    want = set(duckdb.sql(dedup.ngram_jaccard_pairs_sql(f"'{DOCS}'", tau=0.05)).fetchall())
+    assert got == want
+    assert len(got) > 0  # random-word docs do share some 3-grams
+
+
+def test_ngram_jaccard_planted(spark, planted):
+    got = dedup.ngram_jaccard_pairs(planted, tau=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert (1, 2) in pairs  # identical
+    assert (1, 3) in pairs and (2, 3) in pairs  # one-word diff
+    assert all(4 not in p and 5 not in p for p in pairs)
+    jac = {(r["id_a"], r["id_b"]): r["jac"] for r in got}
+    assert jac[(1, 2)] == 1.0
+
+
+def test_minhash_lsh_finds_planted(spark, planted):
+    got = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(planted, tau=0.5).collect()}
+    assert (1, 2) in got and (1, 3) in got
+
+
+def test_minhash_lsh_matches_exact_at_high_tau(spark, docs):
+    """At tau=0.8 LSH recall is ~1 (and exact verification kills false
+    positives), so LSH output == exact inverted-index output."""
+    lsh = {tuple(r) for r in dedup.minhash_lsh_pairs(docs, tau=0.8).collect()}
+    exact = {tuple(r) for r in dedup.ngram_jaccard_pairs(docs, tau=0.8).collect()}
+    assert lsh == exact
+
+
+def test_simhash_near_pairs_planted(spark, planted):
+    got = {(r["id_a"], r["id_b"]) for r in dedup.simhash_near_pairs(planted, max_hamming=6).collect()}
+    assert (1, 2) in got  # identical -> hamming 0
+    assert all(5 not in p for p in got)
+
+
+def test_simhash_docs_matches_oracle(spark, docs):
+    got = dict(dedup.simhash_docs(docs).collect())
+    want = dict(duckdb.sql(dedup.simhash_docs_sql(f"'{DOCS}'")).fetchall())
+    assert got == want
