@@ -1,0 +1,111 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is end-to-end wall seconds for the geo pipeline
+(geotag -> cell encode -> PIP join -> tile rollup -> cell-index kNN);
+"pages_per_sec" in the payload is the north-star throughput number.
+Results are fully materialized via the noop sink (no collect cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from countrymaam_spark.operators import ann, dedup
+from countrymaam_spark.operators.geotag import extract_geo
+from countrymaam_spark.operators.knn import cell_knn
+from countrymaam_spark.operators.pip import point_in_polygon
+from countrymaam_spark.operators.tiles import tile_counts
+from countrymaam_spark.functions import geo as G
+from countrymaam_spark.session import get_spark
+from countrymaam_spark.sources import pages as PG
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_name = PG.sf_name_from_dir(sf_dir)
+    PG.ensure_fixtures(sf_name)
+
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        app_name="countrymaam_spark_bench",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    pages = PG.load_pages(spark, sf_dir)
+    n_pages = pages.count()
+
+    # geotag + cell encode (the index-ingest stage), materialized once and
+    # cached: every downstream geo stage consumes it (as in production where
+    # the geo table is a persisted Iceberg stage)
+    g = (
+        extract_geo(pages)
+        .select("url", "lat", "lon")
+        .withColumn("cell", G.encode_cell(F.col("lat"), F.col("lon"), 7))
+    )
+    timed("geotag_cell_encode", lambda: materialize(g))
+    g = g.cache()
+    g.count()
+
+    queries = PG.load_knn_queries(spark, sf_dir)
+    edges = PG.load_polygon_edges(spark, sf_dir)
+
+    timed("pip_join", lambda: materialize(point_in_polygon(g, edges, res=6)))
+    timed("tile_counts", lambda: materialize(tile_counts(g, [4, 8, 12])))
+    timed("knn_cell_index", lambda: materialize(cell_knn(g, queries, k=10, res=7)))
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    timed("dedup_minhash_lsh", lambda: materialize(dedup.minhash_lsh_pairs(docs, tau=0.8)))
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    eq = emb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    timed("embed_knn_l2", lambda: materialize(ann.brute_knn(emb, eq, k=10)))
+
+    geo_stages = ["geotag_cell_encode", "pip_join", "tile_counts", "knn_cell_index"]
+    geo_total = sum(timings[s] for s in geo_stages)
+    total = round(sum(timings.values()), 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "geo_pipeline_sec",
+                "value": round(geo_total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_name,
+                "pages": n_pages,
+                "pages_per_sec": round(n_pages / geo_total, 1),
+                "total_sec": total,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -156,16 +156,28 @@ def fingerprint_sql(text: str) -> str:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram strings (space-joined), sorted — the near-dup unit."""
+    """Distinct word n-gram strings (space-joined), sorted — the near-dup unit.
+
+    Built with slice + zip_with (elementwise, one tokenization per slice).
+    The naive ``element_at(tokens(text), i)``-per-gram formulation re-runs
+    the whole tokenizer for every element_at (higher-order lambdas are
+    interpreted, no common-subexpression elimination) — measured O(tokens^2)
+    per row and ~50x slower.
+    """
     toks = tokens(text)
     k = F.size(toks) - F.lit(n - 1)
-    grams = F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def build(kk: Column) -> Column:
+        acc = F.slice(toks, 1, kk)
+        for j in range(1, n):
+            acc = F.zip_with(
+                acc,
+                F.slice(toks, j + 1, kk),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            )
+        return acc
+
+    grams = F.when(k > 0, build(k)).otherwise(F.array().cast("array<string>"))
     return F.array_sort(F.array_distinct(grams))
 
 
@@ -185,14 +197,19 @@ def minhash_sig(shingle_arr: Column, num_hashes: int = 16) -> Column:
     Universal-hash family h_i(s) = (a_i * tok_hash(s) + b_i) mod M31 with
     fixed seeded coefficients; empty shingle set -> all M31 (sentinel max).
     """
+    return minhash_sig_from_hashes(F.transform(shingle_arr, tok_hash), num_hashes)
+
+
+def minhash_sig_from_hashes(hash_arr: Column, num_hashes: int = 16) -> Column:
+    """Signature over a PRE-HASHED array<long>. Callers should materialize the
+    md5 hashes into a real column first — inlining ``tok_hash`` here would
+    recompute the md5 of every shingle ``num_hashes`` times (measured ~10x
+    cost of the whole LSH stage)."""
     coeffs = _minhash_coeffs(num_hashes)
-    hs = F.transform(shingle_arr, tok_hash)
     sig = []
     for a, b in coeffs:
-        mapped = F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(M31))
-        sig.append(
-            F.coalesce(F.array_min(mapped), F.lit(M31).cast("long")).alias("m")
-        )
+        mapped = F.transform(hash_arr, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(M31))
+        sig.append(F.coalesce(F.array_min(mapped), F.lit(M31).cast("long")).alias("m"))
     return F.array(*sig)
 
 
@@ -212,20 +229,31 @@ def simhash(text: Column, bits: int = 32) -> Column:
     """SimHash over token hashes: bit j set iff sum over tokens of
     (+1 if bit j of tok_hash else -1) > 0. 32 bits (tok_hash is mod M31)."""
     hs = F.transform(tokens(text), tok_hash)
-
-    def bit_vote(j: int):
-        return F.aggregate(
-            hs,
-            F.lit(0).cast("long"),
-            lambda s, h: s + F.when(F.shiftright(h, j) % 2 == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
-
-    acc = F.lit(0).cast("long")
-    for j in range(bits):
-        acc = acc + F.when(bit_vote(j) > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return acc
+    seq = F.sequence(F.lit(0), F.lit(bits - 1))
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+    # single fold over tokens accumulating a 32-wide vote vector (one pass;
+    # the naive per-bit version compiles 32 independent folds and is ~10x
+    # slower to codegen+run)
+    votes = F.aggregate(
+        hs,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            seq,
+            lambda a, j: a
+            + F.when(
+                F.floor(h.cast("double") / F.pow(F.lit(2.0), j.cast("double"))).cast("long") % 2
+                == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        ),
+    )
+    weights = F.transform(seq, lambda j: F.pow(F.lit(2.0), j.cast("double")).cast("long"))
+    return F.aggregate(
+        F.zip_with(votes, weights, lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
 
 
 def simhash_sql(text: str, bits: int = 32) -> str:

@@ -52,6 +52,13 @@ def exact_dup_groups_sql(docs_rel: str, id_col: str = "doc_id", text_col: str = 
 
 
 def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    # expression-heavy stage: make sure a small single-file input still uses
+    # every core (a 100 TB scan already arrives well-partitioned; this only
+    # triggers on under-partitioned inputs)
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(2, target // 2):
+        docs = docs.repartition(target)
     return docs.select(
         F.col(id_col).alias("did"), T.shingles(F.col(text_col), n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
@@ -137,14 +144,19 @@ def minhash_lsh_pairs(
     if num_hashes % bands != 0:
         raise ValueError("bands must divide num_hashes")
     rows = num_hashes // bands
-    s = _doc_shingles(docs, id_col, text_col, n).withColumn(
-        "sig", T.minhash_sig(F.col("sh"), num_hashes)
+    # shingle table is consumed three times (signatures + two verify joins):
+    # cache it so the expression-heavy shingling runs once
+    s = _doc_shingles(docs, id_col, text_col, n).cache()
+    # materialize md5 hashes once, then 16 cheap integer maps over them
+    sig = s.withColumn("shh", F.transform(F.col("sh"), T.tok_hash)).withColumn(
+        "sig", T.minhash_sig_from_hashes(F.col("shh"), num_hashes)
     )
-    # band key: (band_idx, sig slice) -> bucket join
-    band_rows = s.select(
+
+    # band buckets carry ONLY (did, band, key) — the shingle arrays never
+    # enter the self-join shuffle (they'd dominate the exchange at scale);
+    # candidates are verified by joining the shingle table back afterwards.
+    band_rows = sig.select(
         "did",
-        "sh",
-        "n_sh",
         F.explode(
             F.array(
                 *[
@@ -158,23 +170,24 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("did", "sh", "n_sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = band_rows.select(
-        F.col("did").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na"), "band", "key"
-    )
-    b = band_rows.select(
-        F.col("did").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb"), "band", "key"
-    )
+    ).select("did", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = band_rows.select(F.col("did").alias("id_a"), "band", "key")
+    b = band_rows.select(F.col("did").alias("id_b"), "band", "key")
     cands = (
         a.join(b, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b", "na", "nb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_tbl = s.select("did", "sh", "n_sh")
+    pairs = (
+        cands.join(sh_tbl.select(F.col("did").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sh_tbl.select(F.col("did").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb")), "id_b")
     )
     shared = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = F.round(shared / (F.col("na") + F.col("nb") - shared), 4)
     return (
-        cands.withColumn("jac", jac)
+        pairs.withColumn("jac", jac)
         .filter(F.col("jac") >= tau)
         .select("id_a", "id_b", "jac")
     )

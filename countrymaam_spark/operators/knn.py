@@ -95,7 +95,6 @@ def _ring_guarantee_km(radius: int, res: int, qlat_col, nx: int):
     cd = geo.cell_deg(res)
     lat_bound = F.lit(radius * cd * geo.KM_PER_DEG)
     band = (radius + 1) * cd
-    lat_lo = F.greatest(F.abs(qlat_col) - F.lit(0.0), F.lit(0.0))  # |lat| center
     # worst |lat| inside the band:
     worst_abs_lat = F.least(F.abs(qlat_col) + F.lit(band), F.lit(90.0))
     cmin = F.cos(F.radians(worst_abs_lat))
@@ -135,16 +134,19 @@ def cell_knn(
         pages_geo.filter(F.col("lat").isNotNull())
         .select("url", "lat", "lon")
         .withColumn("cell", geo.encode_cell(F.col("lat"), F.col("lon"), res))
+        .cache()  # scanned once per round; at cluster scale this is a
+        # cell-bucketed persisted table (partition pruning does the same job)
     )
 
     remaining = queries.select(
         "query_id", F.col("lat").alias("qlat"), F.col("lon").alias("qlon")
     )
+    n_remaining = remaining.count()
     settled_parts: list[DataFrame] = []
     radius = init_radius
 
     for _ in range(max_rounds):
-        if remaining.isEmpty():
+        if n_remaining == 0:
             break
         qcells = remaining.withColumn(
             "qcell", geo.encode_cell(F.col("qlat"), F.col("qlon"), res)
@@ -169,30 +171,33 @@ def cell_knn(
             k,
             dedup=False,
         )
-        guarantee = _ring_guarantee_km(radius, res, F.col("qlat"), nx)
-        stats = ranked.groupBy("query_id").agg(
-            F.count("*").alias("cnt"),
-            F.max("dist_km").alias("kth"),
-            F.first("qlat").alias("qlat"),
-        )
+        # materialize the (small: <= |remaining| * k rows) round result once;
+        # stats, output slice, and the final union all read these blocks
+        # instead of re-running the candidate join
+        ranked = ranked.localCheckpoint(eager=True)
         ok_pred = (F.col("cnt") >= k) & (
             F.col("kth") < _ring_guarantee_km(radius, res, F.col("qlat"), nx)
         )
         if search_k is not None:
             ok_pred = ok_pred | (F.col("cnt") >= F.lit(min(search_k, k)))
+        stats = ranked.groupBy("query_id").agg(
+            F.count("*").alias("cnt"),
+            F.max("dist_km").alias("kth"),
+            F.first("qlat").alias("qlat"),
+        )
         ok_ids = [r["query_id"] for r in stats.filter(ok_pred).select("query_id").collect()]
-        _ = guarantee  # per-query bound realized inside ok_pred
         if ok_ids:
             done = ranked.filter(F.col("query_id").isin(ok_ids)).select(
                 "query_id", "rk", "url", F.round("dist_km", 6).alias("dist_km")
             )
             settled_parts.append(done)
             remaining = remaining.filter(~F.col("query_id").isin(ok_ids))
+            n_remaining -= len(ok_ids)
         radius *= 3
 
     # exact fallback for stragglers (budget exhausted) — reference invariant:
     # budget >= corpus implies exact results
-    if not remaining.isEmpty():
+    if n_remaining > 0:
         settled_parts.append(flat_knn(pages_geo, remaining.withColumnRenamed("qlat", "lat").withColumnRenamed("qlon", "lon"), k))
 
     if not settled_parts:
