@@ -44,6 +44,7 @@ def main() -> None:
         master=f"local[{cpus}]",
         app_name="countrymaam_spark_bench",
         shuffle_partitions=cpus,
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "24g")},
     )
     spark.sparkContext.setLogLevel("ERROR")
 

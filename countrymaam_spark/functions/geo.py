@@ -93,19 +93,37 @@ def cell_parent(cell: Column, parent_res: int, child_res: int) -> Column:
     return (F.lit(parent_res) * F.lit(_R_SHIFT) + px * F.lit(_X_SHIFT) + py).cast("long")
 
 
-def ring_cells(cell: Column, res: int, radius: int) -> Column:
+def ring_cells(cell: Column, res: int, radius: int | Column) -> Column:
     """array<long> of all cells within Chebyshev grid distance ``radius``.
 
-    Longitude wraps (x mod nx); latitude clamps (rows beyond the poles are
-    dropped). Built from ``sequence`` + ``transform``/``flatten`` —
-    expression-only, so ``explode(ring_cells(...))`` stays JVM-side. The ring
-    is the candidate-generation budget knob (reference: search_k /
-    maxCandidates, /root/reference/countrymaam.go:40-45).
+    ``radius`` may be a per-row Column (density-planned rings). Longitude
+    wraps (x mod nx); latitude clamps (rows beyond the poles are dropped).
+    Built from ``sequence`` + ``transform``/``flatten`` — expression-only, so
+    ``explode(ring_cells(...))`` stays JVM-side. The ring is the
+    candidate-generation budget knob (reference: search_k / maxCandidates,
+    /root/reference/countrymaam.go:40-45).
+    """
+    return ring_cells_xy(cell, res, radius, radius)
+
+
+def ring_cells_xy(
+    cell: Column, res: int, radius_x: int | Column, radius_y: int | Column
+) -> Column:
+    """Asymmetric ring: Chebyshev radius ``radius_x`` in longitude cells,
+    ``radius_y`` in latitude cells. ``radius_x >= nx//2`` covers the full
+    longitude circle (a latitude band) — the exactness-restoring shape for
+    wide rings near the poles, where the longitude pruning bound collapses.
     """
     nx, ny = 2 << res, 1 << res
+    rx = F.lit(radius_x) if isinstance(radius_x, int) else radius_x
+    ry = F.lit(radius_y) if isinstance(radius_y, int) else radius_y
+    # rx = nx//2 already spans every x (pmod wraps; array_distinct dedups the
+    # single overlap); wider would enumerate wrapped duplicates
+    rx = F.least(rx, F.lit(nx // 2))
+    ry = F.least(ry, F.lit(ny))
     x, y = cell_x(cell), cell_y(cell)
-    dxs = F.sequence(F.lit(-radius), F.lit(radius))
-    dys = F.sequence(F.lit(-radius), F.lit(radius))
+    dxs = F.sequence(-rx, rx)
+    dys = F.sequence(-ry, ry)
     base = F.lit(res) * F.lit(_R_SHIFT)
 
     def one_row(dy: Column) -> Column:

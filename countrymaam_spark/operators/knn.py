@@ -81,31 +81,89 @@ def flat_knn_sql(pages_rel: str, queries_rel: str, k: int = 10) -> str:
     """
 
 
-def _ring_guarantee_km(radius: int, res: int, qlat_col, nx: int):
-    """Lower bound on the distance from a query to any point OUTSIDE its
-    ring of Chebyshev radius ``radius`` (grid cells) — the pruning bound.
-
-    lat-separation bound: radius * cell_deg degrees of latitude.
-    lon-separation bound: 2R * cmin * sin(min(radius*cell_deg, 180)/2 rad)
-    where cmin = min cos(lat) over the ring's latitude band; if the band
-    touches a pole, cmin = 0 and only full longitude coverage
-    (2*radius+1 >= nx) restores the bound.
-    Returns a Column (per-query, depends on query latitude).
-    """
+def _lon_bound_km(rx_col, ry_col, res: int, qlat_col):
+    """Distance lower bound for points separated by > rx longitude cells
+    (valid only for points within the ring's latitude band, which is why it
+    is min'd with the latitude bound)."""
     cd = geo.cell_deg(res)
-    lat_bound = F.lit(radius * cd * geo.KM_PER_DEG)
-    band = (radius + 1) * cd
-    # worst |lat| inside the band:
-    worst_abs_lat = F.least(F.abs(qlat_col) + F.lit(band), F.lit(90.0))
+    band = (ry_col + 1) * F.lit(cd)
+    worst_abs_lat = F.least(F.abs(qlat_col) + band, F.lit(90.0))
     cmin = F.cos(F.radians(worst_abs_lat))
-    dlon_deg = F.lit(min(radius * cd, 180.0))
-    lon_bound = (
+    dlon_deg = F.least(rx_col * F.lit(cd), F.lit(180.0))
+    return (
         F.lit(2.0 * geo.EARTH_RADIUS_KM)
         * F.greatest(cmin, F.lit(0.0))
         * F.sin(F.radians(dlon_deg) / 2.0)
     )
-    full_wrap = F.lit(2 * radius + 1 >= nx)
-    return F.when(full_wrap, lat_bound).otherwise(F.least(lat_bound, lon_bound))
+
+
+def _ring_guarantee_km(rx_col, ry_col, res: int, qlat_col, nx: int):
+    """Lower bound on the distance from a query to any point OUTSIDE its
+    (rx, ry) ring — the branch-and-bound pruning bound.
+
+    lat-separation: ry * cell_deg degrees of latitude (always valid).
+    lon-separation: collapses near the poles (the band min-cos hits 0); a
+    full-wrap ring (2*rx+1 >= nx) removes the lon case entirely.
+    """
+    cd = geo.cell_deg(res)
+    lat_bound = ry_col * F.lit(cd * geo.KM_PER_DEG)
+    full_wrap = (rx_col * 2 + 1) >= F.lit(nx)
+    return F.when(full_wrap, lat_bound).otherwise(
+        F.least(lat_bound, _lon_bound_km(rx_col, ry_col, res, qlat_col))
+    )
+
+
+def _plan_radius(remaining: DataFrame, pages_cells: DataFrame, res: int, k: int) -> DataFrame:
+    """Per-query starting ring (rx, ry) from multi-resolution cell-count stats.
+
+    The Spark analog of descending the reference's tree by node sizes
+    (/root/reference/bsp_tree/bsp_tree.go:22-60: subtree ranges ARE counts):
+    pick the finest statistics level whose single covering cell already holds
+    >= 4k pages; a ring of radius 2*span covers that cell from anywhere
+    inside it, so >= 4k candidates are guaranteed and the k-th distance is at
+    most ~the cell diagonal. Queries whose longitude bound cannot beat that
+    diagonal (wide ring at high latitude) get a full-wrap ring (rx = nx/2)
+    upfront, where the latitude-only bound settles them in one round.
+    Coarse counts are rolled up from fine counts (tiny aggregates), never
+    from the corpus again.
+    """
+    need = 4 * k
+    nx = 2 << res
+    counts = pages_cells.groupBy("cell").agg(F.count("*").alias("cnt"))
+    levels = [lv for lv in range(res, res - 5, -1) if lv >= 0]
+    out = remaining
+    prev = counts
+    prev_res = res
+    for lv in levels:
+        if lv != prev_res:
+            prev = (
+                prev.groupBy(geo.cell_parent(F.col("cell"), lv, prev_res).alias("cell"))
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+            prev_res = lv
+        lvl_counts = prev.withColumnRenamed("cnt", f"cnt_{lv}")
+        out = out.join(
+            lvl_counts,
+            geo.encode_cell(F.col("qlat"), F.col("qlon"), lv) == F.col("cell"),
+            "left",
+        ).drop("cell")
+    radius = None
+    for lv in levels:
+        span = 1 << (res - lv)
+        cond = F.coalesce(F.col(f"cnt_{lv}"), F.lit(0)) >= need
+        r = F.lit(2 * span).cast("long")
+        radius = F.when(cond, r) if radius is None else radius.when(cond, r)
+    max_span = 1 << (res - levels[-1])
+    # no stats level dense enough -> ultra-sparse region: latitude-band scan
+    # from the start (rx = nx/2 selects the band path in cell_knn)
+    radius = radius.otherwise(F.lit(4 * max_span).cast("long"))
+    out = out.withColumn("ry", radius).drop(*[f"cnt_{lv}" for lv in levels])
+    return out.withColumn(
+        "rx",
+        F.when(F.col("ry") <= F.lit(2 * max_span), F.col("ry")).otherwise(
+            F.lit(nx // 2).cast("long")
+        ),
+    )
 
 
 def cell_knn(
@@ -141,9 +199,15 @@ def cell_knn(
     remaining = queries.select(
         "query_id", F.col("lat").alias("qlat"), F.col("lon").alias("qlon")
     )
+    remaining = (
+        _plan_radius(remaining, pages_cells, res, k)
+        .withColumn("ry", F.greatest(F.col("ry"), F.lit(init_radius).cast("long")))
+        # tiny table (one row per query); pin it so each round starts from
+        # materialized rows instead of re-running the stats joins
+        .localCheckpoint(eager=True)
+    )
     n_remaining = remaining.count()
     settled_parts: list[DataFrame] = []
-    radius = init_radius
 
     for _ in range(max_rounds):
         if n_remaining == 0:
@@ -151,20 +215,58 @@ def cell_knn(
         qcells = remaining.withColumn(
             "qcell", geo.encode_cell(F.col("qlat"), F.col("qlon"), res)
         )
-        exploded = qcells.select(
+        is_band = (F.col("rx") * 2 + 1) >= F.lit(nx)
+        # compact rings: enumerate cells, broadcast, equi-join (hash probe of
+        # the corpus — never enumerate wide rings, the arrays explode)
+        ring_q = qcells.filter(~is_band)
+        exploded = ring_q.select(
             "query_id",
             "qlat",
             "qlon",
-            F.explode(geo.ring_cells(F.col("qcell"), res, radius)).alias("cell"),
+            "rx",
+            "ry",
+            F.explode(
+                geo.ring_cells_xy(F.col("qcell"), res, F.col("rx"), F.col("ry"))
+            ).alias("cell"),
         )
-        cands = F.broadcast(exploded).join(pages_cells, "cell").withColumn(
+        ring_cands = F.broadcast(exploded).join(pages_cells, "cell")
+        # full-wrap rings are a latitude BAND: broadcast range join on the
+        # cell's y coordinate (predicate scan of the corpus, no enumeration)
+        band_q = qcells.filter(is_band).select(
+            F.col("query_id").alias("b_query_id"),
+            F.col("qlat").alias("b_qlat"),
+            F.col("qlon").alias("b_qlon"),
+            F.col("rx").alias("b_rx"),
+            F.col("ry").alias("b_ry"),
+            geo.cell_y(F.col("qcell")).alias("b_qy"),
+        )
+        band_cands = (
+            pages_cells.withColumn("cy", geo.cell_y(F.col("cell")))
+            .join(
+                F.broadcast(band_q),
+                (F.col("cy") >= F.col("b_qy") - F.col("b_ry"))
+                & (F.col("cy") <= F.col("b_qy") + F.col("b_ry")),
+            )
+            .select(
+                F.col("b_query_id").alias("query_id"),
+                F.col("b_qlat").alias("qlat"),
+                F.col("b_qlon").alias("qlon"),
+                F.col("b_rx").alias("rx"),
+                F.col("b_ry").alias("ry"),
+                "cell",
+                "url",
+                "lat",
+                "lon",
+            )
+        )
+        cands = ring_cands.select(band_cands.columns).unionByName(band_cands).withColumn(
             "dist_km",
             geo.haversine_km(F.col("lat"), F.col("lon"), F.col("qlat"), F.col("qlon")),
         )
         # ring_cells is array_distinct and urls are unique -> (query, url)
         # pairs are already unique; skip the dedup shuffle
         ranked = topk_per_group(
-            cands.select("query_id", "qlat", "url", "dist_km"),
+            cands.select("query_id", "qlat", "rx", "ry", "url", "dist_km"),
             ["query_id"],
             "dist_km",
             "url",
@@ -176,24 +278,58 @@ def cell_knn(
         # instead of re-running the candidate join
         ranked = ranked.localCheckpoint(eager=True)
         ok_pred = (F.col("cnt") >= k) & (
-            F.col("kth") < _ring_guarantee_km(radius, res, F.col("qlat"), nx)
+            F.col("kth")
+            < _ring_guarantee_km(F.col("rx"), F.col("ry"), res, F.col("qlat"), nx)
         )
         if search_k is not None:
             ok_pred = ok_pred | (F.col("cnt") >= F.lit(min(search_k, k)))
-        stats = ranked.groupBy("query_id").agg(
-            F.count("*").alias("cnt"),
-            F.max("dist_km").alias("kth"),
-            F.first("qlat").alias("qlat"),
+        stats = (
+            ranked.groupBy("query_id")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.max("dist_km").alias("kth"),
+                F.first("qlat").alias("qlat"),
+                F.first("rx").alias("rx"),
+                F.first("ry").alias("ry"),
+            )
+            .withColumn("ok", ok_pred)
+            .localCheckpoint(eager=True)
         )
-        ok_ids = [r["query_id"] for r in stats.filter(ok_pred).select("query_id").collect()]
-        if ok_ids:
-            done = ranked.filter(F.col("query_id").isin(ok_ids)).select(
+        n_ok = stats.filter("ok").count()
+        if n_ok:
+            ok_q = stats.filter("ok").select("query_id")
+            done = ranked.join(ok_q, "query_id").select(
                 "query_id", "rk", "url", F.round("dist_km", 6).alias("dist_km")
             )
             settled_parts.append(done)
-            remaining = remaining.filter(~F.col("query_id").isin(ok_ids))
-            n_remaining -= len(ok_ids)
-        radius *= 3
+            remaining = remaining.join(
+                stats.filter(~F.col("ok")).select("query_id"), "query_id", "semi"
+            ).localCheckpoint(eager=True)
+            n_remaining -= n_ok
+        # escalate. A ring query that failed only the lon bound (high
+        # latitude) switches to a latitude band with the SAME ry — its k-th
+        # distance already beats the lat-only bound; everything else widens.
+        remaining = (
+            remaining.withColumn("_was_band", (F.col("rx") * 2 + 1) >= nx)
+            .withColumn(
+                "_lon_limited",
+                _lon_bound_km(F.col("rx"), F.col("ry"), res, F.col("qlat"))
+                < (F.col("ry") * F.lit(geo.cell_deg(res) * geo.KM_PER_DEG)),
+            )
+            .withColumn(
+                "ry",
+                F.when(~F.col("_was_band") & F.col("_lon_limited"), F.col("ry")).otherwise(
+                    F.col("ry") * 3
+                ),
+            )
+            .withColumn(
+                "rx",
+                F.when(
+                    F.col("_was_band") | F.col("_lon_limited"), F.lit(nx // 2).cast("long")
+                ).otherwise(F.col("rx") * 3),
+            )
+            .drop("_was_band", "_lon_limited")
+        )
 
     # exact fallback for stragglers (budget exhausted) — reference invariant:
     # budget >= corpus implies exact results
