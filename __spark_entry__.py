@@ -102,6 +102,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count("url").alias("n_pages"))
     )
 
+    def _knn_tree(s: SparkSession, d: str) -> DataFrame:
+        from countrymaam_spark.operators import index_build
+
+        g = _pages_geo(s, d)
+        cells = index_build.salt_hot_cells(
+            index_build.encode_pages(g, res=CELL_RES, parent_res=PARENT_RES),
+            target_group_rows=20_000,
+        )
+        trees = index_build.build_tree_blobs(cells, seed=42)
+        return index_build.knn_tree(
+            trees, PG.load_knn_queries(s, d), k=10, search_k=4096, parent_res=PARENT_RES, ring=1
+        )
+
+    # approximate (ring+leaf budget) — rows-only driver check; recall vs the
+    # exact oracle is asserted in tests/test_index_build.py
+    q["knn_tree_index"] = _knn_tree
+
+    def _index_lineage(s: SparkSession, d: str) -> DataFrame:
+        from countrymaam_spark.operators import index_build
+
+        g = _pages_geo(s, d)
+        cells = index_build.salt_hot_cells(
+            index_build.encode_pages(g, res=CELL_RES, parent_res=PARENT_RES),
+            target_group_rows=20_000,
+        )
+        return index_build.lineage(index_build.build_tree_blobs(cells, seed=42))
+
+    q["index_lineage"] = _index_lineage
+
     # --- text analysis over the driver documents table ---
     def _docs(s: SparkSession, d: str) -> DataFrame:
         return s.read.parquet(os.path.join(d, "documents.parquet"))

@@ -1,0 +1,194 @@
+"""Distributed cell-index build: the partition-parallel stage of the north
+star. Pages are encoded to cells, hot parent cells are salted, the corpus is
+range-partitioned + sorted on (parent, salt, cell), and each (parent, salt)
+group builds a seeded kd-tree inside ``applyInPandas`` — countrymaam's
+forest build (/root/reference/index/bsp_tree_index.go:128-159) with Spark
+tasks in place of goroutines, plus per-group lineage rows (group key, row
+count, checksum, seed) for the resumable-checkpoint contract.
+
+Skew: Zipf-hot city cells would give one task a huge group (AQE cannot split
+``applyInPandas`` groups), so groups above ``target_group_rows`` are salted by
+url hash — queries later fan out over every salt of a parent.
+
+The tree-serving path (``knn_tree``) routes queries to the ring of parent
+cells around them, runs best-first budgeted search inside each blob
+(mapInPandas; blobs never leave their partition), and exact-haversine
+re-ranks the union — the reference's candidate-stream -> re-rank -> top-k
+lifecycle (/root/reference/countrymaam.go:38-69) with ``search_k`` as the
+recall knob. cell_knn (operators/knn.py) remains the exactness-guaranteed
+path; knn_tree is the budget-bounded approximate path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from countrymaam_spark.functions import geo
+from countrymaam_spark.operators import kdtree
+from countrymaam_spark.operators.topk import topk_per_group
+
+TREE_SCHEMA = (
+    "parent long, salt int, n_rows long, seed long, checksum string, blob binary"
+)
+CAND_SCHEMA = "query_id long, url string, lat double, lon double"
+
+
+def encode_pages(pages_geo: DataFrame, res: int = 7, parent_res: int = 4) -> DataFrame:
+    """pages -> (url, lat, lon, cell, parent): the index's base table."""
+    return (
+        pages_geo.filter(F.col("lat").isNotNull())
+        .select("url", "lat", "lon")
+        .withColumn("cell", geo.encode_cell(F.col("lat"), F.col("lon"), res))
+        .withColumn("parent", geo.cell_parent(F.col("cell"), parent_res, res))
+    )
+
+
+def salt_hot_cells(cells: DataFrame, target_group_rows: int = 20_000) -> DataFrame:
+    """Add a salt column splitting parents larger than ``target_group_rows``.
+
+    Per-parent counts -> salt factor ceil(n/target); salt = url-hash mod
+    factor. The counts table is tiny (#parents) and broadcast.
+    """
+    counts = cells.groupBy("parent").agg(F.count("*").alias("_n"))
+    factor = F.greatest(
+        F.ceil(F.col("_n") / F.lit(target_group_rows)).cast("int"), F.lit(1)
+    )
+    return (
+        cells.join(F.broadcast(counts.withColumn("_f", factor).drop("_n")), "parent")
+        .withColumn("salt", F.pmod(F.xxhash64("url"), F.col("_f")).cast("int"))
+        .drop("_f")
+    )
+
+
+def _group_seed(parent: int, salt: int, seed: int) -> int:
+    return (parent * 1_000_003 + salt * 7919 + seed) % (2**31 - 1)
+
+
+def build_tree_blobs(
+    salted: DataFrame, seed: int = 42, leaf_size: int = kdtree.LEAF_SIZE
+) -> DataFrame:
+    """(parent, salt) groups -> one row each: kd-tree blob + lineage fields.
+
+    ``groupBy`` already hash-partitions on the group key — adding a range
+    partition here would double-shuffle the corpus (plus a sampling pass).
+    Range+sort write clustering belongs to the cells-table snapshot
+    (write_cells_clustered), where it buys file-stat pruning.
+    """
+    prepared = salted
+
+    def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent = int(pdf["parent"].iloc[0])
+        salt = int(pdf["salt"].iloc[0])
+        gseed = _group_seed(parent, salt, seed)
+        lat = pdf["lat"].to_numpy(dtype=np.float64)
+        lon = pdf["lon"].to_numpy(dtype=np.float64)
+        # local equirectangular scaling: lon compressed by cos(mean lat) so
+        # in-tree L2 approximates km geometry (exact re-rank happens later)
+        cos0 = float(np.cos(np.radians(lat.mean()))) if len(lat) else 1.0
+        pts = np.stack([lat, lon * max(cos0, 0.05)], axis=1)
+        tree = kdtree.build(pts, leaf_size=leaf_size, seed=gseed)
+        urls = pdf["url"].to_numpy(dtype=object)
+        checksum = hashlib.sha256("\n".join(sorted(map(str, urls))).encode()).hexdigest()[:16]
+        blob = kdtree.serialize(
+            {"tree": tree, "urls": urls, "lat": lat, "lon": lon, "cos0": cos0}
+        )
+        return pd.DataFrame(
+            {
+                "parent": [parent],
+                "salt": [salt],
+                "n_rows": [len(pdf)],
+                "seed": [gseed],
+                "checksum": [checksum],
+                "blob": [blob],
+            }
+        )
+
+    return prepared.groupBy("parent", "salt").applyInPandas(build_group, TREE_SCHEMA)
+
+
+def write_cells_clustered(salted: DataFrame, path: str) -> None:
+    """Persist the cell table range-partitioned on (parent, salt) and sorted
+    by cell within files — the Iceberg write-ordering analog: min/max file
+    stats then prune cell-range scans."""
+    (
+        salted.repartitionByRange("parent", "salt")
+        .sortWithinPartitions("parent", "salt", "cell")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def lineage(trees: DataFrame) -> DataFrame:
+    """Per-partition lineage rows (no blob): the auditable build record."""
+    return trees.select("parent", "salt", "n_rows", "seed", "checksum")
+
+
+def knn_tree(
+    trees: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    search_k: int = 64,
+    parent_res: int = 4,
+    ring: int = 1,
+) -> DataFrame:
+    """Approximate kNN served from tree blobs -> (query_id, rk, url, dist_km).
+
+    Queries fan out to the (2*ring+1)^2 parent cells around them (all salts);
+    each blob searches its tree with a ``search_k`` leaf budget (mapInPandas —
+    blobs stay on their partitions, only (query, candidate) rows move); the
+    union is exact-haversine re-ranked. Recall is monotone in ``search_k``
+    and ``ring`` (reference budget semantics)."""
+    spark = trees.sparkSession
+    q = queries.select(
+        "query_id", F.col("lat").alias("qlat"), F.col("lon").alias("qlon")
+    ).withColumn("qcell", geo.encode_cell(F.col("qlat"), F.col("qlon"), parent_res))
+    q = q.withColumn(
+        "parent", F.explode(geo.ring_cells(F.col("qcell"), parent_res, ring))
+    ).drop("qcell")
+    q_pdf = q.toPandas()
+    bc = spark.sparkContext.broadcast(q_pdf)
+
+    def gen(batches):
+        qp = bc.value
+        by_parent = dict(tuple(qp.groupby("parent")))
+        for pdf in batches:
+            out_qid, out_url, out_lat, out_lon = [], [], [], []
+            for _, row in pdf.iterrows():
+                qs = by_parent.get(row["parent"])
+                if qs is None:
+                    continue
+                payload = kdtree.deserialize(row["blob"])
+                tree, urls = payload["tree"], payload["urls"]
+                lat, lon, cos0 = payload["lat"], payload["lon"], payload["cos0"]
+                pts = np.stack([lat, lon * max(cos0, 0.05)], axis=1)
+                for qid, qlat, qlon in zip(qs["query_id"], qs["qlat"], qs["qlon"]):
+                    qv = np.array([qlat, qlon * max(cos0, 0.05)])
+                    idx, _ = kdtree.search(tree, pts, qv, k, max_leaves=search_k)
+                    for i in idx:
+                        out_qid.append(int(qid))
+                        out_url.append(str(urls[i]))
+                        out_lat.append(float(lat[i]))
+                        out_lon.append(float(lon[i]))
+            yield pd.DataFrame(
+                {"query_id": out_qid, "url": out_url, "lat": out_lat, "lon": out_lon}
+            )
+
+    cands = trees.mapInPandas(gen, CAND_SCHEMA)
+    qq = F.broadcast(
+        queries.select(
+            "query_id", F.col("lat").alias("qlat"), F.col("lon").alias("qlon")
+        )
+    )
+    scored = cands.join(qq, "query_id").withColumn(
+        "dist_km",
+        geo.haversine_km(F.col("lat"), F.col("lon"), F.col("qlat"), F.col("qlon")),
+    )
+    out = topk_per_group(
+        scored.select("query_id", "url", "dist_km"), ["query_id"], "dist_km", "url", k
+    )
+    return out.select("query_id", "rk", "url", F.round("dist_km", 6).alias("dist_km"))

@@ -1,0 +1,158 @@
+"""Per-partition kd-tree kernel (numpy) — the build/search logic that runs
+INSIDE applyInPandas groups. This is the direct Spark-era restatement of the
+reference's BSP machinery:
+
+- build: recursive split on a high-variance axis chosen uniformly among the
+  top-2 candidate axes (FLANN-style randomized tie-break), cut at the axis
+  mean, stop at ``leaf_size`` — countrymaam's kd cut plane + buildSubTree
+  (/root/reference/bsp_tree/kd.go:34-81, /root/reference/bsp_tree/bsp_tree.go:22-60).
+- layout: flattened arrays (indice permutation + node table with [begin, end)
+  ranges and child ids, 0 = null child) — countrymaam's BspTree
+  (/root/reference/bsp_tree/bsp_tree.go:10-13).
+- search: best-first branch & bound over a heap seeded with the root; far
+  children deferred with priority = |signed plane distance|, leaves scanned
+  exactly, visit budget = ``max_leaves`` (the search_k analog) —
+  countrymaam's SearchChannel (/root/reference/index/bsp_tree_index.go:35-92).
+
+Unlike the reference (unseeded, bsp_tree/kd.go:72) every random choice is
+seeded, so index builds are reproducible per (partition, seed).
+"""
+
+from __future__ import annotations
+
+import heapq
+import io
+import pickle
+
+import numpy as np
+
+LEAF_SIZE = 32
+VAR_SAMPLE = 100  # sample cap for axis variance, as the reference's sampleFeatures
+TOP_AXES = 2
+
+
+def build(points: np.ndarray, leaf_size: int = LEAF_SIZE, seed: int = 42) -> dict:
+    """points: (n, d) float64 -> flattened tree dict.
+
+    Arrays: indice (n,), begin/end/left/right/split_dim (m,), split_val (m,).
+    Node 0 is the root; child id 0 means "no child" (leaf), as in the
+    reference layout.
+    """
+    n = len(points)
+    rng = np.random.default_rng(seed)
+    indice = rng.permutation(n).astype(np.int64)
+    begin, end, left, right = [], [], [], []
+    split_dim, split_val = [], []
+
+    def new_node(b: int, e: int) -> int:
+        begin.append(b)
+        end.append(e)
+        left.append(0)
+        right.append(0)
+        split_dim.append(-1)
+        split_val.append(0.0)
+        return len(begin) - 1
+
+    if n == 0:
+        return _pack(indice, begin, end, left, right, split_dim, split_val)
+
+    stack = [(new_node(0, n), 0, n)]
+    while stack:
+        node, b, e = stack.pop()
+        if e - b <= leaf_size:
+            continue
+        idx = indice[b:e]
+        sample = idx if len(idx) <= VAR_SAMPLE else rng.choice(idx, VAR_SAMPLE, replace=False)
+        var = points[sample].var(axis=0)
+        order = np.argsort(var)[::-1]
+        cand = order[: min(TOP_AXES, len(order))]
+        dim = int(rng.choice(cand))
+        val = float(points[sample, dim].mean())
+        mask = points[idx, dim] < val
+        m = int(mask.sum())
+        if m == 0 or m == len(idx):
+            m = len(idx) // 2  # degenerate split -> midpoint fallback
+            # (reference: collection/ops.go:21-23)
+            part = np.argsort(points[idx, dim], kind="stable")
+            indice[b:e] = idx[part]
+            val = float(points[indice[b + m], dim])
+        else:
+            indice[b:e] = np.concatenate([idx[mask], idx[~mask]])
+        lid = new_node(b, b + m)
+        rid = new_node(b + m, e)
+        left[node], right[node] = lid, rid
+        split_dim[node], split_val[node] = dim, val
+        stack.append((lid, b, b + m))
+        stack.append((rid, b + m, e))
+    return _pack(indice, begin, end, left, right, split_dim, split_val)
+
+
+def _pack(indice, begin, end, left, right, split_dim, split_val) -> dict:
+    return {
+        "indice": np.asarray(indice, dtype=np.int64),
+        "begin": np.asarray(begin, dtype=np.int64),
+        "end": np.asarray(end, dtype=np.int64),
+        "left": np.asarray(left, dtype=np.int64),
+        "right": np.asarray(right, dtype=np.int64),
+        "split_dim": np.asarray(split_dim, dtype=np.int64),
+        "split_val": np.asarray(split_val, dtype=np.float64),
+    }
+
+
+def serialize(tree: dict) -> bytes:
+    buf = io.BytesIO()
+    pickle.dump({k: v for k, v in tree.items()}, buf, protocol=4)
+    return buf.getvalue()
+
+
+def deserialize(blob: bytes) -> dict:
+    return pickle.loads(blob)
+
+
+def search(
+    tree: dict,
+    points: np.ndarray,
+    query: np.ndarray,
+    k: int,
+    max_leaves: int = 32,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Best-first kNN in one tree; returns (row_indices, sq_dists) ascending.
+
+    ``max_leaves`` is the candidate budget (reference maxCandidates /
+    search_k, /root/reference/countrymaam.go:40-45): more leaves -> higher
+    recall; >= number of leaves -> exact within this partition.
+    """
+    if len(tree["begin"]) == 0 or len(points) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    heap: list[tuple[float, int]] = [(0.0, 0)]
+    best: list[tuple[float, int]] = []  # max-heap via negated dist
+    leaves = 0
+    while heap and leaves < max_leaves:
+        bound, node = heapq.heappop(heap)
+        if len(best) >= k and bound * bound >= -best[0][0]:
+            continue
+        while tree["left"][node] != 0 or tree["right"][node] != 0:
+            dim, val = tree["split_dim"][node], tree["split_val"][node]
+            d = query[dim] - val
+            near, far = (
+                (tree["left"][node], tree["right"][node])
+                if d < 0
+                else (tree["right"][node], tree["left"][node])
+            )
+            heapq.heappush(heap, (max(abs(d), bound), int(far)))
+            node = int(near)
+        b, e = tree["begin"][node], tree["end"][node]
+        idx = tree["indice"][b:e]
+        if len(idx):
+            d2 = ((points[idx] - query) ** 2).sum(axis=1)
+            for i, dd in zip(idx, d2):
+                if len(best) < k:
+                    heapq.heappush(best, (-float(dd), int(i)))
+                elif dd < -best[0][0]:
+                    heapq.heapreplace(best, (-float(dd), int(i)))
+        leaves += 1
+    out = sorted(((-nd, i) for nd, i in best))
+    return (
+        np.asarray([i for _, i in out], dtype=np.int64),
+        np.asarray([d for d, _ in out], dtype=np.float64),
+    )

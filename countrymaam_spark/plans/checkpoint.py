@@ -1,0 +1,80 @@
+"""Stage checkpointing + resume: the Iceberg-snapshot analog on plain parquet.
+
+Each pipeline stage writes a parquet "snapshot" directory plus a manifest
+entry (rows, order-insensitive content hash). Re-running the pipeline skips
+stages whose snapshot exists and row-count-verifies — countrymaam's gob
+Save/Load (/root/reference/index/io.go:9-36) generalized to a multi-stage
+dataflow. Swapping the parquet writer for an Iceberg catalog changes only
+``_write``/``_read`` here.
+
+Determinism contract: stage build functions must be seed-stable, so two full
+runs produce equal content hashes (tested in tests/test_checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def content_hash(df: DataFrame) -> int:
+    """Order-insensitive 60-bit content hash: bit_xor over rows of the first
+    15 hex chars of sha256(row rendered as strings). XOR is commutative and
+    overflow-free at any row count (ANSI mode rejects SUM here)."""
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in sorted(df.columns)]
+    row_h = F.conv(F.substring(F.sha2(F.concat_ws("\x1f", *cols), 256), 1, 15), 16, 10).cast(
+        "long"
+    )
+    out = (
+        df.select(row_h.alias("row_h"))
+        .agg(F.expr("bit_xor(row_h)").alias("h"))
+        .collect()[0]["h"]
+    )
+    return int(out or 0)
+
+
+class Manifest:
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.path = os.path.join(out_dir, "CHECKPOINT.json")
+        self.stages: dict[str, dict] = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                self.stages = json.load(f).get("stages", {})
+
+    def save(self) -> None:
+        os.makedirs(self.out_dir, exist_ok=True)
+        with open(self.path, "w") as f:
+            json.dump({"stages": self.stages}, f, indent=2, sort_keys=True)
+
+
+def run_stage(
+    spark: SparkSession,
+    manifest: Manifest,
+    name: str,
+    build_fn,
+    verify_hash: bool = False,
+) -> tuple[DataFrame, bool]:
+    """Build-or-resume one stage. Returns (df, skipped).
+
+    Skip requires: manifest entry + snapshot dir + row count match (and
+    content hash match when ``verify_hash``). Any mismatch rebuilds and
+    overwrites — a torn write is never trusted.
+    """
+    path = os.path.join(manifest.out_dir, name)
+    entry = manifest.stages.get(name)
+    if entry is not None and os.path.exists(os.path.join(path, "_SUCCESS")):
+        df = spark.read.parquet(path)
+        if df.count() == entry["rows"] and (
+            not verify_hash or content_hash(df) == entry["hash"]
+        ):
+            return df, True
+    df = build_fn()
+    df.write.mode("overwrite").parquet(path)
+    out = spark.read.parquet(path)
+    manifest.stages[name] = {"rows": out.count(), "hash": content_hash(out)}
+    manifest.save()
+    return out, False

@@ -1,0 +1,71 @@
+"""The resumable index-build pipeline: geotag -> encode+salt -> tree blobs,
+each stage a checkpointed snapshot with lineage + counters. This is the
+``spark-submit`` entry path for the 100 TB build; locally it runs the same
+code over the fixture pages."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from countrymaam_spark.operators import index_build
+from countrymaam_spark.operators.geotag import extract_geo
+from countrymaam_spark.plans.checkpoint import Manifest, run_stage
+
+
+def build_index_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    res: int = 7,
+    parent_res: int = 4,
+    target_group_rows: int = 20_000,
+    seed: int = 42,
+) -> dict:
+    """Runs (or resumes) the full build. Returns stage -> (rows, skipped)."""
+    manifest = Manifest(out_dir)
+    report: dict[str, dict] = {}
+
+    geo_df, skipped = run_stage(
+        spark,
+        manifest,
+        "geo",
+        lambda: extract_geo(pages).select("url", "lat", "lon", "text_sha"),
+    )
+    report["geo"] = {"rows": geo_df.count(), "skipped": skipped}
+
+    cells_df, skipped = run_stage(
+        spark,
+        manifest,
+        "cells",
+        lambda: index_build.salt_hot_cells(
+            index_build.encode_pages(geo_df, res, parent_res), target_group_rows
+        ),
+    )
+    report["cells"] = {"rows": cells_df.count(), "skipped": skipped}
+
+    trees_df, skipped = run_stage(
+        spark,
+        manifest,
+        "trees",
+        lambda: index_build.build_tree_blobs(cells_df, seed=seed),
+    )
+    report["trees"] = {"rows": trees_df.count(), "skipped": skipped}
+
+    lineage_df, skipped = run_stage(
+        spark, manifest, "lineage", lambda: index_build.lineage(trees_df)
+    )
+    report["lineage"] = {"rows": lineage_df.count(), "skipped": skipped}
+
+    # counters table: per-stage row counts as data (queryable metrics)
+    counters = spark.createDataFrame(
+        [(k, v["rows"]) for k, v in report.items()], "stage string, rows long"
+    )
+    counters.write.mode("overwrite").parquet(os.path.join(out_dir, "counters"))
+    return report
+
+
+def load_trees(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "trees"))

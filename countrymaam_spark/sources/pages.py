@@ -30,7 +30,13 @@ N_CITIES = 50
 N_SITES = 997
 FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "fixtures")
 
-SF_ROWS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
+SF_ROWS = {
+    "sf0.001": 2_000,
+    "sf0.01": 20_000,
+    "sf0.1": 200_000,
+    "sf1": 2_000_000,
+    "sf10": 20_000_000,
+}
 
 _FILLERS = [
     "The quick brown fox jumps over the lazy dog.",
@@ -57,8 +63,17 @@ def city_table(n_cities: int = N_CITIES) -> tuple[np.ndarray, np.ndarray, list[s
     return lat, lon, names
 
 
+CHUNK = 2_000_000
+
+
 def gen_pages(n: int) -> pa.Table:
-    rng = np.random.default_rng(SEED + 1)
+    return _gen_pages_chunk(n, 0)
+
+
+def _gen_pages_chunk(n: int, offset: int) -> pa.Table:
+    """Deterministic chunk: rows [offset, offset+n) with an rng stream seeded
+    by the chunk index (big fixtures stream chunk-by-chunk to bound memory)."""
+    rng = np.random.default_rng(SEED + 1 + offset // CHUNK)
     clat, clon, cnames = city_table()
     zipf_w = 1.0 / np.arange(1, N_CITIES + 1) ** 1.1
     zipf_w /= zipf_w.sum()
@@ -91,9 +106,10 @@ def gen_pages(n: int) -> pa.Table:
 
     urls, texts, htmls = [], [], []
     for i in range(n):
-        url = f"https://site{site[i]:04d}.example/{i}"
+        gi = offset + i
+        url = f"https://site{site[i]:04d}.example/{gi}"
         text = (
-            f"Page {i} from site{site[i]:04d}. {_FILLERS[filler_a[i]]} "
+            f"Page {gi} from site{site[i]:04d}. {_FILLERS[filler_a[i]]} "
             f"Travelers wrote about places near {cnames[city_for_text[i]]} "
             f"({lat[i]:.5f}, {lon[i]:.5f}) in {year[i]}. {_FILLERS[filler_b[i]]}"
         )
@@ -103,7 +119,10 @@ def gen_pages(n: int) -> pa.Table:
 
     base = datetime(2024, 10, 16, tzinfo=timezone.utc)
     base_us = int(base.timestamp() * 1_000_000)
-    ts = pa.array(base_us + np.arange(n, dtype=np.int64) * 1_000_000, type=pa.timestamp("us", tz="UTC"))
+    ts = pa.array(
+        base_us + (offset + np.arange(n, dtype=np.int64)) * 1_000_000,
+        type=pa.timestamp("us", tz="UTC"),
+    )
 
     return pa.table(
         {
@@ -203,9 +222,28 @@ def ensure_fixtures(sf_name: str) -> str:
     pages_path = os.path.join(out, "pages.parquet")
     truth_path = os.path.join(out, "pages_truth.parquet")
     if not os.path.exists(pages_path):
-        t = gen_pages(SF_ROWS[sf_name])
-        pq.write_table(t.select(["url", "warc_ts", "html", "text", "lang"]), pages_path)
-        pq.write_table(t.select(["url", "_true_lat", "_true_lon"]), truth_path)
+        n = SF_ROWS[sf_name]
+        if n <= CHUNK:
+            t = gen_pages(n)
+            pq.write_table(t.select(["url", "warc_ts", "html", "text", "lang"]), pages_path)
+            pq.write_table(t.select(["url", "_true_lat", "_true_lon"]), truth_path)
+        else:
+            pw = tw = None
+            try:
+                for off in range(0, n, CHUNK):
+                    t = _gen_pages_chunk(min(CHUNK, n - off), off)
+                    pt = t.select(["url", "warc_ts", "html", "text", "lang"])
+                    tt = t.select(["url", "_true_lat", "_true_lon"])
+                    if pw is None:
+                        pw = pq.ParquetWriter(pages_path, pt.schema)
+                        tw = pq.ParquetWriter(truth_path, tt.schema)
+                    pw.write_table(pt)
+                    tw.write_table(tt)
+            finally:
+                if pw is not None:
+                    pw.close()
+                if tw is not None:
+                    tw.close()
     q_path = os.path.join(out, "knn_queries.parquet")
     if not os.path.exists(q_path):
         pq.write_table(gen_knn_queries(), q_path)

@@ -35,7 +35,12 @@ def test_queries_oracle_keys_consistent():
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     assert set(osql) <= set(qs)
     # only the documented approximate ops may omit an oracle
-    assert set(qs) - set(osql) == {"dedup_simhash_pairs", "embed_lsh_knn"}
+    assert set(qs) - set(osql) == {
+        "dedup_simhash_pairs",
+        "embed_lsh_knn",
+        "knn_tree_index",
+        "index_lineage",
+    }
     assert len(qs) >= 20
 
 

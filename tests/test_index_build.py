@@ -1,0 +1,109 @@
+"""Index build + checkpoint/resume + tree-served kNN recall."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from countrymaam_spark.operators import index_build
+from countrymaam_spark.operators.geotag import extract_geo
+from countrymaam_spark.operators.knn import flat_knn
+from countrymaam_spark.plans import pipeline
+from countrymaam_spark.plans.checkpoint import Manifest, content_hash
+from countrymaam_spark.sources import pages as pg
+
+
+@pytest.fixture(scope="module")
+def geo_small(spark):
+    out = pg.ensure_fixtures("sf0.001")
+    g = extract_geo(spark.read.parquet(os.path.join(out, "pages.parquet"))).cache()
+    g.count()
+    return g
+
+
+def test_salting_bounds_group_size(spark, geo_small):
+    cells = index_build.encode_pages(geo_small, res=7, parent_res=4)
+    salted = index_build.salt_hot_cells(cells, target_group_rows=100)
+    sizes = salted.groupBy("parent", "salt").count()
+    # salting splits hot parents into ~target-sized groups (hash skew slack 2x)
+    assert sizes.agg(F.max("count")).collect()[0][0] <= 200
+    # every row keeps exactly one (parent, salt)
+    assert salted.count() == cells.count()
+
+
+def test_tree_blobs_lineage(spark, geo_small):
+    cells = index_build.salt_hot_cells(
+        index_build.encode_pages(geo_small, res=7, parent_res=4), target_group_rows=500
+    )
+    trees = index_build.build_tree_blobs(cells, seed=42).cache()
+    lin = index_build.lineage(trees)
+    assert trees.count() == lin.count() > 0
+    # lineage row counts add up to the corpus
+    assert lin.agg(F.sum("n_rows")).collect()[0][0] == cells.count()
+    # deterministic: rebuild -> identical checksums + seeds
+    trees2 = index_build.build_tree_blobs(cells, seed=42)
+    a = {tuple(r) for r in lin.collect()}
+    b = {tuple(r) for r in index_build.lineage(trees2).collect()}
+    assert a == b
+
+
+def test_knn_tree_recall(spark, geo_small):
+    cells = index_build.salt_hot_cells(
+        index_build.encode_pages(geo_small, res=7, parent_res=4), target_group_rows=2000
+    )
+    trees = index_build.build_tree_blobs(cells, seed=42).cache()
+    out = pg.fixture_dir("sf0.001")
+    queries = spark.read.parquet(os.path.join(out, "knn_queries.parquet")).filter(
+        F.col("query_id") < 24
+    )
+    exact = {
+        (r["query_id"], r["url"]) for r in flat_knn(geo_small, queries, k=10).collect()
+    }
+    got_big = {
+        (r["query_id"], r["url"])
+        for r in index_build.knn_tree(trees, queries, k=10, search_k=4096, ring=1).collect()
+    }
+    recall = len(exact & got_big) / len(exact)
+    assert recall >= 0.85  # ring-of-parents coverage; budget >= leaves
+    got_small = {
+        (r["query_id"], r["url"])
+        for r in index_build.knn_tree(trees, queries, k=10, search_k=2, ring=1).collect()
+    }
+    recall_small = len(exact & got_small) / len(exact)
+    assert recall_small <= recall + 1e-9  # leaf-budget monotonicity
+    got_wide = {
+        (r["query_id"], r["url"])
+        for r in index_build.knn_tree(trees, queries, k=10, search_k=4096, ring=2).collect()
+    }
+    recall_wide = len(exact & got_wide) / len(exact)
+    assert recall_wide >= recall - 1e-9  # ring-budget monotonicity
+    assert recall_wide >= 0.95
+
+
+def test_pipeline_checkpoint_resume(spark, geo_small, tmp_path):
+    out_dir = str(tmp_path / "idx")
+    pages = pg.load_pages(spark, "/root/testdata/sf0.001")
+    r1 = pipeline.build_index_pipeline(spark, pages, out_dir, target_group_rows=500)
+    assert all(not v["skipped"] for v in r1.values())
+    # resume: every stage skips, outputs identical
+    m1 = Manifest(out_dir).stages
+    r2 = pipeline.build_index_pipeline(spark, pages, out_dir, target_group_rows=500)
+    assert all(v["skipped"] for v in r2.values())
+    assert Manifest(out_dir).stages == m1
+    # kill/corrupt one stage -> only that stage (and not earlier ones) rebuilds
+    os.remove(os.path.join(out_dir, "trees", "_SUCCESS"))
+    r3 = pipeline.build_index_pipeline(spark, pages, out_dir, target_group_rows=500)
+    assert r3["geo"]["skipped"] and r3["cells"]["skipped"]
+    assert not r3["trees"]["skipped"]
+    assert Manifest(out_dir).stages["trees"]["rows"] == m1["trees"]["rows"]
+
+
+def test_two_runs_identical_content(spark, tmp_path):
+    pages = pg.load_pages(spark, "/root/testdata/sf0.001")
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    pipeline.build_index_pipeline(spark, pages, a, target_group_rows=500)
+    pipeline.build_index_pipeline(spark, pages, b, target_group_rows=500)
+    ma, mb = Manifest(a).stages, Manifest(b).stages
+    for stage in ("geo", "cells", "lineage"):
+        assert ma[stage]["hash"] == mb[stage]["hash"], stage

@@ -1,0 +1,77 @@
+"""kd-tree kernel: exactness at full budget, budget monotonicity,
+determinism, degenerate inputs (ports the reference's golden-test strategy,
+countrymaam_test.go:183-225 / 230-277)."""
+
+import numpy as np
+import pytest
+
+from countrymaam_spark.operators import kdtree
+
+
+def brute(points, q, k):
+    d2 = ((points - q) ** 2).sum(axis=1)
+    order = np.argsort(d2, kind="stable")[:k]
+    return set(order.tolist())
+
+
+@pytest.fixture(scope="module")
+def cloud():
+    rng = np.random.default_rng(7)
+    return rng.normal(0, 1, (2000, 2))
+
+
+def test_full_budget_exact(cloud):
+    tree = kdtree.build(cloud, leaf_size=16, seed=1)
+    n_leaves = int((tree["left"] == 0).sum())
+    for qi in range(10):
+        q = cloud[qi] + 0.01
+        idx, d = kdtree.search(tree, cloud, q, k=5, max_leaves=n_leaves + 1)
+        assert set(idx.tolist()) == brute(cloud, q, 5)
+        assert list(d) == sorted(d)
+
+
+def test_budget_monotone_recall(cloud):
+    tree = kdtree.build(cloud, leaf_size=16, seed=1)
+    recalls = []
+    for budget in (1, 4, 16, 64, 256):
+        hits = 0
+        for qi in range(20):
+            q = cloud[qi] * 1.01
+            idx, _ = kdtree.search(tree, cloud, q, k=5, max_leaves=budget)
+            hits += len(set(idx.tolist()) & brute(cloud, q, 5))
+        recalls.append(hits / (20 * 5))
+    assert all(b >= a - 1e-9 for a, b in zip(recalls, recalls[1:]))
+    assert recalls[-1] == 1.0
+
+
+def test_deterministic(cloud):
+    a = kdtree.build(cloud, seed=3)
+    b = kdtree.build(cloud, seed=3)
+    for k in a:
+        assert np.array_equal(a[k], b[k])
+    c = kdtree.build(cloud, seed=4)
+    assert not np.array_equal(a["indice"], c["indice"])
+
+
+def test_empty_and_tiny():
+    empty = kdtree.build(np.empty((0, 2)), seed=1)
+    idx, d = kdtree.search(empty, np.empty((0, 2)), np.array([0.0, 0.0]), k=3)
+    assert len(idx) == 0
+    one = np.array([[1.0, 2.0]])
+    t = kdtree.build(one, seed=1)
+    idx, d = kdtree.search(t, one, np.array([0.0, 0.0]), k=3)
+    assert idx.tolist() == [0]
+
+
+def test_duplicate_points_degenerate_split():
+    pts = np.ones((200, 2))  # all identical -> every split degenerate
+    t = kdtree.build(pts, leaf_size=16, seed=1)
+    idx, d = kdtree.search(t, pts, np.array([1.0, 1.0]), k=5, max_leaves=1000)
+    assert len(idx) == 5 and np.allclose(d, 0.0)
+
+
+def test_serde_roundtrip(cloud):
+    t = kdtree.build(cloud, seed=9)
+    t2 = kdtree.deserialize(kdtree.serialize(t))
+    for k in t:
+        assert np.array_equal(t[k], t2[k])
