@@ -222,6 +222,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    def _sessions(s: SparkSession, d: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        ev = _events(s, d)
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        marked = ev.withColumn(
+            "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        sess = marked.withColumn(
+            "sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        return sess.groupBy("user_id").agg(
+            F.max("sess_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+
+    # sessionization: lag + running sum windows (gap > 30 min starts a session)
+    q["events_sessionize"] = _sessions
+
+    q["region_revenue"] = lambda s, d: (
+        s.read.parquet(os.path.join(d, "orders.parquet"))
+        .join(
+            F.broadcast(s.read.parquet(os.path.join(d, "customer.parquet"))),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(s.read.parquet(os.path.join(d, "nation.parquet"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(s.read.parquet(os.path.join(d, "region.parquet"))),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 3).alias("revenue"),
+        )
+    )
+
     q["order_customer_join"] = lambda s, d: (
         s.read.parquet(os.path.join(d, "orders.parquet"))
         .join(
@@ -316,6 +357,35 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         WHERE l_shipdate <= DATE '1998-09-02'
         GROUP BY 1, 2
+    """
+    o["events_sessionize"] = """
+        SELECT user_id, MAX(sess_id) AS n_sessions, COUNT(*) AS n_events FROM (
+            SELECT user_id,
+                   SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sess_id
+            FROM (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                            ) > 1800
+                            OR LAG(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                            ) IS NULL
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            ) m
+        ) s GROUP BY user_id
+    """
+    o["region_revenue"] = """
+        SELECT r_name, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 3) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
     """
     o["order_customer_join"] = """
         SELECT c_mktsegment, COUNT(*) AS n_orders,

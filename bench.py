@@ -55,8 +55,12 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    only = os.environ.get("SPARK_GRAFT_STAGES")
+    only_set = set(only.split(",")) if only else None
 
     def timed(name: str, fn) -> None:
+        if only_set is not None and name not in only_set:
+            return
         t0 = time.time()
         fn()
         timings[name] = round(time.time() - t0, 3)
@@ -67,16 +71,23 @@ def main() -> None:
     # geotag + cell encode (the index-ingest stage), materialized once and
     # cached: every downstream geo stage consumes it (as in production where
     # the geo table is a persisted Iceberg stage)
-    # the single-file fixture scans as ~6 input splits; spread it over every
-    # core once (a production 100 TB table arrives in thousands of splits)
-    pages = pages.repartition(cpus)
-    g = (
-        extract_geo(pages)
-        .select("url", "lat", "lon")
-        .withColumn("cell", G.encode_cell(F.col("lat"), F.col("lon"), 7))
-    )
+    def _geo(df):
+        return (
+            extract_geo(df)
+            .select("url", "lat", "lon")
+            .withColumn("cell", G.encode_cell(F.col("lat"), F.col("lon"), 7))
+        )
+
+    # JIT/codegen warmup on a small slice: C2-compiling the generated code on
+    # the first heavy query otherwise inflates the first timed stage 2-4x
+    materialize(_geo(pages.limit(20_000)))
+
+    # NEVER shuffle the wide pages rows (html+text) — project the narrow geo
+    # columns first; the scan's natural splits feed the projection
+    g = _geo(pages)
     timed("geotag_cell_encode", lambda: materialize(g))
-    g = g.cache()
+    # narrow rows: repartition for downstream stage balance, then pin
+    g = g.repartition(cpus).cache()
     g.count()
 
     queries = PG.load_knn_queries(spark, sf_dir)
@@ -103,13 +114,14 @@ def main() -> None:
             trees.write.mode("overwrite").parquet(os.path.join(idx_dir, "trees"))
 
         timed("index_build_trees", _build_index)
-        trees = spark.read.parquet(os.path.join(idx_dir, "trees"))
-        timed(
-            "knn_tree_index",
-            lambda: materialize(
-                index_build.knn_tree(trees, queries, k=10, search_k=256, ring=1)
-            ),
-        )
+        if os.path.exists(os.path.join(idx_dir, "trees")):
+            trees = spark.read.parquet(os.path.join(idx_dir, "trees"))
+            timed(
+                "knn_tree_index",
+                lambda: materialize(
+                    index_build.knn_tree(trees, queries, k=10, search_k=256, ring=1)
+                ),
+            )
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
@@ -127,12 +139,16 @@ def main() -> None:
         timed("embed_knn_l2", lambda: materialize(ann.brute_knn(emb, eq, k=10)))
 
     geo_stages = [
-        "geotag_cell_encode",
-        "pip_join",
-        "tile_counts",
-        "knn_cell_index",
-        "index_build_trees",
-        "knn_tree_index",
+        s
+        for s in (
+            "geotag_cell_encode",
+            "pip_join",
+            "tile_counts",
+            "knn_cell_index",
+            "index_build_trees",
+            "knn_tree_index",
+        )
+        if s in timings
     ]
     geo_total = sum(timings[s] for s in geo_stages)
     total = round(sum(timings.values()), 3)

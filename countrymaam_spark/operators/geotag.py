@@ -22,16 +22,18 @@ def extract_geo(pages: DataFrame) -> DataFrame:
     Rows with no place mention get NULL lat/lon (kept; downstream geo
     operators filter them).
     """
-    lat_s = F.nullif(F.regexp_extract(F.col("text"), GEO_RE, 1), F.lit(""))
-    lon_s = F.nullif(F.regexp_extract(F.col("text"), GEO_RE, 2), F.lit(""))
+    # try_cast: '' (no match) -> NULL without evaluating the regexp twice
+    # (nullif(a, '') expands to CASE WHEN a = '' ... and re-evaluates a)
+    lat_s = F.regexp_extract(F.col("text"), GEO_RE, 1).try_cast("double")
+    lon_s = F.regexp_extract(F.col("text"), GEO_RE, 2).try_cast("double")
     return pages.select(
         "url",
         "warc_ts",
         "lang",
         "text",
         F.sha2(F.col("text"), 256).alias("text_sha"),
-        lat_s.cast("double").alias("lat"),
-        lon_s.cast("double").alias("lon"),
+        lat_s.alias("lat"),
+        lon_s.alias("lon"),
     )
 
 

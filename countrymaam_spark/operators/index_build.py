@@ -70,7 +70,11 @@ def _group_seed(parent: int, salt: int, seed: int) -> int:
 
 
 def build_tree_blobs(
-    salted: DataFrame, seed: int = 42, leaf_size: int = kdtree.LEAF_SIZE
+    salted: DataFrame,
+    seed: int = 42,
+    leaf_size: int = kdtree.LEAF_SIZE,
+    kind: str = "kd",
+    n_trees: int = 1,
 ) -> DataFrame:
     """(parent, salt) groups -> one row each: kd-tree blob + lineage fields.
 
@@ -91,11 +95,17 @@ def build_tree_blobs(
         # in-tree L2 approximates km geometry (exact re-rank happens later)
         cos0 = float(np.cos(np.radians(lat.mean()))) if len(lat) else 1.0
         pts = np.stack([lat, lon * max(cos0, 0.05)], axis=1)
-        tree = kdtree.build(pts, leaf_size=leaf_size, seed=gseed)
+        # randomized forest: independent trees, seeds offset per tree
+        # (reference: BspTreeIndexBuilder trees param,
+        # /root/reference/index/bsp_tree_index.go:128-159)
+        trees = [
+            kdtree.build(pts, leaf_size=leaf_size, seed=gseed + 7 * t, kind=kind)
+            for t in range(n_trees)
+        ]
         urls = pdf["url"].to_numpy(dtype=object)
         checksum = hashlib.sha256("\n".join(sorted(map(str, urls))).encode()).hexdigest()[:16]
         blob = kdtree.serialize(
-            {"tree": tree, "urls": urls, "lat": lat, "lon": lon, "cos0": cos0}
+            {"trees": trees, "urls": urls, "lat": lat, "lon": lon, "cos0": cos0}
         )
         return pd.DataFrame(
             {
@@ -163,13 +173,16 @@ def knn_tree(
                 if qs is None:
                     continue
                 payload = kdtree.deserialize(row["blob"])
-                tree, urls = payload["tree"], payload["urls"]
+                trees_l, urls = payload["trees"], payload["urls"]
                 lat, lon, cos0 = payload["lat"], payload["lon"], payload["cos0"]
                 pts = np.stack([lat, lon * max(cos0, 0.05)], axis=1)
                 for qid, qlat, qlon in zip(qs["query_id"], qs["qlat"], qs["qlon"]):
                     qv = np.array([qlat, qlon * max(cos0, 0.05)])
-                    idx, _ = kdtree.search(tree, pts, qv, k, max_leaves=search_k)
-                    for i in idx:
+                    seen: set[int] = set()
+                    for tree in trees_l:  # forest union, dedup by id
+                        idx, _ = kdtree.search(tree, pts, qv, k, max_leaves=search_k)
+                        seen.update(int(i) for i in idx)
+                    for i in seen:
                         out_qid.append(int(qid))
                         out_url.append(str(urls[i]))
                         out_lat.append(float(lat[i]))

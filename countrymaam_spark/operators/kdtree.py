@@ -31,18 +31,31 @@ VAR_SAMPLE = 100  # sample cap for axis variance, as the reference's sampleFeatu
 TOP_AXES = 2
 
 
-def build(points: np.ndarray, leaf_size: int = LEAF_SIZE, seed: int = 42) -> dict:
+def build(
+    points: np.ndarray,
+    leaf_size: int = LEAF_SIZE,
+    seed: int = 42,
+    kind: str = "kd",
+) -> dict:
     """points: (n, d) float64 -> flattened tree dict.
 
-    Arrays: indice (n,), begin/end/left/right/split_dim (m,), split_val (m,).
-    Node 0 is the root; child id 0 means "no child" (leaf), as in the
-    reference layout.
+    ``kind='kd'``: axis-aligned cut planes (variance-ranked axis, mean cut —
+    /root/reference/bsp_tree/kd.go:34-81).
+    ``kind='rp'``: oblique cut planes — a 2-means-refined random projection
+    (normal = normalized difference of two sampled centroids, offset at the
+    midpoint — /root/reference/bsp_tree/random_projection.go:34-106). Stored
+    as rows of ``normals`` with ``split_val`` = -offset.
+
+    Arrays: indice (n,), begin/end/left/right/split_dim (m,), split_val (m,),
+    normals (m, d) for rp. Node 0 is the root; child id 0 means "no child"
+    (leaf), as in the reference layout.
     """
     n = len(points)
+    d = points.shape[1] if points.ndim == 2 else 0
     rng = np.random.default_rng(seed)
     indice = rng.permutation(n).astype(np.int64)
     begin, end, left, right = [], [], [], []
-    split_dim, split_val = [], []
+    split_dim, split_val, normals = [], [], []
 
     def new_node(b: int, e: int) -> int:
         begin.append(b)
@@ -51,10 +64,11 @@ def build(points: np.ndarray, leaf_size: int = LEAF_SIZE, seed: int = 42) -> dic
         right.append(0)
         split_dim.append(-1)
         split_val.append(0.0)
+        normals.append(np.zeros(d))
         return len(begin) - 1
 
     if n == 0:
-        return _pack(indice, begin, end, left, right, split_dim, split_val)
+        return _pack(indice, begin, end, left, right, split_dim, split_val, normals, kind)
 
     stack = [(new_node(0, n), 0, n)]
     while stack:
@@ -63,32 +77,57 @@ def build(points: np.ndarray, leaf_size: int = LEAF_SIZE, seed: int = 42) -> dic
             continue
         idx = indice[b:e]
         sample = idx if len(idx) <= VAR_SAMPLE else rng.choice(idx, VAR_SAMPLE, replace=False)
-        var = points[sample].var(axis=0)
-        order = np.argsort(var)[::-1]
-        cand = order[: min(TOP_AXES, len(order))]
-        dim = int(rng.choice(cand))
-        val = float(points[sample, dim].mean())
-        mask = points[idx, dim] < val
+        if kind == "kd":
+            var = points[sample].var(axis=0)
+            order = np.argsort(var)[::-1]
+            cand = order[: min(TOP_AXES, len(order))]
+            dim = int(rng.choice(cand))
+            val = float(points[sample, dim].mean())
+            proj = points[idx, dim]
+        else:  # rp: refined random projection (online 2-means, maxIter=8)
+            dim = -1
+            seeds = rng.choice(idx, 2, replace=False)
+            c0, c1 = points[seeds[0]].astype(float), points[seeds[1]].astype(float)
+            for _ in range(8):
+                sp = points[sample]
+                d0 = ((sp - c0) ** 2).sum(axis=1)
+                d1 = ((sp - c1) ** 2).sum(axis=1)
+                m0, m1 = d0 <= d1, d0 > d1
+                if m0.any():
+                    c0 = sp[m0].mean(axis=0)
+                if m1.any():
+                    c1 = sp[m1].mean(axis=0)
+            normal = c1 - c0
+            nn = np.linalg.norm(normal)
+            if nn < 1e-12:
+                normal = rng.standard_normal(d)
+                nn = np.linalg.norm(normal)
+            normal = normal / nn
+            val = float(normal @ ((c0 + c1) / 2.0))
+            proj = points[idx] @ normal
+        mask = proj < val
         m = int(mask.sum())
         if m == 0 or m == len(idx):
             m = len(idx) // 2  # degenerate split -> midpoint fallback
             # (reference: collection/ops.go:21-23)
-            part = np.argsort(points[idx, dim], kind="stable")
+            part = np.argsort(proj, kind="stable")
             indice[b:e] = idx[part]
-            val = float(points[indice[b + m], dim])
+            val = float(np.sort(proj, kind="stable")[m])
         else:
             indice[b:e] = np.concatenate([idx[mask], idx[~mask]])
         lid = new_node(b, b + m)
         rid = new_node(b + m, e)
         left[node], right[node] = lid, rid
         split_dim[node], split_val[node] = dim, val
+        if kind == "rp":
+            normals[node] = normal
         stack.append((lid, b, b + m))
         stack.append((rid, b + m, e))
-    return _pack(indice, begin, end, left, right, split_dim, split_val)
+    return _pack(indice, begin, end, left, right, split_dim, split_val, normals, kind)
 
 
-def _pack(indice, begin, end, left, right, split_dim, split_val) -> dict:
-    return {
+def _pack(indice, begin, end, left, right, split_dim, split_val, normals, kind) -> dict:
+    out = {
         "indice": np.asarray(indice, dtype=np.int64),
         "begin": np.asarray(begin, dtype=np.int64),
         "end": np.asarray(end, dtype=np.int64),
@@ -96,7 +135,11 @@ def _pack(indice, begin, end, left, right, split_dim, split_val) -> dict:
         "right": np.asarray(right, dtype=np.int64),
         "split_dim": np.asarray(split_dim, dtype=np.int64),
         "split_val": np.asarray(split_val, dtype=np.float64),
+        "kind": kind,
     }
+    if kind == "rp":
+        out["normals"] = np.asarray(normals, dtype=np.float64)
+    return out
 
 
 def serialize(tree: dict) -> bytes:
@@ -124,6 +167,7 @@ def search(
     """
     if len(tree["begin"]) == 0 or len(points) == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
+    is_rp = tree.get("kind") == "rp"
     heap: list[tuple[float, int]] = [(0.0, 0)]
     best: list[tuple[float, int]] = []  # max-heap via negated dist
     leaves = 0
@@ -132,8 +176,11 @@ def search(
         if len(best) >= k and bound * bound >= -best[0][0]:
             continue
         while tree["left"][node] != 0 or tree["right"][node] != 0:
-            dim, val = tree["split_dim"][node], tree["split_val"][node]
-            d = query[dim] - val
+            val = tree["split_val"][node]
+            if is_rp:
+                d = float(tree["normals"][node] @ query) - val
+            else:
+                d = query[tree["split_dim"][node]] - val
             near, far = (
                 (tree["left"][node], tree["right"][node])
                 if d < 0

@@ -23,6 +23,8 @@ def build_index_pipeline(
     parent_res: int = 4,
     target_group_rows: int = 20_000,
     seed: int = 42,
+    kind: str = "kd",
+    n_trees: int = 1,
 ) -> dict:
     """Runs (or resumes) the full build. Returns stage -> (rows, skipped)."""
     manifest = Manifest(out_dir)
@@ -50,7 +52,7 @@ def build_index_pipeline(
         spark,
         manifest,
         "trees",
-        lambda: index_build.build_tree_blobs(cells_df, seed=seed),
+        lambda: index_build.build_tree_blobs(cells_df, seed=seed, kind=kind, n_trees=n_trees),
     )
     report["trees"] = {"rows": trees_df.count(), "skipped": skipped}
 

@@ -1,0 +1,68 @@
+"""spark-submit entry point for the index-build pipeline.
+
+Cluster usage (the north-rule deployment shape):
+
+    cd /root/repo && zip -r /tmp/countrymaam_spark.zip countrymaam_spark
+    spark-submit --py-files /tmp/countrymaam_spark.zip \
+        scripts/run_pipeline.py \
+        --pages  s3://bucket/pages_iceberg_or_parquet \
+        --out    s3://bucket/cm_index \
+        --res 7 --parent-res 4 --target-group-rows 200000
+
+Locally (smoke): python scripts/run_pipeline.py --sf sf0.01 --out /tmp/cm_idx
+
+The job is resumable: re-submitting with the same --out skips completed
+stages (snapshot + manifest verification in plans/checkpoint.py) — kill it at
+any stage boundary and re-run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", help="path/table of the pages input (parquet)")
+    ap.add_argument("--sf", help="fixture sf name to use instead of --pages")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--res", type=int, default=7)
+    ap.add_argument("--parent-res", type=int, default=4)
+    ap.add_argument("--target-group-rows", type=int, default=200_000)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from countrymaam_spark.plans.pipeline import build_index_pipeline
+    from countrymaam_spark.session import get_spark
+    from countrymaam_spark.sources import pages as PG
+
+    spark = get_spark(master=args.master, app_name="cm_index_build")
+    if args.pages:
+        pages = spark.read.parquet(args.pages)
+    elif args.sf:
+        out = PG.ensure_fixtures(args.sf)
+        pages = spark.read.parquet(os.path.join(out, "pages.parquet"))
+    else:
+        raise SystemExit("one of --pages / --sf is required")
+
+    report = build_index_pipeline(
+        spark,
+        pages,
+        args.out,
+        res=args.res,
+        parent_res=args.parent_res,
+        target_group_rows=args.target_group_rows,
+        seed=args.seed,
+    )
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -80,6 +80,24 @@ def test_knn_tree_recall(spark, geo_small):
     assert recall_wide >= 0.95
 
 
+def test_rp_forest_full_budget_matches_kd(spark, geo_small):
+    """At full leaf budget every tree kind is exact within the parent ring,
+    so kd and rp-forest serve identical result sets (reference invariant:
+    budget >= corpus -> exact, independent of index family)."""
+    cells = index_build.salt_hot_cells(
+        index_build.encode_pages(geo_small, res=7, parent_res=4), target_group_rows=2000
+    )
+    kd = index_build.build_tree_blobs(cells, seed=42, kind="kd")
+    rp = index_build.build_tree_blobs(cells, seed=42, kind="rp", n_trees=3)
+    out = pg.fixture_dir("sf0.001")
+    queries = spark.read.parquet(os.path.join(out, "knn_queries.parquet")).filter(
+        F.col("query_id") < 12
+    )
+    a = {(r["query_id"], r["rk"], r["url"]) for r in index_build.knn_tree(kd, queries, k=5, search_k=4096).collect()}
+    b = {(r["query_id"], r["rk"], r["url"]) for r in index_build.knn_tree(rp, queries, k=5, search_k=4096).collect()}
+    assert a == b
+
+
 def test_pipeline_checkpoint_resume(spark, geo_small, tmp_path):
     out_dir = str(tmp_path / "idx")
     pages = pg.load_pages(spark, "/root/testdata/sf0.001")

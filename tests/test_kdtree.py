@@ -70,6 +70,32 @@ def test_duplicate_points_degenerate_split():
     assert len(idx) == 5 and np.allclose(d, 0.0)
 
 
+def test_rp_tree_full_budget_exact(cloud):
+    tree = kdtree.build(cloud, leaf_size=16, seed=2, kind="rp")
+    n_leaves = int((tree["left"] == 0).sum())
+    for qi in range(10):
+        q = cloud[qi] + 0.01
+        idx, d = kdtree.search(tree, cloud, q, k=5, max_leaves=n_leaves + 1)
+        assert set(idx.tolist()) == brute(cloud, q, 5)
+
+
+def test_rp_tree_budget_recall(cloud):
+    tree = kdtree.build(cloud, leaf_size=16, seed=2, kind="rp")
+    hits = 0
+    for qi in range(20):
+        q = cloud[qi] * 1.01
+        idx, _ = kdtree.search(tree, cloud, q, k=5, max_leaves=16)
+        hits += len(set(idx.tolist()) & brute(cloud, q, 5))
+    assert hits / 100 >= 0.5  # oblique planes prune well on gaussian data
+
+
+def test_rp_deterministic(cloud):
+    a = kdtree.build(cloud, seed=5, kind="rp")
+    b = kdtree.build(cloud, seed=5, kind="rp")
+    for k in ("indice", "split_val", "normals"):
+        assert np.array_equal(a[k], b[k])
+
+
 def test_serde_roundtrip(cloud):
     t = kdtree.build(cloud, seed=9)
     t2 = kdtree.deserialize(kdtree.serialize(t))
