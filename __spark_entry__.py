@@ -173,7 +173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embed_lsh_knn"] = lambda s, d: ann.rp_lsh_knn(
         _emb(s, d), _emb_queries(s, d), k=5, n_tables=8, bits=4
     )
-    q["embed_near_pairs"] = lambda s, d: ann.cosine_near_pairs(_emb(s, d), tau=0.5)
+    # exact=True: oracle-parity all-pairs config (the function default is the
+    # LSH scale path; see embed_near_pairs_lsh for the banded plan under oracle)
+    q["embed_near_pairs"] = lambda s, d: ann.cosine_near_pairs(_emb(s, d), tau=0.5, exact=True)
 
     # --- relational/window coverage over driver tables ---
     def _events(s: SparkSession, d: str) -> DataFrame:
@@ -227,7 +229,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         ev = _events(s, d)
         w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-        gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        # ts is TIMESTAMP_NTZ: a direct cast("long") is an AnalysisException and
+        # unix_timestamp() would inject the session timezone. Whole-second epoch
+        # from date+time fields is tz-free and matches the oracle's floor(epoch).
+        epoch_s = (
+            F.unix_date(F.to_date("ts")) * 86400
+            + F.hour("ts") * 3600
+            + F.minute("ts") * 60
+            + F.second("ts")
+        ).cast("long")
+        ev = ev.withColumn("_epoch_s", epoch_s)
+        gap = F.col("_epoch_s") - F.lag(F.col("_epoch_s")).over(w)
         marked = ev.withColumn(
             "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
         )
@@ -367,7 +379,7 @@ def oracle_sql() -> dict[str, str]:
                    ) AS sess_id
             FROM (
                 SELECT user_id, ts, event_id,
-                       CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (
+                       CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
                                 PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                             ) > 1800
                             OR LAG(ts) OVER (

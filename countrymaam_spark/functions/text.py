@@ -150,8 +150,12 @@ def fingerprint(text: Column) -> Column:
 
 
 def fingerprint_sql(text: str) -> str:
+    # COALESCE: list_sum([]) is NULL in DuckDB but the Spark fold starts at 0.
+    # CAST: list_sum widens to HUGEINT, which the driver hashes differently
+    # from Spark's BIGINT even when values are equal.
     return (
-        f"(list_sum(list_transform({tokens_sql(text)}, (t, i) -> i * {tok_hash_sql('t')})) % {M31})"
+        f"CAST((COALESCE(list_sum(list_transform({tokens_sql(text)}, "
+        f"(t, i) -> i * {tok_hash_sql('t')})), 0) % {M31}) AS BIGINT)"
     )
 
 

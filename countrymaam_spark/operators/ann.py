@@ -185,14 +185,15 @@ def cosine_near_pairs(
     vec_col: str = "embedding",
     n_tables: int = 8,
     bits: int = 8,
-    exact: bool = True,
+    exact: bool = False,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine >= tau -> (id_a, id_b, cos).
 
-    ``exact=True`` -> all-pairs via self-join (oracle-matching; quadratic —
-    fixture scale only). ``exact=False`` -> LSH-bucketed candidates (the scale
-    path; recall < 1 for borderline pairs)."""
+    Default ``exact=False`` -> LSH-bucketed candidates + exact cosine verify
+    (the scale path: precision 1.0 always; recall < 1 only for borderline
+    pairs, rising with ``n_tables``). ``exact=True`` -> all-pairs self-join —
+    O(n^2), reserved for oracle verification at fixture scale."""
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if exact:

@@ -70,15 +70,18 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 10_000,
 ) -> DataFrame:
     """EXACT pairs with shingle-set Jaccard >= tau -> (id_a, id_b, jac).
 
     Inverted-index self-join: explode distinct shingles, equi-join on the
     shingle, count shared per pair. |intersect| = shared,
     |union| = n_a + n_b - shared. ``max_shingle_freq`` drops ubiquitous
-    shingles for scale (loses exactness only for pairs whose every shared
-    shingle is ubiquitous — keep None for oracle parity).
+    shingles: a single shingle shared by f docs generates f^2 candidate rows,
+    so the cap is the df^2-blowup guard at scale. The default (10k) loses
+    exactness only for pairs whose EVERY shared shingle occurs in >10k docs —
+    such pairs are boilerplate, not near-duplicates. Pass None for strict
+    oracle parity on small corpora.
     """
     s = _doc_shingles(docs, id_col, text_col, n)
     inv = s.select("did", "n_sh", F.explode("sh").alias("g"))

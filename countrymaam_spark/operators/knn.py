@@ -281,20 +281,23 @@ def cell_knn(
             F.col("kth")
             < _ring_guarantee_km(F.col("rx"), F.col("ry"), res, F.col("qlat"), nx)
         )
-        if search_k is not None:
-            ok_pred = ok_pred | (F.col("cnt") >= F.lit(min(search_k, k)))
-        stats = (
-            ranked.groupBy("query_id")
-            .agg(
-                F.count("*").alias("cnt"),
-                F.max("dist_km").alias("kth"),
-                F.first("qlat").alias("qlat"),
-                F.first("rx").alias("rx"),
-                F.first("ry").alias("ry"),
-            )
-            .withColumn("ok", ok_pred)
-            .localCheckpoint(eager=True)
+        stats = ranked.groupBy("query_id").agg(
+            F.count("*").alias("cnt"),
+            F.max("dist_km").alias("kth"),
+            F.first("qlat").alias("qlat"),
+            F.first("rx").alias("rx"),
+            F.first("ry").alias("ry"),
         )
+        if search_k is not None:
+            # budget semantics: accept once >= search_k candidates have been
+            # SEEN (pre-top-k count — `cnt` above is capped at k). Each round's
+            # ring is a superset of the previous one (ry/rx only grow; the band
+            # switch keeps ry and covers all longitudes), so this round's
+            # candidate count IS the cumulative distinct candidates seen.
+            seen = cands.groupBy("query_id").agg(F.count("*").alias("cnt_seen"))
+            stats = stats.join(seen, "query_id", "left")
+            ok_pred = ok_pred | (F.coalesce(F.col("cnt_seen"), F.lit(0)) >= search_k)
+        stats = stats.withColumn("ok", ok_pred).localCheckpoint(eager=True)
         n_ok = stats.filter("ok").count()
         if n_ok:
             ok_q = stats.filter("ok").select("query_id")
@@ -302,9 +305,12 @@ def cell_knn(
                 "query_id", "rk", "url", F.round("dist_km", 6).alias("dist_km")
             )
             settled_parts.append(done)
-            remaining = remaining.join(
-                stats.filter(~F.col("ok")).select("query_id"), "query_id", "semi"
-            ).localCheckpoint(eager=True)
+            # anti-join against the SETTLED set: queries with zero candidates
+            # this round have no stats row at all and must stay in `remaining`
+            # (a semi-join against not-ok stats would silently drop them)
+            remaining = remaining.join(ok_q, "query_id", "anti").localCheckpoint(
+                eager=True
+            )
             n_remaining -= n_ok
         # escalate. A ring query that failed only the lon bound (high
         # latitude) switches to a latitude band with the SAME ry — its k-th

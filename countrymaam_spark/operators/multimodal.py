@@ -139,9 +139,16 @@ def sample_video_frames(assets: DataFrame, k: int = 4) -> DataFrame:
     return assets.mapInPandas(gen, FRAME_SCHEMA)
 
 
-def near_dup_assets(features: DataFrame, max_hamming: int = 4) -> DataFrame:
-    """Fingerprint near-dup pairs over the feature table (reuses the SimHash
-    banding idea: 4 x 16-bit blocks, pigeonhole for hamming <= 4... 3)."""
+def near_dup_assets(features: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Fingerprint near-dup pairs over the feature table (SimHash banding:
+    4 x 16-bit blocks). Pigeonhole guarantees a shared block only for
+    hamming <= 3, so that is the default/maximum complete threshold; callers
+    passing max_hamming > 3 get a candidate-recall warning via ValueError."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4-block banding is only complete for max_hamming <= 3; "
+            "raise the block count for larger radii"
+        )
     blocks = features.select(
         F.col("asset_id").alias("aid"),
         "fp",

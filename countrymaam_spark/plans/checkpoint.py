@@ -21,16 +21,19 @@ from pyspark.sql import functions as F
 
 
 def content_hash(df: DataFrame) -> int:
-    """Order-insensitive 60-bit content hash: bit_xor over rows of the first
-    15 hex chars of sha256(row rendered as strings). XOR is commutative and
-    overflow-free at any row count (ANSI mode rejects SUM here)."""
+    """Order-insensitive, duplicate-sensitive content hash: SUM of per-row
+    sha256-derived 60-bit values mod 2^61-1. Sum (unlike bit_xor) is
+    commutative AND counts multiplicity, so duplicate-heavy datasets with
+    pairwise-cancelling rows cannot collide; the decimal(38) accumulator keeps
+    the fold overflow-free at any row count (ANSI-safe)."""
+    m61 = (1 << 61) - 1
     cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in sorted(df.columns)]
     row_h = F.conv(F.substring(F.sha2(F.concat_ws("\x1f", *cols), 256), 1, 15), 16, 10).cast(
         "long"
     )
     out = (
-        df.select(row_h.alias("row_h"))
-        .agg(F.expr("bit_xor(row_h)").alias("h"))
+        df.select((row_h % F.lit(m61)).cast("decimal(38,0)").alias("row_h"))
+        .agg((F.sum("row_h") % F.lit(m61)).cast("long").alias("h"))
         .collect()[0]["h"]
     )
     return int(out or 0)

@@ -44,6 +44,21 @@ def test_queries_oracle_keys_consistent():
     assert len(qs) >= 20
 
 
+def test_all_queries_resolve(spark):
+    """Every driver query must at least RESOLVE its plan (df.schema forces
+    analysis) — catches AnalysisExceptions (bad casts, missing columns) that
+    the fast oracle subset would miss, without executing anything. Runs at
+    sf0.001 because a few index queries materialize eagerly on construction."""
+    qs = entrymod.queries()
+    failures = {}
+    for name, fn in qs.items():
+        try:
+            _ = fn(spark, "/root/testdata/sf0.001").schema
+        except Exception as e:  # noqa: BLE001 - collect every failure
+            failures[name] = f"{type(e).__name__}: {e}"
+    assert not failures, failures
+
+
 @pytest.mark.parametrize("name", FAST_SUBSET)
 def test_query_matches_oracle(spark, name):
     qs, osql = entrymod.queries(), entrymod.oracle_sql()

@@ -67,3 +67,33 @@ def test_knn_fewer_than_k_results_legal(spark, geo_small):
     q = geo_small.sparkSession.createDataFrame([(0, 10.0, 10.0)], "query_id long, lat double, lon double")
     got = flat_knn(tiny, q, k=10).collect()
     assert len(got) == 4
+
+
+def test_cell_knn_zero_candidate_round_not_dropped(spark):
+    """Regression: a query whose first-round ring holds ZERO pages must stay
+    in `remaining` (it has no stats row; the settled-set anti-join keeps it)
+    and eventually settle — cell_knn == flat_knn for every query_id."""
+    # corpus clustered near (10, 10); query B sits in an empty band near the
+    # south pole so its initial rings are empty for several rounds
+    pts = [(f"u{i}", 10.0 + i * 0.01, 10.0 + i * 0.01) for i in range(50)]
+    corpus = spark.createDataFrame(pts, "url string, lat double, lon double")
+    q = spark.createDataFrame(
+        [(0, 10.2, 10.2), (1, -85.0, -170.0)], "query_id long, lat double, lon double"
+    )
+    flat = _key(flat_knn(corpus, q, k=5).collect())
+    cell = _key(cell_knn(corpus, q, k=5, res=7).collect())
+    assert cell == flat
+    assert {r[0] for r in cell} == {0, 1}
+
+
+def test_cell_knn_search_k_budget_counts_candidates_seen(spark):
+    """search_k semantics: with search_k > k the budget must NOT degenerate to
+    `cnt >= k` — a query is accepted only once >= search_k candidates were
+    SEEN. With search_k >= corpus size the result must therefore be exact
+    (reference invariant 3: budget >= corpus implies exact)."""
+    pts = [(f"u{i}", 10.0 + (i % 25) * 0.4, 10.0 + (i // 25) * 0.4) for i in range(100)]
+    corpus = spark.createDataFrame(pts, "url string, lat double, lon double")
+    q = spark.createDataFrame([(0, 12.0, 12.0)], "query_id long, lat double, lon double")
+    flat = _key(flat_knn(corpus, q, k=5).collect())
+    budget = _key(cell_knn(corpus, q, k=5, res=7, search_k=100).collect())
+    assert budget == flat
