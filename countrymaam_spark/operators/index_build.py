@@ -144,54 +144,136 @@ def knn_tree(
     k: int = 10,
     search_k: int = 64,
     parent_res: int = 4,
-    ring: int = 1,
+    ring: int | None = 1,
 ) -> DataFrame:
     """Approximate kNN served from tree blobs -> (query_id, rk, url, dist_km).
 
-    Queries fan out to the (2*ring+1)^2 parent cells around them (all salts);
-    each blob searches its tree with a ``search_k`` leaf budget (mapInPandas —
-    blobs stay on their partitions, only (query, candidate) rows move); the
-    union is exact-haversine re-ranked. Recall is monotone in ``search_k``
-    and ``ring`` (reference budget semantics)."""
-    spark = trees.sparkSession
+    Routing is a pure DataFrame plan — no driver-side collect:
+    queries explode to the (2*ring+1)^2 parent cells around them
+    (``ring=None`` -> every parent: full coverage, and with
+    ``search_k`` >= blob leaves the result is EXACT — reference invariant 3,
+    /root/reference/countrymaam_test.go:212), fan out over the blob salt keys,
+    and are aggregated to ONE array per (parent, salt). That tiny table is
+    broadcast-joined to the blob table, so blob bytes never shuffle and
+    un-probed blobs are pruned before deserialization. Inside ``mapInPandas``
+    each blob searches its whole query batch: a vectorized numpy brute top-k
+    when the budget covers the blob's leaves, else the per-query best-first
+    kd descent with the ``search_k`` leaf budget. The candidate union is
+    exact-haversine re-ranked. Recall is monotone in ``search_k`` and
+    ``ring`` (reference budget semantics)."""
     q = queries.select(
         "query_id", F.col("lat").alias("qlat"), F.col("lon").alias("qlon")
-    ).withColumn("qcell", geo.encode_cell(F.col("qlat"), F.col("qlon"), parent_res))
-    q = q.withColumn(
-        "parent", F.explode(geo.ring_cells(F.col("qcell"), parent_res, ring))
-    ).drop("qcell")
-    q_pdf = q.toPandas()
-    bc = spark.sparkContext.broadcast(q_pdf)
+    )
+    if ring is None:
+        qx = trees.select("parent", "salt").crossJoin(F.broadcast(q))
+    else:
+        q_ring = (
+            q.withColumn(
+                "qcell", geo.encode_cell(F.col("qlat"), F.col("qlon"), parent_res)
+            )
+            .withColumn(
+                "parent", F.explode(geo.ring_cells(F.col("qcell"), parent_res, ring))
+            )
+            .drop("qcell")
+        )
+        qx = trees.select("parent", "salt").join(F.broadcast(q_ring), "parent")
+    qagg = qx.groupBy("parent", "salt").agg(
+        F.collect_list(F.struct("query_id", "qlat", "qlon")).alias("qs")
+    )
+    probed = trees.join(F.broadcast(qagg), ["parent", "salt"])
 
     def gen(batches):
-        qp = bc.value
-        by_parent = dict(tuple(qp.groupby("parent")))
         for pdf in batches:
-            out_qid, out_url, out_lat, out_lon = [], [], [], []
-            for _, row in pdf.iterrows():
-                qs = by_parent.get(row["parent"])
-                if qs is None:
+            outs = []
+            for blob, qs in zip(pdf["blob"], pdf["qs"]):
+                if qs is None or len(qs) == 0:
                     continue
-                payload = kdtree.deserialize(row["blob"])
+                payload = kdtree.deserialize(blob)
                 trees_l, urls = payload["trees"], payload["urls"]
                 lat, lon, cos0 = payload["lat"], payload["lon"], payload["cos0"]
-                pts = np.stack([lat, lon * max(cos0, 0.05)], axis=1)
-                for qid, qlat, qlon in zip(qs["query_id"], qs["qlat"], qs["qlon"]):
-                    qv = np.array([qlat, qlon * max(cos0, 0.05)])
-                    seen: set[int] = set()
-                    for tree in trees_l:  # forest union, dedup by id
-                        idx, _ = kdtree.search(tree, pts, qv, k, max_leaves=search_k)
-                        seen.update(int(i) for i in idx)
-                    for i in seen:
-                        out_qid.append(int(qid))
-                        out_url.append(str(urls[i]))
-                        out_lat.append(float(lat[i]))
-                        out_lon.append(float(lon[i]))
-            yield pd.DataFrame(
-                {"query_id": out_qid, "url": out_url, "lat": out_lat, "lon": out_lon}
+                n = len(lat)
+                if n == 0:
+                    continue
+                sc = max(cos0, 0.05)
+                pts = np.stack([lat, lon * sc], axis=1)
+                qarr = [
+                    (s["query_id"], s["qlat"], s["qlon"]) if isinstance(s, dict) else tuple(s)
+                    for s in qs
+                ]
+                qid = np.array([a[0] for a in qarr], dtype=np.int64)
+                qpts = np.stack(
+                    [
+                        np.array([a[1] for a in qarr], dtype=np.float64),
+                        np.array([a[2] for a in qarr], dtype=np.float64) * sc,
+                    ],
+                    axis=1,
+                )
+                n_leaves = max(
+                    int(((t["left"] == 0) & (t["right"] == 0)).sum()) for t in trees_l
+                )
+                rows_q, rows_i = [], []
+                if search_k >= n_leaves:
+                    # budget covers every leaf -> exact within the blob. Rank
+                    # by TRUE haversine (vectorized), not the scaled-L2 build
+                    # metric — per-blob L2 top-k can drop a true neighbor and
+                    # break the full-budget-exact invariant. Tie-inclusive
+                    # (<= kth + eps) so the Spark-side re-rank sees a strict
+                    # superset of the global top-k.
+                    kk = min(k, n)
+                    qla = np.radians(np.array([a[1] for a in qarr], dtype=np.float64))
+                    qlo = np.radians(np.array([a[2] for a in qarr], dtype=np.float64))
+                    pla = np.radians(np.asarray(lat, dtype=np.float64))
+                    plo = np.radians(np.asarray(lon, dtype=np.float64))
+                    for s in range(0, len(qla), 256):
+                        sl = slice(s, s + 256)
+                        aa = (
+                            np.sin((pla[None, :] - qla[sl, None]) / 2.0) ** 2
+                            + np.cos(qla[sl, None])
+                            * np.cos(pla[None, :])
+                            * np.sin((plo[None, :] - qlo[sl, None]) / 2.0) ** 2
+                        )
+                        hav = np.arcsin(np.sqrt(np.minimum(aa, 1.0)))
+                        for r in range(hav.shape[0]):
+                            kth = np.partition(hav[r], kk - 1)[kk - 1] if kk < n else hav[r].max()
+                            sel = np.flatnonzero(hav[r] <= kth + 1e-12)
+                            rows_q.append(np.full(len(sel), s + r))
+                            rows_i.append(sel)
+                else:
+                    for r in range(len(qpts)):
+                        seen: set[int] = set()
+                        for tree in trees_l:  # forest union, dedup by id
+                            idx, _ = kdtree.search(
+                                tree, pts, qpts[r], k, max_leaves=search_k
+                            )
+                            seen.update(int(i) for i in idx)
+                        if seen:
+                            ii = np.fromiter(seen, dtype=np.int64)
+                            rows_q.append(np.full(len(ii), r))
+                            rows_i.append(ii)
+                if not rows_q:
+                    continue
+                qsel = np.concatenate(rows_q)
+                isel = np.concatenate(rows_i)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid[qsel],
+                            "url": np.asarray(urls, dtype=object)[isel],
+                            "lat": np.asarray(lat, dtype=np.float64)[isel],
+                            "lon": np.asarray(lon, dtype=np.float64)[isel],
+                        }
+                    )
+                )
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(
+                    {"query_id": pd.Series(dtype="int64"), "url": pd.Series(dtype=object),
+                     "lat": pd.Series(dtype="float64"), "lon": pd.Series(dtype="float64")}
+                )
             )
 
-    cands = trees.mapInPandas(gen, CAND_SCHEMA)
+    cands = probed.select("blob", "qs").mapInPandas(gen, CAND_SCHEMA)
     qq = F.broadcast(
         queries.select(
             "query_id", F.col("lat").alias("qlat"), F.col("lon").alias("qlon")

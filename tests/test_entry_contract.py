@@ -34,13 +34,9 @@ def test_entry_smoke(spark):
 def test_queries_oracle_keys_consistent():
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     assert set(osql) <= set(qs)
-    # only the documented approximate ops may omit an oracle
-    assert set(qs) - set(osql) == {
-        "dedup_simhash_pairs",
-        "embed_lsh_knn",
-        "knn_tree_index",
-        "index_lineage",
-    }
+    # only build-lineage (checksums of a distributed build — genuinely
+    # non-SQL-expressible) may omit an oracle
+    assert set(qs) - set(osql) == {"index_lineage"}
     assert len(qs) >= 20
 
 
