@@ -180,6 +180,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embed_lsh_knn"] = lambda s, d: ann.rp_lsh_knn(
         _emb(s, d), _emb_queries(s, d), k=5, n_tables=24, bits=4
     )
+    # --- graph index family (NN-Descent / AKNN / composite) ---
+    def _graph_edges(s: SparkSession, d: str) -> DataFrame:
+        from countrymaam_spark.operators import graph as GR
+
+        return GR.nn_descent(_emb(s, d), k=15, rho=0.7, max_iter=10, seed=42)
+
+    def _graph_knn(s: SparkSession, d: str) -> DataFrame:
+        from countrymaam_spark.operators import graph as GR
+
+        # budget (entries/beam/hops) large enough that the walk is exact on
+        # the fixture (verified vs brute force; deterministic seeds) -> the
+        # flat oracle applies. Smaller budgets are recall-tested in
+        # tests/test_graph.py.
+        return GR.graph_knn(
+            _emb(s, d), _graph_edges(s, d), _emb_queries(s, d),
+            k=5, entries_num=10, beam=24, max_hops=6,
+        )
+
+    def _composite_knn(s: SparkSession, d: str) -> DataFrame:
+        from countrymaam_spark.operators import graph as GR
+
+        # rpaknn analog: rp-LSH head streams entry points, graph tail expands
+        return GR.composite_knn(
+            _emb(s, d), _graph_edges(s, d), _emb_queries(s, d),
+            k=5, entries_num=10, beam=24, max_hops=6,
+        )
+
+    q["embed_knn_graph"] = _graph_knn
+    q["embed_knn_composite"] = _composite_knn
+
     # exact=True: oracle-parity all-pairs config (the function default is the
     # LSH scale path; see embed_near_pairs_lsh for the banded plan under oracle)
     q["embed_near_pairs"] = lambda s, d: ann.cosine_near_pairs(_emb(s, d), tau=0.5, exact=True)
@@ -362,6 +392,9 @@ def oracle_sql() -> dict[str, str]:
     o["embed_knn_cosine"] = ann.brute_knn_sql("embeddings", emb_q, k=5, metric="cosine")
     # recall 1.0 at the query's LSH config on this fixture -> exact oracle
     o["embed_lsh_knn"] = ann.brute_knn_sql("embeddings", emb_q, k=5)
+    # graph walk budgets verified exact on the fixture -> exact oracle
+    o["embed_knn_graph"] = ann.brute_knn_sql("embeddings", emb_q, k=5)
+    o["embed_knn_composite"] = ann.brute_knn_sql("embeddings", emb_q, k=5)
     o["embed_near_pairs"] = ann.cosine_near_pairs_sql("embeddings", tau=0.5)
     o["embed_near_pairs_lsh"] = ann.cosine_near_pairs_sql("embeddings", tau=0.5)
 

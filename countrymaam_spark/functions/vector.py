@@ -9,6 +9,8 @@ inside Arrow UDFs on the ANN scale path in operators/ann.py).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -36,6 +38,23 @@ def sq_l2(a: Column, b: Column) -> Column:
 
 def cosine_sim(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def sq_l2_batch(a: Column, b: Column) -> Column:
+    """Squared L2 as a vectorized pandas UDF (Arrow batches -> one numpy
+    subtraction per batch). Use on the high-volume paths (NN-Descent pair
+    scoring) where the interpreted higher-order-function expression above
+    becomes the bottleneck; numerically identical up to fp association."""
+
+    @F.pandas_udf("double")
+    def _sq(x: pd.Series, y: pd.Series) -> pd.Series:
+        if len(x) == 0:
+            return pd.Series([], dtype="float64")
+        xa = np.array([np.asarray(v, dtype=np.float64) for v in x])
+        ya = np.array([np.asarray(v, dtype=np.float64) for v in y])
+        return pd.Series(((xa - ya) ** 2).sum(axis=1))
+
+    return _sq(a, b)
 
 
 def sq_l2_sql(a: str, b: str) -> str:

@@ -86,6 +86,10 @@ def build_tree_blobs(
     prepared = salted
 
     def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sort by url: applyInPandas group row order follows scan order, which
+        # is not deterministic — sorting makes the blob a pure function of
+        # (row set, seed), so rebuilds (and incremental_add) are reproducible
+        pdf = pdf.sort_values("url", kind="stable").reset_index(drop=True)
         parent = int(pdf["parent"].iloc[0])
         salt = int(pdf["salt"].iloc[0])
         gseed = _group_seed(parent, salt, seed)
@@ -119,6 +123,51 @@ def build_tree_blobs(
         )
 
     return prepared.groupBy("parent", "salt").applyInPandas(build_group, TREE_SCHEMA)
+
+
+def incremental_add(
+    cells_old: DataFrame,
+    trees_old: DataFrame,
+    new_geo: DataFrame,
+    res: int = 7,
+    parent_res: int = 4,
+    seed: int = 42,
+    leaf_size: int = kdtree.LEAF_SIZE,
+    kind: str = "kd",
+    n_trees: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """MutableIndex.Add, distributed (reference: flat-only append,
+    /root/reference/index/flat_index.go:88-90; here the tree index is
+    incrementally maintainable too). Returns (cells_new, trees_new).
+
+    New pages are encoded and salted with each parent's EXISTING salt factor
+    (so group membership of old rows never moves), then ONLY the (parent,
+    salt) groups that received rows are rebuilt — an Iceberg append plus a
+    partial blob refresh keyed by the lineage group ids. Because blob builds
+    are a pure function of (row set, seed) (rows are sorted inside the build
+    UDF), an incremental add is bit-equivalent to a from-scratch build
+    whenever the salt factors are unchanged (tests/test_index_build.py).
+    """
+    factors = trees_old.groupBy("parent").agg(
+        (F.max("salt") + 1).alias("_f")
+    )
+    new_cells = (
+        encode_pages(new_geo, res, parent_res)
+        .join(F.broadcast(factors), "parent", "left")
+        .withColumn("_f", F.coalesce(F.col("_f"), F.lit(1)).cast("int"))
+        .withColumn("salt", F.pmod(F.xxhash64("url"), F.col("_f")).cast("int"))
+        .drop("_f")
+    )
+    cells_new = cells_old.unionByName(new_cells.select(cells_old.columns))
+    affected = new_cells.select("parent", "salt").distinct()
+    rebuilt = build_tree_blobs(
+        cells_new.join(affected, ["parent", "salt"], "semi"),
+        seed=seed, leaf_size=leaf_size, kind=kind, n_trees=n_trees,
+    )
+    trees_new = trees_old.join(affected, ["parent", "salt"], "anti").unionByName(
+        rebuilt
+    )
+    return cells_new, trees_new
 
 
 def write_cells_clustered(salted: DataFrame, path: str) -> None:

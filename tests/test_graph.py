@@ -1,0 +1,173 @@
+"""Graph index family: NN-Descent quality goldens ported from the reference
+(graph/nndescent_test.go:182-282), undirected symmetry (graph/graph_test.go),
+the self-distance regression (SURVEY.md: index/graph_index.go:164-168 bug we
+must NOT replicate), and graph/composite search recall."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from countrymaam_spark.operators import ann
+from countrymaam_spark.operators import graph as G
+
+# the 32x2 corpus of the reference's Test_CreateAKnnGraph golden
+V32 = [
+    [0.9382979, 0.02068228], [0.73769548, 0.27789461], [0.52404968, 0.66918405],
+    [0.71130657, 0.04397154], [0.30150448, 0.99551993], [0.71053094, 0.80725171],
+    [0.83579555, 0.27047663], [0.92257152, 0.35443522], [0.75475991, 0.03915375],
+    [0.47519988, 0.79546934], [0.41285849, 0.91768804], [0.95689047, 0.53087249],
+    [0.54369358, 0.72449079], [0.21832251, 0.95516216], [0.93584569, 0.75276496],
+    [0.55507164, 0.35825514], [0.53575104, 0.31743178], [0.86958985, 0.79659692],
+    [0.71037628, 0.12494913], [0.47549219, 0.91082355], [0.76717885, 0.70570274],
+    [0.25268384, 0.49687757], [0.36881297, 0.00942773], [0.07258602, 0.26554888],
+    [0.29408366, 0.89540884], [0.24222268, 0.3205058], [0.47095961, 0.57133958],
+    [0.79535941, 0.37627325], [0.16554462, 0.10079731], [0.704429, 0.05787501],
+    [0.80916261, 0.22355085], [0.6309418, 0.51406197],
+]
+GOLDEN_32 = 28.686062  # graph/nndescent_test.go:247
+GOLDEN_200 = 9159.141  # graph/nndescent_test.go:281 (200x128 from vec.csv)
+
+
+def _vec_df(spark, arr):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(arr)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _sum_neighbor_dist(arr, rows):
+    return sum(
+        math.sqrt(((arr[r["node"]] - arr[r["nbr"]]) ** 2).sum()) for r in rows
+    )
+
+
+def _load_vec_csv():
+    vals = []
+    with open("/root/reference/graph/vec.csv") as f:
+        for line in f:
+            vals.extend(float(t) for t in line.strip().split(",") if t)
+    return np.array(vals, dtype=np.float64).reshape(-1, 128)
+
+
+def test_nndescent_golden_32(spark):
+    """Reference golden: k=5 rho=1.0 on the 32x2 corpus, sum of neighbor
+    distances within 1% of 28.686062 — plus the reference's own exactly-k
+    structural assert."""
+    arr = np.array(V32)
+    vecs = _vec_df(spark, arr)
+    rows = G.nn_descent(vecs, k=5, rho=1.0, max_iter=12, seed=42).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["node"], set()).add(r["nbr"])
+        assert r["node"] != r["nbr"]  # self-edge regression
+    assert len(per) == 32
+    assert all(len(s) == 5 for s in per.values())
+    ss = _sum_neighbor_dist(arr, rows)
+    assert abs(ss - GOLDEN_32) <= 0.01 * GOLDEN_32
+
+
+def test_nndescent_golden_200x128(spark):
+    """Reference golden corpus (graph/vec.csv, k=10 rho=0.8). We hold the
+    build to a STRICTER bar than the reference: within 1% of the exact kNN
+    graph sum (the reference's converged golden 9159.141 is ~10% above exact
+    because of its sampled convergence; ours lands at ~1.0005x exact)."""
+    arr = _load_vec_csv()
+    assert arr.shape == (200, 128)
+    vecs = _vec_df(spark, arr)
+    rows = G.nn_descent(vecs, k=10, rho=0.8, max_iter=12, seed=42).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["node"], set()).add(r["nbr"])
+    assert all(len(s) == 10 for s in per.values()) and len(per) == 200
+    ss = _sum_neighbor_dist(arr, rows)
+    d2 = ((arr[:, None, :] - arr[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    exact = sum(np.sqrt(np.sort(d2[i])[:10]).sum() for i in range(len(arr)))
+    assert exact <= ss <= 1.01 * exact  # stricter than the 9159.141 +-1% golden
+    assert ss <= 1.01 * GOLDEN_200  # and trivially beats the reference bar
+
+
+def test_true_metric_not_reference_self_distance_bug(spark):
+    """The reference AKNN builder feeds dist(j, j) == 0 for every pair
+    (index/graph_index.go:164-168). Regression: our edge distances must be
+    the TRUE squared L2 (strictly positive for distinct points here)."""
+    arr = np.array(V32)
+    vecs = _vec_df(spark, arr)
+    rows = G.nn_descent(vecs, k=3, rho=1.0, max_iter=6, seed=7).collect()
+    for r in rows:
+        true_d = float(((arr[r["node"]] - arr[r["nbr"]]) ** 2).sum())
+        assert r["dist"] == pytest.approx(true_d, rel=1e-9)
+        assert r["dist"] > 0
+
+
+def test_to_undirected_symmetric(spark):
+    """graph/graph_test.go property: every edge of the converted graph is
+    symmetric."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 0)], "node long, nbr long"
+    )
+    und = {(r["node"], r["nbr"]) for r in G.to_undirected(edges).collect()}
+    assert und == {(a, b) for a, b in und if (b, a) in und}
+    assert (1, 0) in und and (0, 3) in und
+
+
+@pytest.fixture(scope="module")
+def graph_200(spark):
+    arr = _load_vec_csv()
+    vecs = _vec_df(spark, arr).cache()
+    edges = spark.createDataFrame(
+        G.nn_descent(vecs, k=10, rho=0.8, max_iter=12, seed=42).collect()
+    ).cache()
+    q = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = set(
+        map(tuple, ann.brute_knn(vecs, q, k=5).select("query_id", "rk", "vec_id").collect())
+    )
+    return vecs, edges, q, exact
+
+
+def test_graph_knn_exact_at_budget(spark, graph_200):
+    vecs, edges, q, exact = graph_200
+    got = set(
+        map(
+            tuple,
+            G.graph_knn(vecs, edges, q, k=5, entries_num=10, beam=16, max_hops=5)
+            .select("query_id", "rk", "vec_id")
+            .collect(),
+        )
+    )
+    assert got == exact
+
+
+def test_composite_knn_exact_at_budget(spark, graph_200):
+    """rpaknn analog: LSH head entries -> graph tail."""
+    vecs, edges, q, exact = graph_200
+    got = set(
+        map(
+            tuple,
+            G.composite_knn(vecs, edges, q, k=5, entries_num=10, beam=16, max_hops=5)
+            .select("query_id", "rk", "vec_id")
+            .collect(),
+        )
+    )
+    assert got == exact
+
+
+def test_graph_knn_recall_monotone_in_beam(spark, graph_200):
+    """Reference budget semantics: recall is monotone in the effort knob."""
+    vecs, edges, q, exact = graph_200
+    r = {}
+    for beam in (1, 16):
+        got = set(
+            map(
+                tuple,
+                G.graph_knn(vecs, edges, q, k=5, entries_num=2, beam=beam, max_hops=3)
+                .select("query_id", "rk", "vec_id")
+                .collect(),
+            )
+        )
+        r[beam] = len(got & exact) / len(exact)
+    assert r[1] <= r[16]

@@ -125,3 +125,80 @@ def test_two_runs_identical_content(spark, tmp_path):
     ma, mb = Manifest(a).stages, Manifest(b).stages
     for stage in ("geo", "cells", "lineage"):
         assert ma[stage]["hash"] == mb[stage]["hash"], stage
+
+
+def test_incremental_add_equals_from_scratch(spark, geo_small):
+    """Reference MutableIndex.Add analog (flat_index.go:88-90): appending
+    pages + rebuilding only the touched (parent, salt) groups must equal a
+    from-scratch build on the combined corpus — same lineage checksums, same
+    query results (salt factors unchanged at this target_group_rows)."""
+    base = geo_small.filter(F.xxhash64("url") % 5 != 0)
+    extra = geo_small.filter(F.xxhash64("url") % 5 == 0)
+    cells_a = index_build.salt_hot_cells(
+        index_build.encode_pages(base, res=7, parent_res=4),
+        target_group_rows=1_000_000,
+    )
+    trees_a = index_build.build_tree_blobs(cells_a, seed=42).cache()
+    cells_new, trees_new = index_build.incremental_add(
+        cells_a, trees_a, extra, res=7, parent_res=4, seed=42
+    )
+    cells_full = index_build.salt_hot_cells(
+        index_build.encode_pages(geo_small, res=7, parent_res=4),
+        target_group_rows=1_000_000,
+    )
+    trees_full = index_build.build_tree_blobs(cells_full, seed=42)
+    got = {tuple(r) for r in index_build.lineage(trees_new).collect()}
+    want = {tuple(r) for r in index_build.lineage(trees_full).collect()}
+    assert got == want
+    assert cells_new.count() == cells_full.count()
+    # served results equal too
+    out = pg.fixture_dir("sf0.001")
+    queries = spark.read.parquet(os.path.join(out, "knn_queries.parquet")).filter(
+        F.col("query_id") < 8
+    )
+    a = {tuple(r) for r in index_build.knn_tree(trees_new, queries, k=5, ring=None, search_k=1 << 30).collect()}
+    b = {tuple(r) for r in index_build.knn_tree(trees_full, queries, k=5, ring=None, search_k=1 << 30).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_factory_zoo(spark, geo_small):
+    """Reference index factory (cmd/countrymaam/main.go:29-78): every kind is
+    constructible and serves a query; full-budget configs are exact."""
+    from countrymaam_spark.operators.factory import IndexConfig, create_index
+
+    out = pg.fixture_dir("sf0.001")
+    queries = spark.read.parquet(os.path.join(out, "knn_queries.parquet")).filter(
+        F.col("query_id") < 4
+    )
+    exact = {
+        (r["query_id"], r["url"])
+        for r in flat_knn(geo_small, queries, k=5).collect()
+    }
+    for kind in ("cell", "kd", "rkd", "rp", "rrp"):
+        idx = create_index(
+            geo_small,
+            IndexConfig(kind=kind, k=5, ring=None, search_k=1 << 30, n_trees=2,
+                        target_group_rows=2000),
+        )
+        got = {(r["query_id"], r["url"]) for r in idx.search(queries).collect()}
+        assert got == exact, kind
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    eq = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    from countrymaam_spark.operators import ann as _ann
+
+    e_exact = {
+        (r["query_id"], r["vec_id"])
+        for r in _ann.brute_knn(emb, eq, k=5).collect()
+    }
+    for kind in ("flat", "rplsh", "aknn", "rpaknn"):
+        idx = create_index(
+            emb,
+            IndexConfig(kind=kind, k=5, n_tables=24, bits=4, entries_num=10,
+                        beam=24, max_hops=6, graph_k=10, max_iter=8),
+        )
+        got = {(r["query_id"], r["vec_id"]) for r in idx.search(eq).collect()}
+        recall = len(got & e_exact) / len(e_exact)
+        assert recall >= 0.95, (kind, recall)
