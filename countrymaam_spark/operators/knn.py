@@ -129,7 +129,15 @@ def _plan_radius(remaining: DataFrame, pages_cells: DataFrame, res: int, k: int)
     """
     need = 4 * k
     nx = 2 << res
-    counts = pages_cells.groupBy("cell").agg(F.count("*").alias("cnt"))
+    # materialize the base per-cell counts ONCE: every level join below
+    # branches off this table, and without pinning it each branch would
+    # re-aggregate the full corpus (5x 20M-row shuffles — measured 50s of a
+    # 70s query at sf10; ~3s pinned). Rollups are tiny and also pinned.
+    counts = (
+        pages_cells.groupBy("cell")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     levels = [lv for lv in range(res, res - 5, -1) if lv >= 0]
     out = remaining
     prev = counts
@@ -139,6 +147,7 @@ def _plan_radius(remaining: DataFrame, pages_cells: DataFrame, res: int, k: int)
             prev = (
                 prev.groupBy(geo.cell_parent(F.col("cell"), lv, prev_res).alias("cell"))
                 .agg(F.sum("cnt").alias("cnt"))
+                .localCheckpoint(eager=True)
             )
             prev_res = lv
         lvl_counts = prev.withColumnRenamed("cnt", f"cnt_{lv}")
@@ -216,50 +225,65 @@ def cell_knn(
             "qcell", geo.encode_cell(F.col("qlat"), F.col("qlon"), res)
         )
         is_band = (F.col("rx") * 2 + 1) >= F.lit(nx)
-        # compact rings: enumerate cells, broadcast, equi-join (hash probe of
-        # the corpus — never enumerate wide rings, the arrays explode)
-        ring_q = qcells.filter(~is_band)
-        exploded = ring_q.select(
-            "query_id",
-            "qlat",
-            "qlon",
-            "rx",
-            "ry",
-            F.explode(
-                geo.ring_cells_xy(F.col("qcell"), res, F.col("rx"), F.col("ry"))
-            ).alias("cell"),
-        )
-        ring_cands = F.broadcast(exploded).join(pages_cells, "cell")
-        # full-wrap rings are a latitude BAND: broadcast range join on the
-        # cell's y coordinate (predicate scan of the corpus, no enumeration)
-        band_q = qcells.filter(is_band).select(
-            F.col("query_id").alias("b_query_id"),
-            F.col("qlat").alias("b_qlat"),
-            F.col("qlon").alias("b_qlon"),
-            F.col("rx").alias("b_rx"),
-            F.col("ry").alias("b_ry"),
-            geo.cell_y(F.col("qcell")).alias("b_qy"),
-        )
-        band_cands = (
-            pages_cells.withColumn("cy", geo.cell_y(F.col("cell")))
-            .join(
-                F.broadcast(band_q),
-                (F.col("cy") >= F.col("b_qy") - F.col("b_ry"))
-                & (F.col("cy") <= F.col("b_qy") + F.col("b_ry")),
+        # count each side first (tiny aggregate over remaining): every side
+        # built below costs a full probe of the corpus, so an empty side must
+        # not be constructed at all (rounds 2+ usually have only one kind)
+        side = remaining.select(
+            F.sum(F.when((F.col("rx") * 2 + 1) >= F.lit(nx), 1).otherwise(0)).alias("nb"),
+            F.count("*").alias("nt"),
+        ).collect()[0]
+        n_band_q = int(side["nb"] or 0)
+        n_ring_q = int(side["nt"]) - n_band_q
+        out_cols = ["query_id", "qlat", "qlon", "rx", "ry", "cell", "url", "lat", "lon"]
+        parts = []
+        if n_ring_q:
+            # compact rings: enumerate cells, broadcast, equi-join (hash probe
+            # of the corpus — never enumerate wide rings, the arrays explode)
+            ring_q = qcells.filter(~is_band)
+            exploded = ring_q.select(
+                "query_id",
+                "qlat",
+                "qlon",
+                "rx",
+                "ry",
+                F.explode(
+                    geo.ring_cells_xy(F.col("qcell"), res, F.col("rx"), F.col("ry"))
+                ).alias("cell"),
             )
-            .select(
-                F.col("b_query_id").alias("query_id"),
-                F.col("b_qlat").alias("qlat"),
-                F.col("b_qlon").alias("qlon"),
-                F.col("b_rx").alias("rx"),
-                F.col("b_ry").alias("ry"),
-                "cell",
-                "url",
-                "lat",
-                "lon",
+            parts.append(F.broadcast(exploded).join(pages_cells, "cell").select(out_cols))
+        if n_band_q:
+            # full-wrap rings are a latitude BAND: broadcast range join on the
+            # cell's y coordinate (predicate scan of the corpus, no enumeration)
+            band_q = qcells.filter(is_band).select(
+                F.col("query_id").alias("b_query_id"),
+                F.col("qlat").alias("b_qlat"),
+                F.col("qlon").alias("b_qlon"),
+                F.col("rx").alias("b_rx"),
+                F.col("ry").alias("b_ry"),
+                geo.cell_y(F.col("qcell")).alias("b_qy"),
             )
-        )
-        cands = ring_cands.select(band_cands.columns).unionByName(band_cands).withColumn(
+            band_cands = (
+                pages_cells.withColumn("cy", geo.cell_y(F.col("cell")))
+                .join(
+                    F.broadcast(band_q),
+                    (F.col("cy") >= F.col("b_qy") - F.col("b_ry"))
+                    & (F.col("cy") <= F.col("b_qy") + F.col("b_ry")),
+                )
+                .select(
+                    F.col("b_query_id").alias("query_id"),
+                    F.col("b_qlat").alias("qlat"),
+                    F.col("b_qlon").alias("qlon"),
+                    F.col("b_rx").alias("rx"),
+                    F.col("b_ry").alias("ry"),
+                    "cell",
+                    "url",
+                    "lat",
+                    "lon",
+                )
+            )
+            parts.append(band_cands)
+        cands = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        cands = cands.withColumn(
             "dist_km",
             geo.haversine_km(F.col("lat"), F.col("lon"), F.col("qlat"), F.col("qlon")),
         )

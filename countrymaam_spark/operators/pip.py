@@ -54,19 +54,30 @@ def _cover_cells(edges: DataFrame, res: int) -> DataFrame:
 
 
 def point_in_polygon(
-    pages_geo: DataFrame, edges: DataFrame, res: int = 6
+    pages_geo: DataFrame, edges: DataFrame, res: int = 6,
+    broadcast_polygons: bool = True,
 ) -> DataFrame:
     """-> (poly_id, url) pairs where the page's point lies inside the ring
-    (ray-casting crossing parity; boundary points follow the half-open rule)."""
+    (ray-casting crossing parity; boundary points follow the half-open rule).
+
+    ``broadcast_polygons=True`` (default) is the small-dim-table plan: cover
+    cells and the edge table broadcast, the page scan never shuffles. For a
+    country-scale polygon table that cannot broadcast, pass False: the cover
+    join becomes a shuffle (sort-merge / shuffled-hash, Catalyst + AQE pick,
+    AQE skew-split handles mega-polygons) keyed on cell, and the verify join
+    shuffles candidates by poly_id — only candidate pages move, never the
+    full scan."""
     pages_cells = (
         pages_geo.filter(F.col("lat").isNotNull())
         .select("url", "lat", "lon")
         .withColumn("cell", geo.encode_cell(F.col("lat"), F.col("lon"), res))
     )
-    cover = F.broadcast(_cover_cells(edges, res))
+    cover = _cover_cells(edges, res)
+    e = edges.select("poly_id", "lat1", "lon1", "lat2", "lon2")
+    if broadcast_polygons:
+        cover = F.broadcast(cover)
+        e = F.broadcast(e)
     cand = pages_cells.join(cover, "cell").select("poly_id", "url", "lat", "lon")
-
-    e = F.broadcast(edges.select("poly_id", "lat1", "lon1", "lat2", "lon2"))
     pairs = cand.join(e, "poly_id")
     crosses = (
         (F.col("lat1") > F.col("lat")) != (F.col("lat2") > F.col("lat"))

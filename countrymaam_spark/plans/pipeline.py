@@ -70,4 +70,7 @@ def build_index_pipeline(
 
 
 def load_trees(spark: SparkSession, out_dir: str) -> DataFrame:
+    # blob rows are MB-sized: the default 4096-row columnar batch would
+    # materialize GBs per read task; 16 keeps the reader bounded
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "16")
     return spark.read.parquet(os.path.join(out_dir, "trees"))

@@ -27,6 +27,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # zstd, not snappy: parquet-java's snappy path allocates+cleans a
+        # direct buffer per large value — multi-MB binary blob columns (tree
+        # blobs) write 3-4x slower and churn native RSS (jstack-verified)
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

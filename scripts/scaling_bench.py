@@ -22,13 +22,23 @@ REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))
 
 
 def run_once(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    # SPARK_GRAFT_WARM: each stage runs twice in-process, the second is
+    # timed — steady-state numbers (JIT/GC/page-cache warm), the regime a
+    # long-lived cluster job runs in and the one where the two-cluster-size
+    # comparison is meaningful (cold per-stage constants otherwise dominate
+    # the small end).
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_WARM="1",
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
         capture_output=True,
         text=True,
-        timeout=1800,
+        timeout=3600,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)

@@ -64,3 +64,43 @@ def test_tile_counts_sum(spark, geo_small):
     n = geo_small.filter(F.col("lat").isNotNull()).count()
     tc = tile_counts(geo_small, [8]).agg(F.sum("n_pages")).collect()[0][0]
     assert tc == n
+
+
+def test_pip_no_broadcast_matches_and_smj_plan(spark):
+    """Large-polygon-set path: results identical to the broadcast plan, and
+    the physical plan actually uses a shuffle join (no BroadcastHashJoin on
+    the polygon side) when broadcasting is off and below-threshold
+    auto-broadcast is disabled."""
+    import numpy as np
+
+    from countrymaam_spark.operators.pip import point_in_polygon
+
+    rng = np.random.default_rng(7)
+    pages = spark.createDataFrame(
+        [(f"u{i}", float(lat), float(lon))
+         for i, (lat, lon) in enumerate(zip(rng.uniform(-60, 60, 3000),
+                                            rng.uniform(-170, 170, 3000)))],
+        "url string, lat double, lon double",
+    )
+    rows = []
+    for pid in range(500):  # 500 random square polygons, 4 edges each
+        la = float(rng.uniform(-55, 55)); lo = float(rng.uniform(-165, 165))
+        s = float(rng.uniform(1.0, 6.0))
+        corners = [(la, lo), (la, lo + s), (la + s, lo + s), (la + s, lo)]
+        for j in range(4):
+            (a1, o1), (a2, o2) = corners[j], corners[(j + 1) % 4]
+            rows.append((pid, a1, o1, a2, o2))
+    edges = spark.createDataFrame(rows, "poly_id long, lat1 double, lon1 double, lat2 double, lon2 double")
+
+    bc = {tuple(r) for r in point_in_polygon(pages, edges, res=6).collect()}
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big_df = point_in_polygon(pages, edges, res=6, broadcast_polygons=False)
+        plan = big_df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+        big = {tuple(r) for r in big_df.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert big == bc and len(bc) > 0
