@@ -180,6 +180,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embed_lsh_knn"] = lambda s, d: ann.rp_lsh_knn(
         _emb(s, d), _emb_queries(s, d), k=5, n_tables=24, bits=4
     )
+    # packed-uint8 dtype flavor (reference linalg.go:38-53): integer
+    # distances, bit-exact vs the SQL oracle's replicated quantization
+    q["embed_knn_u8"] = lambda s, d: ann.brute_knn_u8(
+        _emb(s, d), _emb_queries(s, d), k=5
+    )
     # --- graph index family (NN-Descent / AKNN / composite) ---
     def _graph_edges(s: SparkSession, d: str) -> DataFrame:
         from countrymaam_spark.operators import graph as GR
@@ -392,6 +397,7 @@ def oracle_sql() -> dict[str, str]:
     o["embed_knn_cosine"] = ann.brute_knn_sql("embeddings", emb_q, k=5, metric="cosine")
     # recall 1.0 at the query's LSH config on this fixture -> exact oracle
     o["embed_lsh_knn"] = ann.brute_knn_sql("embeddings", emb_q, k=5)
+    o["embed_knn_u8"] = ann.brute_knn_u8_sql("embeddings", emb_q, k=5)
     # graph walk budgets verified exact on the fixture -> exact oracle
     o["embed_knn_graph"] = ann.brute_knn_sql("embeddings", emb_q, k=5)
     o["embed_knn_composite"] = ann.brute_knn_sql("embeddings", emb_q, k=5)

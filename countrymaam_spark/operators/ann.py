@@ -219,6 +219,120 @@ def cosine_near_pairs(
     return pairs.withColumn("cos", cos).filter(F.col("cos") >= tau).select("id_a", "id_b", "cos")
 
 
+# --- packed-uint8 dtype flavor -------------------------------------------
+# The reference dispatches its distance kernels over {float32, uint8}
+# element types (/root/reference/linalg/linalg.go:38-53, dispatch at
+# /root/reference/cmd/countrymaam/main.go:154-161), accumulating in a wider
+# type. The Spark form per SURVEY.md §1.3: vectors packed one-byte-per-dim
+# into a BinaryType column; the distance kernel unpacks per Arrow batch with
+# numpy (frombuffer — zero copy) and accumulates in int64. Distances are
+# exact integers, so oracle parity is bit-exact with no float rounding.
+
+U8_LO, U8_HI = -1.0, 1.0  # quantization window; scale = 256/(hi-lo) = 128,
+# an exact power of two, so (x - lo) * scale is fp-exact in both engines
+
+
+def quantize_u8(vec_col, lo: float = U8_LO, hi: float = U8_HI):
+    """array<float> -> binary: clip to [lo, hi], floor((x-lo)*256/(hi-lo)),
+    cap at 255, one uint8 per dimension. Deterministic and replicated
+    verbatim by the SQL oracle (same double math, same floor)."""
+    scale = 256.0 / (hi - lo)
+
+    @F.pandas_udf("binary")
+    def _q(vs: pd.Series) -> pd.Series:
+        out = []
+        for v in vs:
+            a = np.clip(np.asarray(v, dtype=np.float64), lo, hi)
+            q = np.minimum(np.floor((a - lo) * scale), 255.0)
+            out.append(q.astype(np.uint8).tobytes())
+        return pd.Series(out, dtype=object)
+
+    return _q(vec_col)
+
+
+def u8_sq_l2(a_col, b_col):
+    """Exact squared L2 between two packed-uint8 binary columns -> long.
+    One numpy matsub per Arrow batch; int64 accumulation (the reference
+    accumulates uint8 distances in a wider float32, linalg.go:95-112 — we
+    use int64: still exact, and integer-stable for the oracle hash)."""
+
+    @F.pandas_udf("long")
+    def _d(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")
+        ma = np.stack([np.frombuffer(x, dtype=np.uint8) for x in a]).astype(np.int32)
+        mb = np.stack([np.frombuffer(x, dtype=np.uint8) for x in b]).astype(np.int32)
+        d = ma - mb
+        return pd.Series((d * d).sum(axis=1).astype(np.int64))
+
+    return _d(a_col, b_col)
+
+
+def brute_knn_u8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k over uint8-packed vectors -> (query_id, rk, vec_id, dist).
+
+    Same plan shape as ``brute_knn`` (broadcast queries, one corpus pass,
+    window top-k) with the packed dtype: the corpus is quantized on the fly
+    here; a production table stores the binary column once."""
+    c = corpus.select(
+        F.col(id_col).alias("cid"), quantize_u8(F.col(vec_col)).alias("cb")
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            quantize_u8(F.col(query_vec_col)).alias("qb"),
+        )
+    )
+    pairs = (
+        c.crossJoin(q)
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("dist", u8_sq_l2(F.col("cb"), F.col("qb")))
+    )
+    out = topk_per_group(pairs, ["qid"], "dist", "cid", k, dedup=False)
+    return out.select(
+        F.col("qid").alias("query_id"), "rk", F.col("cid").alias("vec_id"), "dist"
+    )
+
+
+def brute_knn_u8_sql(
+    corpus_rel: str, queries_rel: str, k: int = 10,
+    lo: float = U8_LO, hi: float = U8_HI,
+) -> str:
+    """DuckDB oracle: the same clip/floor/cap quantization inline, integer
+    squared-L2 (POW on ints is double but exact to 2^53 — dim*255^2 << that),
+    same (dist, vec_id) tie order."""
+    scale = 256.0 / (hi - lo)
+
+    def q8(e: str) -> str:
+        return (
+            f"LEAST(FLOOR((LEAST(GREATEST(CAST({e} AS DOUBLE), {lo}), {hi})"
+            f" - ({lo})) * {scale}), 255.0)"
+        )
+
+    d = (
+        "CAST(list_sum(list_transform(generate_series(1, len(c.embedding)), "
+        f"i -> POW({q8('c.embedding[i]')} - {q8('q.embedding[i]')}, 2))) AS BIGINT)"
+    )
+    return f"""
+        SELECT query_id, rk, vec_id, dist FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {d} AS dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id ORDER BY {d} ASC, c.vec_id ASC
+                   ) AS rk
+            FROM {corpus_rel} c, {queries_rel} q
+            WHERE c.vec_id <> q.vec_id
+        ) t WHERE rk <= {k}
+    """
+
+
 def cosine_near_pairs_sql(corpus_rel: str, tau: float = 0.95) -> str:
     dot = (
         "list_sum(list_transform(generate_series(1, len(a.embedding)), "

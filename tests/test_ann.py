@@ -65,3 +65,37 @@ def test_cosine_near_pairs_matches_duckdb(spark, corpus):
     got = {(r["id_a"], r["id_b"]) for r in ann.cosine_near_pairs(corpus, tau=0.5).collect()}
     want = {(a, b) for a, b, _ in duckdb.sql(ann.cosine_near_pairs_sql(f"'{EMB}'", tau=0.5)).fetchall()}
     assert got == want
+
+
+def test_u8_knn_matches_duckdb_bit_exact(spark, corpus, queries):
+    """Packed-uint8 flavor (reference linalg.go:38-53): integer distances
+    must match the oracle's replicated quantization EXACTLY (values, not
+    just ids — no float rounding in this dtype)."""
+    got = sorted(
+        (r["query_id"], r["rk"], r["vec_id"], r["dist"])
+        for r in ann.brute_knn_u8(corpus, queries, k=5).collect()
+    )
+    sql = ann.brute_knn_u8_sql(f"'{EMB}'", f"(SELECT * FROM '{EMB}' WHERE vec_id < 8)", k=5)
+    want = sorted(tuple(t) for t in duckdb.sql(sql).fetchall())
+    assert got == want
+
+
+def test_u8_quantize_shape_and_range(spark, corpus):
+    """Each vector packs to exactly dim bytes; all byte values legal."""
+    row = corpus.select(
+        F.length(ann.quantize_u8(F.col("embedding"))).alias("nbytes"),
+        F.size(F.col("embedding")).alias("dim"),
+    ).collect()
+    assert all(r["nbytes"] == r["dim"] for r in row)
+
+
+def test_u8_knn_agrees_with_float_on_separated_corpus(spark, corpus, queries):
+    """Quantization at 128 buckets/unit keeps the same top-1 as the float
+    kernel for the fixture's well-separated vectors (sanity: the dtype
+    flavor changes precision, not semantics)."""
+    f32 = {(q, v) for q, rk, v in (
+        (r["query_id"], r["rk"], r["vec_id"])
+        for r in ann.brute_knn(corpus, queries, k=1).collect())}
+    u8 = {(r["query_id"], r["vec_id"])
+          for r in ann.brute_knn_u8(corpus, queries, k=1).collect()}
+    assert len(f32 & u8) / len(f32) >= 0.75
