@@ -237,20 +237,79 @@ def cell_knn(
         out_cols = ["query_id", "qlat", "qlon", "rx", "ry", "cell", "url", "lat", "lon"]
         parts = []
         if n_ring_q:
-            # compact rings: enumerate cells, broadcast, equi-join (hash probe
-            # of the corpus — never enumerate wide rings, the arrays explode)
-            ring_q = qcells.filter(~is_band)
-            exploded = ring_q.select(
-                "query_id",
-                "qlat",
-                "qlon",
-                "rx",
-                "ry",
-                F.explode(
-                    geo.ring_cells_xy(F.col("qcell"), res, F.col("rx"), F.col("ry"))
-                ).alias("cell"),
+            # rings enumerate cells and equi-join the corpus (hash probe —
+            # never a per-pair predicate scan). Two scale guards:
+            #
+            # 1. COARSE enumeration: a radius-r ring at the query resolution
+            #    is (2r+1)^2 cells — 1000s for sparse-region queries. The
+            #    same area at parent level `res-s` is <= ~7x7 cells (s sized
+            #    so the coarse radius lands in [2,4]); joining the corpus on
+            #    `cell_parent` keeps the probe an equi-join. The coarse ring
+            #    is a SUPERSET of the planned fine ring (ceil-division cover)
+            #    so the branch-and-bound guarantee — which bounds distance to
+            #    points outside the FINE ring — still proves exactness; the
+            #    extra fringe only adds candidates.
+            # 2. ADAPTIVE broadcast: the exploded (query, cell) table is
+            #    driver-serialized when broadcast — fine small, a
+            #    single-threaded bottleneck at millions of rows (measured:
+            #    flat 4->16-core scaling at 20k queries). Estimate the
+            #    exploded size from (rx, ry) and fall back to a distributed
+            #    shuffle equi-join when it exceeds ~1M rows (at cluster
+            #    scale the corpus side is cell-bucketed, so only the small
+            #    exploded side moves).
+            ring_q = qcells.filter(~is_band).withColumn(
+                "s",
+                F.least(
+                    F.greatest(
+                        F.floor(
+                            F.log2(F.greatest(F.col("rx"), F.col("ry")).cast("double"))
+                        ).cast("int")
+                        - 1,
+                        F.lit(0),
+                    ),
+                    F.lit(res),
+                ),
             )
-            parts.append(F.broadcast(exploded).join(pages_cells, "cell").select(out_cols))
+            s_stats = (
+                ring_q.groupBy("s")
+                .agg(
+                    F.sum(
+                        (
+                            F.ceil(F.col("rx") / F.pow(F.lit(2.0), F.col("s"))) * 2 + 1
+                        )
+                        * (
+                            F.ceil(F.col("ry") / F.pow(F.lit(2.0), F.col("s"))) * 2 + 1
+                        )
+                    ).alias("est_cells")
+                )
+                .collect()
+            )
+            for srow in s_stats:
+                s = int(srow["s"])
+                lv = res - s
+                shift = 1 << s
+                sub = ring_q.filter(F.col("s") == s)
+                qc = geo.encode_cell(F.col("qlat"), F.col("qlon"), lv)
+                rcx = F.ceil(F.col("rx") / F.lit(shift)).cast("long")
+                rcy = F.ceil(F.col("ry") / F.lit(shift)).cast("long")
+                exploded = sub.select(
+                    "query_id",
+                    "qlat",
+                    "qlon",
+                    "rx",
+                    "ry",
+                    F.explode(geo.ring_cells_xy(qc, lv, rcx, rcy)).alias("jcell"),
+                )
+                if int(srow["est_cells"] or 0) <= 1_000_000:
+                    exploded = F.broadcast(exploded)
+                join_key = (
+                    geo.cell_parent(F.col("cell"), lv, res) if s else F.col("cell")
+                )
+                parts.append(
+                    exploded.join(
+                        pages_cells, exploded["jcell"] == join_key
+                    ).select(out_cols)
+                )
         if n_band_q:
             # full-wrap rings are a latitude BAND: broadcast range join on the
             # cell's y coordinate (predicate scan of the corpus, no enumeration)
@@ -282,7 +341,9 @@ def cell_knn(
                 )
             )
             parts.append(band_cands)
-        cands = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        cands = parts[0]
+        for p in parts[1:]:
+            cands = cands.unionByName(p)
         cands = cands.withColumn(
             "dist_km",
             geo.haversine_km(F.col("lat"), F.col("lon"), F.col("qlat"), F.col("qlon")),
