@@ -144,11 +144,13 @@ def _plan_radius(remaining: DataFrame, pages_cells: DataFrame, res: int, k: int)
     prev_res = res
     for lv in levels:
         if lv != prev_res:
-            prev = (
-                prev.groupBy(geo.cell_parent(F.col("cell"), lv, prev_res).alias("cell"))
-                .agg(F.sum("cnt").alias("cnt"))
-                .localCheckpoint(eager=True)
-            )
+            # rollups read the pinned finest-level counts (tiny), NOT the
+            # corpus — lazy is fine; a checkpoint per level would cost one
+            # driver-synchronized job each (the orchestration constant that
+            # dominates small query batches)
+            prev = prev.groupBy(
+                geo.cell_parent(F.col("cell"), lv, prev_res).alias("cell")
+            ).agg(F.sum("cnt").alias("cnt"))
             prev_res = lv
         lvl_counts = prev.withColumnRenamed("cnt", f"cnt_{lv}")
         out = out.join(
@@ -225,18 +227,40 @@ def cell_knn(
             "qcell", geo.encode_cell(F.col("qlat"), F.col("qlon"), res)
         )
         is_band = (F.col("rx") * 2 + 1) >= F.lit(nx)
-        # count each side first (tiny aggregate over remaining): every side
-        # built below costs a full probe of the corpus, so an empty side must
-        # not be constructed at all (rounds 2+ usually have only one kind)
-        side = remaining.select(
-            F.sum(F.when((F.col("rx") * 2 + 1) >= F.lit(nx), 1).otherwise(0)).alias("nb"),
-            F.count("*").alias("nt"),
-        ).collect()[0]
-        n_band_q = int(side["nb"] or 0)
-        n_ring_q = int(side["nt"]) - n_band_q
         out_cols = ["query_id", "qlat", "qlon", "rx", "ry", "cell", "url", "lat", "lon"]
+        # ONE tiny driver action plans the whole round: band-vs-ring split,
+        # the ring coarse-level groups, and their estimated exploded sizes.
+        # Each additional collect here is a driver-synchronized job — the
+        # orchestration constant that dominates small query batches.
+        s_expr = F.least(
+            F.greatest(
+                F.floor(
+                    F.log2(F.greatest(F.col("rx"), F.col("ry")).cast("double"))
+                ).cast("int")
+                - 1,
+                F.lit(0),
+            ),
+            F.lit(res),
+        )
+        plan_rows = (
+            remaining.withColumn("_band", (F.col("rx") * 2 + 1) >= F.lit(nx))
+            .withColumn("s", s_expr)
+            .groupBy("_band", "s")
+            .agg(
+                F.count("*").alias("nq"),
+                F.sum(
+                    (F.ceil(F.col("rx") / F.pow(F.lit(2.0), F.col("s"))) * 2 + 1)
+                    * (F.ceil(F.col("ry") / F.pow(F.lit(2.0), F.col("s"))) * 2 + 1)
+                ).alias("est_cells"),
+            )
+            .collect()
+        )
+        n_band_q = sum(int(r["nq"]) for r in plan_rows if r["_band"])
+        s_groups = [
+            (int(r["s"]), int(r["est_cells"] or 0)) for r in plan_rows if not r["_band"]
+        ]
         parts = []
-        if n_ring_q:
+        if s_groups:
             # rings enumerate cells and equi-join the corpus (hash probe —
             # never a per-pair predicate scan). Two scale guards:
             #
@@ -257,35 +281,8 @@ def cell_knn(
             #    shuffle equi-join when it exceeds ~1M rows (at cluster
             #    scale the corpus side is cell-bucketed, so only the small
             #    exploded side moves).
-            ring_q = qcells.filter(~is_band).withColumn(
-                "s",
-                F.least(
-                    F.greatest(
-                        F.floor(
-                            F.log2(F.greatest(F.col("rx"), F.col("ry")).cast("double"))
-                        ).cast("int")
-                        - 1,
-                        F.lit(0),
-                    ),
-                    F.lit(res),
-                ),
-            )
-            s_stats = (
-                ring_q.groupBy("s")
-                .agg(
-                    F.sum(
-                        (
-                            F.ceil(F.col("rx") / F.pow(F.lit(2.0), F.col("s"))) * 2 + 1
-                        )
-                        * (
-                            F.ceil(F.col("ry") / F.pow(F.lit(2.0), F.col("s"))) * 2 + 1
-                        )
-                    ).alias("est_cells")
-                )
-                .collect()
-            )
-            for srow in s_stats:
-                s = int(srow["s"])
+            ring_q = qcells.filter(~is_band).withColumn("s", s_expr)
+            for s, est_cells in s_groups:
                 lv = res - s
                 shift = 1 << s
                 sub = ring_q.filter(F.col("s") == s)
@@ -300,7 +297,7 @@ def cell_knn(
                     "ry",
                     F.explode(geo.ring_cells_xy(qc, lv, rcx, rcy)).alias("jcell"),
                 )
-                if int(srow["est_cells"] or 0) <= 1_000_000:
+                if est_cells <= 1_000_000:
                     exploded = F.broadcast(exploded)
                 join_key = (
                     geo.cell_parent(F.col("cell"), lv, res) if s else F.col("cell")
@@ -382,7 +379,14 @@ def cell_knn(
             seen = cands.groupBy("query_id").agg(F.count("*").alias("cnt_seen"))
             stats = stats.join(seen, "query_id", "left")
             ok_pred = ok_pred | (F.coalesce(F.col("cnt_seen"), F.lit(0)) >= search_k)
-        stats = stats.withColumn("ok", ok_pred).localCheckpoint(eager=True)
+        stats = stats.withColumn("ok", ok_pred)
+        if search_k is not None:
+            # with a budget, stats depends on `seen` (derived from the full
+            # candidate join) — pin it so the two ok_q consumers below don't
+            # re-run that join. In the exact path stats is a tiny groupBy
+            # over the already-checkpointed `ranked`; recomputing it inside
+            # the consumers is cheaper than an extra eager checkpoint job.
+            stats = stats.localCheckpoint(eager=True)
         n_ok = stats.filter("ok").count()
         if n_ok:
             ok_q = stats.filter("ok").select("query_id")
