@@ -13,19 +13,22 @@ from countrymaam_spark.functions import geo
 
 
 def assign_tiles(pages_geo: DataFrame, zooms: list[int]) -> DataFrame:
-    """-> (url, z, xt, yt) for each zoom level (explode over zooms)."""
-    parts = []
-    for z in zooms:
-        xt, yt = _tile_cols(z)
-        parts.append(
-            pages_geo.filter(F.col("lat").isNotNull()).select(
-                "url", F.lit(z).alias("z"), xt.alias("xt"), yt.alias("yt")
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    """-> (url, z, xt, yt) for each zoom level.
+
+    All zoom expressions evaluate in ONE corpus pass (array-of-structs +
+    explode), not a union of per-zoom scans — at 20M rows the union form
+    costs one full scan per zoom and its fixed per-stage overhead was the
+    dominant non-scaling term of the tile stage. Row set is identical to
+    the UNION ALL oracle (order differs; the driver compare sorts)."""
+    structs = [
+        F.struct(F.lit(z).alias("z"), xt.alias("xt"), yt.alias("yt"))
+        for z, (xt, yt) in ((z, _tile_cols(z)) for z in zooms)
+    ]
+    return (
+        pages_geo.filter(F.col("lat").isNotNull())
+        .select("url", F.explode(F.array(*structs)).alias("t"))
+        .select("url", "t.z", "t.xt", "t.yt")
+    )
 
 
 def _tile_cols(z: int):
