@@ -36,6 +36,9 @@ SF_ROWS = {
     "sf0.1": 200_000,
     "sf1": 2_000_000,
     "sf10": 20_000_000,
+    # scaling-evidence scale: large enough that the short spatial stages'
+    # fixed per-stage costs amortize (see BENCH.md fixed-cost fit)
+    "sf30": 60_000_000,
 }
 
 _FILLERS = [
