@@ -99,3 +99,15 @@ def test_u8_knn_agrees_with_float_on_separated_corpus(spark, corpus, queries):
     u8 = {(r["query_id"], r["vec_id"])
           for r in ann.brute_knn_u8(corpus, queries, k=1).collect()}
     assert len(f32 & u8) / len(f32) >= 0.75
+
+
+def test_brute_knn_plan_shape(spark, corpus, queries):
+    """Plan regression: queries broadcast against one corpus pass +
+    WindowGroupLimit partial top-k — for both dtype flavors."""
+    for df in (
+        ann.brute_knn(corpus, queries, k=3),
+        ann.brute_knn_u8(corpus, queries, k=3),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "WindowGroupLimit" in plan

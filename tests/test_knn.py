@@ -97,3 +97,17 @@ def test_cell_knn_search_k_budget_counts_candidates_seen(spark):
     flat = _key(flat_knn(corpus, q, k=5).collect())
     budget = _key(cell_knn(corpus, q, k=5, res=7, search_k=100).collect())
     assert budget == flat
+
+
+def test_flat_knn_plan_shape(spark, geo_small, queries_small):
+    """Physical-plan regression: the corpus pass must be a broadcast of the
+    QUERY side (never an exchange of the pages scan) and the top-k must use
+    WindowGroupLimit (partial per-partition rank before any shuffle)."""
+    plan = (
+        flat_knn(geo_small.filter(F.col("lat").isNotNull()), queries_small, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
