@@ -433,8 +433,11 @@ def oracle_sql() -> dict[str, str]:
         WHERE l_shipdate <= DATE '1998-09-02'
         GROUP BY 1, 2
     """
+    # CAST: the windowed SUM widens to HUGEINT in DuckDB, which the driver's
+    # hasher serializes differently from Spark's BIGINT (same bug class as
+    # doc_fingerprint round 1) — values are identical, only the type differs
     o["events_sessionize"] = """
-        SELECT user_id, MAX(sess_id) AS n_sessions, COUNT(*) AS n_events FROM (
+        SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
             SELECT user_id,
                    SUM(new_sess) OVER (
                        PARTITION BY user_id ORDER BY ts ASC, event_id ASC
