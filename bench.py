@@ -143,9 +143,12 @@ def main() -> None:
     idx_dir = tempfile.mkdtemp(prefix="cm_idx_")
     try:
         def _build_index():
+            # group-rows knob: smaller groups = more (parent,salt) blobs =
+            # finer serve-side task granularity (the scaling sweep uses 5k;
+            # candidate sets and results are identical either way)
             cells = index_build.salt_hot_cells(
                 index_build.encode_pages(g.select("url", "lat", "lon"), 7, 4),
-                target_group_rows=20_000,
+                target_group_rows=int(os.environ.get("SPARK_GRAFT_GROUP_ROWS", "20000")),
             )
             trees = index_build.build_tree_blobs(cells, seed=42)
             trees.write.mode("overwrite").parquet(os.path.join(idx_dir, "trees"))
