@@ -30,6 +30,7 @@ from countrymaam_spark.operators.tiles import assign_tiles, assign_tiles_sql, ti
 from countrymaam_spark.sources import pages as PG
 
 ORACLE_SF = "sf0.01"  # the driver compares at sf=0.01
+_STREAM_N = [0]  # memory-sink names must be unique per streaming start
 ZOOMS = [4, 8, 12]
 CELL_RES = 7
 PARENT_RES = 4
@@ -301,6 +302,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sessionization: lag + running sum windows (gap > 30 min starts a session)
     q["events_sessionize"] = _sessions
 
+    def _stream_rollup(s: SparkSession, d: str) -> DataFrame:
+        """Structured Streaming driver entry: the pages fixture replayed
+        through readStream -> geotag -> watermarked windowed per-parent
+        rollup (complete mode, availableNow), drained into a memory sink.
+        The oracle is the equivalent batch GROUP BY: window start =
+        floor(epoch/600)*600 (Spark windows align to the 1970 epoch) and
+        the res-4 parent of a res-7 cell equals encoding directly at res 4
+        (floor nesting). Window bound emitted as epoch SECONDS (BIGINT) so
+        no timestamp/timezone serialization can flip the driver hash."""
+        from countrymaam_spark.streaming import ingest
+
+        import shutil
+        import tempfile
+
+        sf = PG.sf_name_from_dir(d)
+        src = _fixture(sf, "pages.parquet")
+        schema = s.read.parquet(src).schema
+        # the file source wants a DIRECTORY of drops; hard-link the fixture
+        # into a throwaway drop dir (instant, no copy)
+        drop_dir = tempfile.mkdtemp(prefix="cm_stream_drop_")
+        try:
+            try:
+                os.link(src, os.path.join(drop_dir, "drop1.parquet"))
+            except OSError:
+                shutil.copy(src, os.path.join(drop_dir, "drop1.parquet"))
+            stream = ingest.stream_pages_from_dir(s, drop_dir, schema)
+            _STREAM_N[0] += 1
+            name = f"stream_rollup_sink_{_STREAM_N[0]}"
+            sq = ingest.run_to_memory_sink(
+                ingest.windowed_cell_counts(
+                    ingest.geotag_stream(stream, res=CELL_RES),
+                    parent_res=PARENT_RES,
+                    res=CELL_RES,
+                ),
+                name,
+                mode="complete",
+            )
+            sq.awaitTermination(600)
+            # pin the result before the drop dir disappears
+            out = s.table(name).select(
+                F.unix_timestamp(F.col("window_start")).cast("long").alias("ws"),
+                "parent",
+                "n_pages",
+            ).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(drop_dir, ignore_errors=True)
+        return out
+
+    q["stream_cell_rollup"] = _stream_rollup
+
     q["region_revenue"] = lambda s, d: (
         s.read.parquet(os.path.join(d, "orders.parquet"))
         .join(
@@ -455,6 +506,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ) m
         ) s GROUP BY user_id
+    """
+    # streaming rollup == batch GROUP BY: Spark event-time windows align to
+    # the 1970 epoch (floor(epoch/600)*600); res-4 parent of a res-7 cell ==
+    # encoding at res 4 directly (floor nesting); ws in epoch seconds BIGINT
+    o["stream_cell_rollup"] = f"""
+        SELECT CAST(floor(epoch(warc_ts) / 600.0) * 600 AS BIGINT) AS ws,
+               {G.encode_cell_sql('lat', 'lon', PARENT_RES)} AS parent,
+               COUNT(*) AS n_pages
+        FROM {_pages_geo_rel(ORACLE_SF)}
+        WHERE lat IS NOT NULL
+        GROUP BY 1, 2
     """
     o["region_revenue"] = """
         SELECT r_name, COUNT(*) AS n_orders,
