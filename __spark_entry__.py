@@ -186,6 +186,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embed_knn_u8"] = lambda s, d: ann.brute_knn_u8(
         _emb(s, d), _emb_queries(s, d), k=5
     )
+    # IVF: n_probe == n_lists probes every inverted list -> exact (reference
+    # invariant 3: budget >= corpus => exact), so the brute oracle applies
+    # while the PLAN stays the list-bucketed probe + re-rank
+    q["embed_knn_ivf"] = lambda s, d: ann.ivf_knn(
+        _emb(s, d), _emb_queries(s, d), k=5, n_lists=16, n_probe=16
+    )
     # --- graph index family (NN-Descent / AKNN / composite) ---
     def _graph_edges(s: SparkSession, d: str) -> DataFrame:
         from countrymaam_spark.operators import graph as GR
@@ -449,6 +455,7 @@ def oracle_sql() -> dict[str, str]:
     # recall 1.0 at the query's LSH config on this fixture -> exact oracle
     o["embed_lsh_knn"] = ann.brute_knn_sql("embeddings", emb_q, k=5)
     o["embed_knn_u8"] = ann.brute_knn_u8_sql("embeddings", emb_q, k=5)
+    o["embed_knn_ivf"] = ann.brute_knn_sql("embeddings", emb_q, k=5)
     # graph walk budgets verified exact on the fixture -> exact oracle
     o["embed_knn_graph"] = ann.brute_knn_sql("embeddings", emb_q, k=5)
     o["embed_knn_composite"] = ann.brute_knn_sql("embeddings", emb_q, k=5)

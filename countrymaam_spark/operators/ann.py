@@ -219,6 +219,106 @@ def cosine_near_pairs(
     return pairs.withColumn("cos", cos).filter(F.col("cos") >= tau).select("id_a", "id_b", "cos")
 
 
+# --- IVF (inverted-file) ANN ---------------------------------------------
+
+
+def _kmeans_centroids(
+    corpus: DataFrame, vec_col: str, n_lists: int, sample_n: int, iters: int, seed: int
+) -> np.ndarray:
+    """Seeded mini k-means over a bounded driver-side sample (<= sample_n
+    vectors — O(MBs) at any corpus scale; the full corpus never leaves the
+    executors). Lloyd iterations in numpy; empty clusters re-seeded from the
+    farthest points (deterministic)."""
+    pdf = (
+        corpus.select(vec_col)
+        .limit(sample_n)
+        .toPandas()
+    )
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = x[m].mean(axis=0)
+            else:
+                cents[c] = x[d.min(axis=1).argmax()]
+    return cents
+
+
+def _nearest_lists(vec_col, cents: np.ndarray, n: int):
+    """array<int> of the n nearest centroid ids per vector (one BLAS matmul
+    per Arrow batch: ||x-c||^2 = ||x||^2 - 2x.c + ||c||^2)."""
+    c = cents.astype(np.float64)
+    c2 = (c * c).sum(axis=1)
+
+    @F.pandas_udf("array<int>")
+    def _nl(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        d = c2[None, :] - 2.0 * (m @ c.T)  # + ||x||^2, constant per row
+        idx = np.argsort(d, axis=1)[:, :n].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return _nl(vec_col)
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    sample_n: int = 2048,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: coarse k-means quantizer -> per-vector inverted list ->
+    queries probe their ``n_probe`` nearest lists -> exact re-rank.
+    -> (query_id, rk, vec_id, dist).
+
+    The scale path for the reference's budget semantics on embeddings:
+    recall monotone in n_probe; ``n_probe >= n_lists`` probes every list
+    and is EXACT (the brute-force oracle applies). The corpus partitions by
+    list id (equi-join — at scale the corpus table is bucketed by list);
+    only probed lists' rows are scored."""
+    cents = _kmeans_centroids(corpus, vec_col, n_lists, sample_n, iters, seed)
+    c_lists = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        F.element_at(_nearest_lists(F.col(vec_col), cents, 1), 1).alias("list_id"),
+    )
+    q_lists = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.col(query_vec_col).alias("qv"),
+        F.explode(
+            _nearest_lists(F.col(query_vec_col), cents, min(n_probe, len(cents)))
+        ).alias("list_id"),
+    )
+    cands = (
+        c_lists.join(F.broadcast(q_lists), "list_id")
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("dist", _dist("sq_l2", F.col("cv"), F.col("qv")))
+    )
+    out = topk_per_group(
+        cands.select("qid", "cid", "dist"), ["qid"], "dist", "cid", k, dedup=False
+    )
+    return out.select(
+        F.col("qid").alias("query_id"),
+        "rk",
+        F.col("cid").alias("vec_id"),
+        F.round("dist", 3).alias("dist"),
+    )
+
+
 # --- packed-uint8 dtype flavor -------------------------------------------
 # The reference dispatches its distance kernels over {float32, uint8}
 # element types (/root/reference/linalg/linalg.go:38-53, dispatch at

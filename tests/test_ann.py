@@ -111,3 +111,24 @@ def test_brute_knn_plan_shape(spark, corpus, queries):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" in plan
         assert "WindowGroupLimit" in plan
+
+
+def test_ivf_full_probe_is_exact(spark, corpus, queries):
+    """n_probe == n_lists probes every inverted list -> exact (reference
+    invariant: budget >= corpus => exact results)."""
+    brute = _key(ann.brute_knn(corpus, queries, k=5).collect())
+    ivf = _key(ann.ivf_knn(corpus, queries, k=5, n_lists=8, n_probe=8).collect())
+    assert ivf == brute
+
+
+def test_ivf_recall_monotone_in_probe(spark, corpus, queries):
+    brute = {(q, v) for q, _, v in _key(ann.brute_knn(corpus, queries, k=5).collect())}
+
+    def recall(n_probe):
+        got = {(q, v) for q, _, v in _key(
+            ann.ivf_knn(corpus, queries, k=5, n_lists=8, n_probe=n_probe).collect())}
+        return len(brute & got) / len(brute)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
+    assert r4 >= 0.5
