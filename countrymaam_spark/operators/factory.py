@@ -22,8 +22,16 @@ from pyspark.sql import DataFrame
 
 from countrymaam_spark.operators import ann, graph, index_build, knn
 
-EMBED_KINDS = ("flat", "rplsh", "aknn", "rpaknn")
+EMBED_KINDS = ("flat", "rplsh", "ivf", "aknn", "rpaknn")
 GEO_KINDS = ("cell", "kd", "rkd", "rp", "rrp")
+# the reference CLI's exact names accepted verbatim
+# (/root/reference/cmd/countrymaam/main.go:29-78)
+ALIASES = {
+    "kd-tree": "kd",
+    "rkd-tree": "rkd",
+    "rp-tree": "rp",
+    "rrp-tree": "rrp",
+}
 
 
 @dataclass
@@ -48,8 +56,14 @@ class IndexConfig:
     # lsh knobs (rplsh / rpaknn head)
     n_tables: int = 8
     bits: int = 4
+    # ivf knobs
+    n_lists: int = 16
+    n_probe: int = 4
     seed: int = 42
     extra: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        self.kind = ALIASES.get(self.kind, self.kind)
 
 
 class AnnIndex:
@@ -74,6 +88,11 @@ class AnnIndex:
             return ann.rp_lsh_knn(
                 self.corpus, queries, k=k,
                 n_tables=cfg.n_tables, bits=cfg.bits, seed=cfg.seed,
+            )
+        if cfg.kind == "ivf":
+            return ann.ivf_knn(
+                self.corpus, queries, k=k,
+                n_lists=cfg.n_lists, n_probe=cfg.n_probe, seed=cfg.seed,
             )
         if cfg.kind == "aknn":
             return graph.graph_knn(

@@ -174,7 +174,7 @@ def test_factory_zoo(spark, geo_small):
         (r["query_id"], r["url"])
         for r in flat_knn(geo_small, queries, k=5).collect()
     }
-    for kind in ("cell", "kd", "rkd", "rp", "rrp"):
+    for kind in ("cell", "kd-tree", "rkd-tree", "rp-tree", "rrp-tree"):  # reference CLI names
         idx = create_index(
             geo_small,
             IndexConfig(kind=kind, k=5, ring=None, search_k=1 << 30, n_trees=2,
@@ -193,11 +193,12 @@ def test_factory_zoo(spark, geo_small):
         (r["query_id"], r["vec_id"])
         for r in _ann.brute_knn(emb, eq, k=5).collect()
     }
-    for kind in ("flat", "rplsh", "aknn", "rpaknn"):
+    for kind in ("flat", "rplsh", "ivf", "aknn", "rpaknn"):
         idx = create_index(
             emb,
             IndexConfig(kind=kind, k=5, n_tables=24, bits=4, entries_num=10,
-                        beam=24, max_hops=6, graph_k=10, max_iter=8),
+                        beam=24, max_hops=6, graph_k=10, max_iter=8,
+                        n_lists=8, n_probe=8),
         )
         got = {(r["query_id"], r["vec_id"]) for r in idx.search(eq).collect()}
         recall = len(got & e_exact) / len(e_exact)
