@@ -217,11 +217,17 @@ def cell_knn(
         # materialized rows instead of re-running the stats joins
         .localCheckpoint(eager=True)
     )
-    n_remaining = remaining.count()
+    n_total = n_remaining = remaining.count()
     settled_parts: list[DataFrame] = []
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         if n_remaining == 0:
+            break
+        # straggler cutoff: once <=1% of queries (or <=32) remain, the exact
+        # flat fallback over that residue costs less than another full
+        # driver-synchronized round (each round is ~5 jobs + a corpus probe);
+        # results are identical either way — the fallback is exact
+        if rnd > 0 and n_remaining <= max(32, n_total // 100):
             break
         qcells = remaining.withColumn(
             "qcell", geo.encode_cell(F.col("qlat"), F.col("qlon"), res)
