@@ -169,11 +169,18 @@ def search(
         return np.empty(0, np.int64), np.empty(0, np.float64)
     is_rp = tree.get("kind") == "rp"
     heap: list[tuple[float, int]] = [(0.0, 0)]
-    best: list[tuple[float, int]] = []  # max-heap via negated dist
+    # leaf candidates accumulate as numpy blocks; the k-th-smallest-so-far
+    # (the branch-and-bound prune bound) is maintained with argpartition —
+    # identical semantics to the former per-point heap, without a Python
+    # loop per leaf point (the serving hot path's constant factor)
+    cand_i: list[np.ndarray] = []
+    cand_d: list[np.ndarray] = []
+    n_cand = 0
+    kth = np.inf
     leaves = 0
     while heap and leaves < max_leaves:
         bound, node = heapq.heappop(heap)
-        if len(best) >= k and bound * bound >= -best[0][0]:
+        if n_cand >= k and bound * bound >= kth:
             continue
         while tree["left"][node] != 0 or tree["right"][node] != 0:
             val = tree["split_val"][node]
@@ -192,14 +199,24 @@ def search(
         idx = tree["indice"][b:e]
         if len(idx):
             d2 = ((points[idx] - query) ** 2).sum(axis=1)
-            for i, dd in zip(idx, d2):
-                if len(best) < k:
-                    heapq.heappush(best, (-float(dd), int(i)))
-                elif dd < -best[0][0]:
-                    heapq.heapreplace(best, (-float(dd), int(i)))
+            cand_i.append(idx)
+            cand_d.append(d2)
+            n_cand += len(idx)
+            if n_cand >= k:
+                alld = np.concatenate(cand_d) if len(cand_d) > 1 else cand_d[0]
+                if len(alld) > 4 * max(k, 32):
+                    # compact: keep exactly the k best (bound unchanged)
+                    alli = np.concatenate(cand_i)
+                    sel = np.argpartition(alld, k - 1)[:k]
+                    cand_d, cand_i = [alld[sel]], [alli[sel]]
+                    n_cand = k
+                    kth = float(alld[sel].max())
+                else:
+                    kth = float(np.partition(alld, k - 1)[k - 1])
         leaves += 1
-    out = sorted(((-nd, i) for nd, i in best))
-    return (
-        np.asarray([i for _, i in out], dtype=np.int64),
-        np.asarray([d for d, _ in out], dtype=np.float64),
-    )
+    if n_cand == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    alld = np.concatenate(cand_d) if len(cand_d) > 1 else cand_d[0]
+    alli = np.concatenate(cand_i) if len(cand_i) > 1 else cand_i[0]
+    ord_ = np.argsort(alld, kind="stable")[: min(k, len(alld))]
+    return alli[ord_].astype(np.int64), alld[ord_].astype(np.float64)
