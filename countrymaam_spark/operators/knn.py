@@ -238,30 +238,44 @@ def cell_knn(
         # the ring coarse-level groups, and their estimated exploded sizes.
         # Each additional collect here is a driver-synchronized job — the
         # orchestration constant that dominates small query batches.
-        s_expr = F.least(
-            F.greatest(
-                F.floor(
-                    F.log2(F.greatest(F.col("rx"), F.col("ry")).cast("double"))
-                ).cast("int")
-                - 1,
-                F.lit(0),
-            ),
-            F.lit(res),
+        def _shift_of(col):
+            return F.least(
+                F.greatest(
+                    F.floor(F.log2(F.greatest(col, F.lit(1)).cast("double"))).cast(
+                        "int"
+                    )
+                    - 1,
+                    F.lit(0),
+                ),
+                F.lit(res),
+            )
+
+        s_expr = _shift_of(F.greatest(F.col("rx"), F.col("ry")))
+        t_expr = _shift_of(F.col("ry"))  # band path: shift from ry only
+        shift_col = F.when((F.col("rx") * 2 + 1) >= F.lit(nx), t_expr).otherwise(
+            s_expr
         )
         plan_rows = (
             remaining.withColumn("_band", (F.col("rx") * 2 + 1) >= F.lit(nx))
-            .withColumn("s", s_expr)
+            .withColumn("s", shift_col)
             .groupBy("_band", "s")
             .agg(
                 F.count("*").alias("nq"),
                 F.sum(
-                    (F.ceil(F.col("rx") / F.pow(F.lit(2.0), F.col("s"))) * 2 + 1)
-                    * (F.ceil(F.col("ry") / F.pow(F.lit(2.0), F.col("s"))) * 2 + 1)
+                    F.when(
+                        F.col("_band"),
+                        F.ceil(F.col("ry") / F.pow(F.lit(2.0), F.col("s"))) * 2 + 2,
+                    ).otherwise(
+                        (F.ceil(F.col("rx") / F.pow(F.lit(2.0), F.col("s"))) * 2 + 1)
+                        * (F.ceil(F.col("ry") / F.pow(F.lit(2.0), F.col("s"))) * 2 + 1)
+                    )
                 ).alias("est_cells"),
             )
             .collect()
         )
-        n_band_q = sum(int(r["nq"]) for r in plan_rows if r["_band"])
+        band_groups = [
+            (int(r["s"]), int(r["est_cells"] or 0)) for r in plan_rows if r["_band"]
+        ]
         s_groups = [
             (int(r["s"]), int(r["est_cells"] or 0)) for r in plan_rows if not r["_band"]
         ]
@@ -313,37 +327,62 @@ def cell_knn(
                         pages_cells, exploded["jcell"] == join_key
                     ).select(out_cols)
                 )
-        if n_band_q:
-            # full-wrap rings are a latitude BAND: broadcast range join on the
-            # cell's y coordinate (predicate scan of the corpus, no enumeration)
-            band_q = qcells.filter(is_band).select(
-                F.col("query_id").alias("b_query_id"),
-                F.col("qlat").alias("b_qlat"),
-                F.col("qlon").alias("b_qlon"),
-                F.col("rx").alias("b_rx"),
-                F.col("ry").alias("b_ry"),
-                geo.cell_y(F.col("qcell")).alias("b_qy"),
-            )
-            band_cands = (
-                pages_cells.withColumn("cy", geo.cell_y(F.col("cell")))
-                .join(
-                    F.broadcast(band_q),
-                    (F.col("cy") >= F.col("b_qy") - F.col("b_ry"))
-                    & (F.col("cy") <= F.col("b_qy") + F.col("b_ry")),
+        if band_groups:
+            # full-wrap rings are a latitude BAND. The naive form — a range
+            # predicate join on the cell's y — is a BroadcastNestedLoopJoin:
+            # O(|corpus| x |band queries|) predicate evaluations. Instead,
+            # bucket y into coarse rows of height 2^t (t from ry, like the
+            # ring path) and EQUI-join on the coarse row id; the exact
+            # [qy-ry, qy+ry] filter afterwards keeps results identical.
+            ny = 1 << res
+            band_q = qcells.filter(is_band).withColumn("t", t_expr)
+            for t, est in band_groups:
+                shift = 1 << t
+                ny_c = max(ny // shift, 1)
+                sub = band_q.filter(F.col("t") == t)
+                qy = geo.cell_y(F.col("qcell"))
+                lo = F.greatest(
+                    F.floor((qy - F.col("ry")) / F.lit(shift)).cast("long"), F.lit(0)
                 )
-                .select(
-                    F.col("b_query_id").alias("query_id"),
-                    F.col("b_qlat").alias("qlat"),
-                    F.col("b_qlon").alias("qlon"),
-                    F.col("b_rx").alias("rx"),
-                    F.col("b_ry").alias("ry"),
-                    "cell",
-                    "url",
-                    "lat",
-                    "lon",
+                hi = F.least(
+                    F.floor((qy + F.col("ry")) / F.lit(shift)).cast("long"),
+                    F.lit(ny_c - 1),
                 )
-            )
-            parts.append(band_cands)
+                exploded = sub.select(
+                    F.col("query_id").alias("b_query_id"),
+                    F.col("qlat").alias("b_qlat"),
+                    F.col("qlon").alias("b_qlon"),
+                    F.col("rx").alias("b_rx"),
+                    F.col("ry").alias("b_ry"),
+                    qy.alias("b_qy"),
+                    F.explode(F.sequence(lo, hi)).alias("crow"),
+                )
+                if est <= 1_000_000:
+                    exploded = F.broadcast(exploded)
+                corp = pages_cells.withColumn("cy", geo.cell_y(F.col("cell")))
+                band_cands = (
+                    corp.join(
+                        exploded,
+                        F.floor(F.col("cy") / F.lit(shift)).cast("long")
+                        == exploded["crow"],
+                    )
+                    .filter(
+                        (F.col("cy") >= F.col("b_qy") - F.col("b_ry"))
+                        & (F.col("cy") <= F.col("b_qy") + F.col("b_ry"))
+                    )
+                    .select(
+                        F.col("b_query_id").alias("query_id"),
+                        F.col("b_qlat").alias("qlat"),
+                        F.col("b_qlon").alias("qlon"),
+                        F.col("b_rx").alias("rx"),
+                        F.col("b_ry").alias("ry"),
+                        "cell",
+                        "url",
+                        "lat",
+                        "lon",
+                    )
+                )
+                parts.append(band_cands)
         cands = parts[0]
         for p in parts[1:]:
             cands = cands.unionByName(p)
