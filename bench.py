@@ -208,7 +208,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_name,
                 "pages": n_pages,
-                "pages_per_sec": round(n_pages / geo_total, 1),
+                "pages_per_sec": round(n_pages / geo_total, 1) if geo_total else 0.0,
                 "total_sec": total,
                 "cpus": cpus,
             }

@@ -11,6 +11,10 @@ overflow in both Spark (ANSI mode) and DuckDB.
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -215,6 +219,43 @@ def minhash_sig_from_hashes(hash_arr: Column, num_hashes: int = 16) -> Column:
         mapped = F.transform(hash_arr, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(M31))
         sig.append(F.coalesce(F.array_min(mapped), F.lit(M31).cast("long")).alias("m"))
     return F.array(*sig)
+
+
+def minhash_sig_vec(shingle_arr: Column, num_hashes: int = 16) -> Column:
+    """``minhash_sig`` as ONE vectorized pandas UDF — bit-identical values.
+
+    Why: the expression form computes JVM ``md5`` per shingle, and
+    ``MessageDigest.getInstance`` serializes across task threads (the same
+    lock that froze geotag scaling, see operators/geotag.py), plus a
+    num_hashes-wide affine-map expression tree. Here hashlib runs at C
+    speed in one process per core and the affine maps + min collapse to a
+    single (shingles x hashes) numpy broadcast. The DuckDB oracle formula
+    is unchanged — values match the expression form exactly
+    (tests/test_dedup.py asserts the driver pair)."""
+    coeffs = _minhash_coeffs(num_hashes)
+    a = np.array([c[0] for c in coeffs], dtype=np.int64)
+    b = np.array([c[1] for c in coeffs], dtype=np.int64)
+    empty = np.full(num_hashes, M31, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _sig(col: pd.Series) -> pd.Series:
+        out = []
+        for sh in col:
+            if sh is None or len(sh) == 0:
+                out.append(empty)
+                continue
+            hs = np.fromiter(
+                (
+                    int(hashlib.md5(x.encode("utf-8")).hexdigest()[:15], 16) % M31
+                    for x in sh
+                ),
+                dtype=np.int64,
+                count=len(sh),
+            )
+            out.append(((a[None, :] * hs[:, None] + b[None, :]) % M31).min(axis=0))
+        return pd.Series(out)
+
+    return _sig(shingle_arr)
 
 
 def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:

@@ -150,10 +150,10 @@ def minhash_lsh_pairs(
     # shingle table is consumed three times (signatures + two verify joins):
     # cache it so the expression-heavy shingling runs once
     s = _doc_shingles(docs, id_col, text_col, n).cache()
-    # materialize md5 hashes once, then 16 cheap integer maps over them
-    sig = s.withColumn("shh", F.transform(F.col("sh"), T.tok_hash)).withColumn(
-        "sig", T.minhash_sig_from_hashes(F.col("shh"), num_hashes)
-    )
+    # one vectorized pandas UDF computes the whole signature (md5 at C speed
+    # per process — the JVM md5 path is MessageDigest-lock-bound across task
+    # threads); values are bit-identical to the expression form
+    sig = s.withColumn("sig", T.minhash_sig_vec(F.col("sh"), num_hashes))
 
     # band buckets carry ONLY (did, band, key) — the shingle arrays never
     # enter the self-join shuffle (they'd dominate the exchange at scale);
