@@ -301,6 +301,35 @@ def simhash(text: Column, bits: int = 32) -> Column:
     )
 
 
+def simhash_vec(tokens_arr: Column, bits: int = 32) -> Column:
+    """``simhash`` over a pre-tokenized array<string> as ONE vectorized
+    pandas UDF — bit-identical values (tests assert against the expression
+    form). Tokenization stays in the expression layer (split/filter
+    semantics must match the SQL oracle); only the MessageDigest-lock-bound
+    md5 hashing and the vote fold move to hashlib + numpy."""
+    jbits = np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def _sh(col: pd.Series) -> pd.Series:
+        out = np.zeros(len(col), dtype=np.int64)
+        for i, toks in enumerate(col):
+            if toks is None or len(toks) == 0:
+                continue
+            hs = np.fromiter(
+                (
+                    int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) % M31
+                    for t in toks
+                ),
+                dtype=np.int64,
+                count=len(toks),
+            )
+            votes = (((hs[:, None] >> jbits[None, :]) & 1) * 2 - 1).sum(axis=0)
+            out[i] = int(((votes > 0).astype(np.int64) << jbits).sum())
+        return pd.Series(out)
+
+    return _sh(tokens_arr)
+
+
 def simhash_sql(text: str, bits: int = 32) -> str:
     toks = tokens_sql(text)
     hs = f"list_transform({toks}, t -> {tok_hash_sql('t')})"

@@ -197,8 +197,12 @@ def minhash_lsh_pairs(
 
 
 def simhash_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """-> (doc_id, simhash): 32-bit portable SimHash per doc."""
-    return docs.select(F.col(id_col), T.simhash(F.col(text_col)).alias("simhash"))
+    """-> (doc_id, simhash): 32-bit portable SimHash per doc. Tokenization
+    is expression-side (oracle-identical split); hashing + votes run in the
+    vectorized UDF (JVM md5 is MessageDigest-lock-bound across threads)."""
+    return docs.select(
+        F.col(id_col), T.simhash_vec(T.tokens(F.col(text_col))).alias("simhash")
+    )
 
 
 def simhash_docs_sql(docs_rel: str, id_col: str = "doc_id", text_col: str = "text") -> str:
