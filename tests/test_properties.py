@@ -107,3 +107,31 @@ def test_haversine_properties(spark, pts):
     assert row["max_self"] == 0.0
     assert row["asym"] < 1e-9
     assert row["max_d"] <= 2 * 3.141592653589793 * geo.EARTH_RADIUS_KM / 2 + 1e-6
+
+
+def test_empty_inputs_are_legal(spark):
+    """Reference semantics: fewer than k results are legal; empty query sets
+    and all-null-geo corpora must not error (SURVEY invariant 4)."""
+    from countrymaam_spark.operators.knn import cell_knn, flat_knn
+    from countrymaam_spark.operators.pip import point_in_polygon
+
+    corpus = spark.createDataFrame(
+        [("u0", 10.0, 20.0), ("u1", None, None)], "url string, lat double, lon double"
+    )
+    no_geo = corpus.filter(F.col("lat").isNull())
+    no_q = spark.createDataFrame([], "query_id long, lat double, lon double")
+    one_q = spark.createDataFrame([(0, 10.0, 20.0)], "query_id long, lat double, lon double")
+
+    assert flat_knn(corpus, no_q, k=3).count() == 0
+    assert cell_knn(corpus, no_q, k=3, res=5).count() == 0
+    # corpus with zero geotagged rows -> zero results, no error
+    assert flat_knn(no_geo, one_q, k=3).count() == 0
+    assert cell_knn(no_geo, one_q, k=3, res=5).count() == 0
+    # fewer than k: 1-row corpus serving k=3 returns 1 row
+    assert flat_knn(corpus, one_q, k=3).count() == 1
+    assert cell_knn(corpus, one_q, k=3, res=5).count() == 1
+
+    edges = spark.createDataFrame(
+        [], "poly_id long, lat1 double, lon1 double, lat2 double, lon2 double"
+    )
+    assert point_in_polygon(corpus, edges, res=5).count() == 0
