@@ -20,10 +20,18 @@ Two paths, mirroring the reference's index zoo:
   recall-vs-effort knob (/root/reference/countrymaam.go:40-45).
 
 Scale notes (100 TB corpus):
-- the big side (pages) is never shuffled in either path: flat broadcasts
-  queries; cell_knn broadcasts exploded (query, cell) pairs and equi-joins
-  against a cell-partitioned corpus, so only candidates leave the scan.
-- per-round state is O(|queries|); escalation rounds collect only counts.
+- EVERY corpus probe is a hash equi-join — never a per-pair predicate scan:
+  compact rings enumerate cells at the query resolution; wide rings
+  enumerate at the parent level that keeps the coarse radius in [2, 4] and
+  join on ``cell_parent``; full-wrap latitude bands explode to the coarse
+  y-rows they span and join on the row id (exact range filter after).
+- the exploded (query, cell) side is broadcast while small (estimated from
+  the planned radii) and becomes a distributed shuffle join beyond ~1M
+  rows; the corpus side never shuffles (at cluster scale it is a
+  cell-bucketed table).
+- per-round state is O(|queries|); each round plans itself with ONE tiny
+  driver collect; once <=1% of queries remain the exact flat fallback
+  replaces further rounds.
 """
 
 from __future__ import annotations
