@@ -44,7 +44,12 @@ def _make_extract():
             }
         )
 
-    return _extract
+    # the values ARE deterministic (sha256 + regex); the marker only stops
+    # Catalyst pushing a consumer's lat-IS-NOT-NULL filter below the
+    # projection and DUPLICATING the UDF — the .explain showed two
+    # ArrowEvalPython nodes (one for the filter, one for the output), i.e.
+    # every filtered consumer paid the extraction twice
+    return _extract.asNondeterministic()
 
 
 def extract_geo(pages: DataFrame) -> DataFrame:
