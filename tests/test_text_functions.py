@@ -89,3 +89,22 @@ def test_minhash_identical_texts_equal_sig(spark):
     sigs = [tuple(r[0]) for r in df.select(T.minhash_sig(T.shingles(F.col("t")))).collect()]
     assert sigs[0] == sigs[1]
     assert len(sigs[0]) == 16
+
+
+def test_minhash_vec_identical_to_expression_form(spark):
+    """The vectorized pandas-UDF signature must stay bit-identical to the
+    expression form (which defines the oracle-shared semantics)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = docs.select("doc_id", T.shingles(F.col("text"), 3).alias("sh"))
+    a = sh.select("doc_id", T.minhash_sig(F.col("sh")).alias("s")).orderBy("doc_id").collect()
+    b = sh.select("doc_id", T.minhash_sig_vec(F.col("sh")).alias("s")).orderBy("doc_id").collect()
+    assert all(x["s"] == y["s"] for x, y in zip(a, b)) and len(a) > 0
+
+
+def test_simhash_vec_identical_to_expression_form(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = docs.select("doc_id", T.simhash(F.col("text")).alias("s")).orderBy("doc_id").collect()
+    b = docs.select(
+        "doc_id", T.simhash_vec(T.tokens(F.col("text"))).alias("s")
+    ).orderBy("doc_id").collect()
+    assert all(x["s"] == y["s"] for x, y in zip(a, b)) and len(a) > 0
