@@ -3,7 +3,8 @@ two parallelism levels (local[8] vs local[32] — the sandbox stand-in for N vs
 4N executors) and report per-stage throughput plus efficiency
 (T_low / T_high) / (cpus_high / cpus_low).
 
-Writes the results table into BENCH.md.
+Writes the results table into BENCH_SCALING.md (BENCH.md is the curated,
+hand-annotated record — never overwritten by automation).
 
 Usage: python scripts/scaling_bench.py [low_cpus] [high_cpus] [sf_dir]
 """
@@ -101,8 +102,8 @@ def main() -> None:
     ]
     report = "\n".join(lines)
     print(report)
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write("# BENCH — measured numbers (countrymaam_spark)\n" + report)
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
+        f.write("# BENCH_SCALING — raw two-parallelism run (see BENCH.md for the curated record)\n" + report)
 
 
 if __name__ == "__main__":
