@@ -446,7 +446,11 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_sql("documents", tau=0.05)
     # LSH recall at tau=0.8 is ~1.0 with 16 hashes / 8 bands (and the exact
     # verification step removes all false positives) -> exact oracle applies
-    o["dedup_minhash_lsh"] = dedup.ngram_jaccard_pairs_sql("documents", tau=0.8)
+    # max_shingle_freq=None: minhash verification uses the FULL shingle sets
+    # (array_intersect), so its oracle must not apply the inverted-index cap
+    o["dedup_minhash_lsh"] = dedup.ngram_jaccard_pairs_sql(
+        "documents", tau=0.8, max_shingle_freq=None
+    )
     # 4x8-bit banding is COMPLETE for hamming <= 3 (pigeonhole) and the exact
     # hamming verify removes false positives -> brute-force oracle applies
     sh_expr = T.simhash_sql("text")

@@ -105,18 +105,37 @@ def ngram_jaccard_pairs(
 
 
 def ngram_jaccard_pairs_sql(
-    docs_rel: str, tau: float = 0.5, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs_rel: str,
+    tau: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int | None = 10_000,
 ) -> str:
+    """Oracle mirror of ``ngram_jaccard_pairs`` — including the
+    ``max_shingle_freq`` document-frequency cap, with the SAME default, so
+    engine and oracle cannot silently diverge on a corpus where some shingle
+    exceeds the cap. Note n_sh is the UNCAPPED distinct-shingle count on both
+    sides (the cap prunes the inverted index, not the set sizes)."""
     sh = T.shingles_sql(text_col, n)
+    freq_cte = ""
+    inv_rel = "inv0"
+    if max_shingle_freq is not None:
+        freq_cte = f""", freq AS (
+            SELECT g FROM inv0 GROUP BY g HAVING COUNT(*) <= {max_shingle_freq}
+        ), inv AS (
+            SELECT inv0.* FROM inv0 JOIN freq USING (g)
+        )"""
+        inv_rel = "inv"
     return f"""
         WITH s AS (
             SELECT {id_col} AS did, {sh} AS sh FROM {docs_rel}
-        ), inv AS (
+        ), inv0 AS (
             SELECT did, len(sh) AS n_sh, unnest(sh) AS g FROM s
-        ), pairs AS (
+        ){freq_cte}, pairs AS (
             SELECT a.did AS id_a, b.did AS id_b, a.n_sh AS na, b.n_sh AS nb,
                    COUNT(*) AS shared
-            FROM inv a JOIN inv b ON a.g = b.g AND a.did < b.did
+            FROM {inv_rel} a JOIN {inv_rel} b ON a.g = b.g AND a.did < b.did
             GROUP BY 1, 2, 3, 4
         )
         SELECT id_a, id_b,

@@ -34,7 +34,13 @@ def _make_extract():
     # active session, so decorating at import time would require a context
     @F.pandas_udf("struct<text_sha:string, lat:double, lon:double>")
     def _extract(texts: pd.Series) -> pd.DataFrame:
-        sha = texts.map(lambda t: hashlib.sha256(t.encode("utf-8")).hexdigest())
+        # NULL text stays a row with NULL sha/lat/lon (the JVM sha2+regexp
+        # path this UDF replaced was NULL-safe; na_action keeps that contract
+        # instead of crashing the task on t.encode(None))
+        sha = texts.map(
+            lambda t: hashlib.sha256(t.encode("utf-8")).hexdigest(),
+            na_action="ignore",
+        )
         ext = texts.str.extract(_GEO_PAT)
         return pd.DataFrame(
             {

@@ -34,6 +34,8 @@ Deviations from the reference, on purpose:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -50,6 +52,44 @@ def _ids(vecs: DataFrame, id_col: str) -> DataFrame:
     return vecs.select(F.col(id_col).alias("node"))
 
 
+N_POS_BUCKETS = 1024  # bucketed-ranking fanout for _hash_positions
+
+
+def _hash_positions(ids: DataFrame, seed: int, n_buckets: int = N_POS_BUCKETS) -> tuple[DataFrame, int]:
+    """(node) -> ((node, pos), n): a seeded pseudo-random permutation 0..n-1,
+    WITHOUT a global sort.
+
+    A bare ``row_number().over(Window.orderBy(hash))`` funnels the whole id
+    table through ONE task (the single-partition Exchange that kills a 10^9-
+    node build in its first stage; plan-asserted absent in tests/test_graph).
+    Instead: bucket by hash prefix, rank within each bucket (n_buckets-way
+    parallel window), and add per-bucket offsets computed driver-side from
+    the tiny bucket-count aggregate (n_buckets rows — this collect replaces
+    the ``ids.count()`` job a caller needs anyway, so it costs nothing
+    extra). pos = offset[bucket] + rank_in_bucket, a true permutation.
+    """
+    h = F.xxhash64("node", F.lit(seed))
+    b = ids.select("node", h.alias("_h"), F.pmod(h, F.lit(n_buckets)).cast("int").alias("_bkt"))
+    counts = {
+        r["_bkt"]: r["_c"]
+        for r in b.groupBy("_bkt").agg(F.count("*").alias("_c")).collect()
+    }
+    n = sum(counts.values())
+    offs, acc = [], 0
+    for bkt in range(n_buckets):
+        offs.append((bkt, acc))
+        acc += counts.get(bkt, 0)
+    offs_df = ids.sparkSession.createDataFrame(offs, "_bkt int, _off long")
+    ranked = b.withColumn(
+        "_r",
+        F.row_number().over(Window.partitionBy("_bkt").orderBy("_h", "node")) - 1,
+    )
+    pos_df = ranked.join(F.broadcast(offs_df), "_bkt").select(
+        "node", (F.col("_r") + F.col("_off")).alias("pos")
+    )
+    return pos_df, n
+
+
 def random_k_regular(
     vecs: DataFrame, k: int, seed: int = 42, id_col: str = "vec_id"
 ) -> DataFrame:
@@ -58,40 +98,52 @@ def random_k_regular(
     The reference draws uniform row positions (graph/aknn.go:64-91); row
     position is not a stable Spark concept, so we draw k from a seeded
     hash-shuffle of the id table: explode 4k hash-ranked candidate slots per
-    node, map each slot to the id whose hash rank matches, drop self/dups,
-    keep k. One join against the (tiny projection) id table — no driver
-    randomness, reproducible per seed.
+    node, map each slot to the id whose hash rank matches, drop self, keep a
+    deterministic slot per (node, nbr) (min — an arbitrary surviving slot
+    would make the final top-k partition-order-dependent), keep k. Positions
+    come from bucketed ranking (no global sort; see _hash_positions); the
+    position table is broadcast only while it verifiably fits (at larger n
+    the slot->position lookup is a plain shuffle equi-join on ``pos``). No
+    driver randomness, reproducible per seed.
     """
     ids = _ids(vecs, id_col)
-    n = ids.count()
+    ranked, n = _hash_positions(ids, seed)
     if n <= k:
         raise ValueError(f"need more than k={k} nodes, got {n}")
-    # rank ids once by a seeded hash -> a pseudo-random permutation with
-    # positions 0..n-1 we CAN address uniformly
-    ranked = ids.select(
-        "node",
-        (F.row_number().over(Window.orderBy(F.xxhash64("node", F.lit(seed)))) - 1
-         ).alias("pos"),
-    )
+    ranked = ranked.withColumnRenamed("node", "nbr")
+    if n <= 2_000_000:
+        ranked = F.broadcast(ranked)
     slots = ids.select(
         "node", F.explode(F.sequence(F.lit(0), F.lit(4 * k - 1))).alias("slot")
     ).withColumn("pos", F.pmod(F.xxhash64("node", "slot", F.lit(seed + 1)), F.lit(n)))
     cand = (
-        slots.join(F.broadcast(ranked).withColumnRenamed("node", "nbr"), "pos")
+        slots.join(ranked, "pos")
         .filter(F.col("node") != F.col("nbr"))
-        .dropDuplicates(["node", "nbr"])
+        .groupBy("node", "nbr")
+        .agg(F.min("slot").alias("slot"))
     )
     picked = topk_per_group(cand, ["node"], "slot", "nbr", k, dedup=False)
     return picked.select("node", "nbr")
 
 
-def _sample(edges: DataFrame, rho: float, seed: int, tag: int) -> DataFrame:
-    """Deterministic per-edge rho-sample (seeded hash, no RNG state)."""
-    if rho >= 1.0:
-        return edges
-    return edges.filter(
-        F.pmod(F.xxhash64("node", "nbr", F.lit(seed), F.lit(tag)), F.lit(1_000_000))
-        < int(rho * 1_000_000)
+def _sample_per_node(edges: DataFrame, cap: int, seed: int, tag: int) -> DataFrame:
+    """Keep at most ``cap`` edges per node, chosen by seeded hash order.
+
+    This is the reference's fixed-size sample-list semantics
+    (graph/nndescent.go:221-228) and Dong et al.'s rho*K sampling: a PER-NODE
+    cap, not a per-edge coin flip. The distinction matters for hubs — a node
+    with reverse in-degree d would contribute ~rho*d reverse entries under
+    per-edge sampling, i.e. O((rho*d)^2) candidate pairs through its pivot;
+    the cap bounds every node's pair contribution at cap^2 regardless of
+    skew (tests/test_graph.py hub fixture pins this).
+    """
+    w = Window.partitionBy("node").orderBy(
+        F.xxhash64("node", "nbr", F.lit(seed), F.lit(tag)), "nbr"
+    )
+    return (
+        edges.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= cap)
+        .drop("_r")
     )
 
 
@@ -133,20 +185,25 @@ def nn_descent(
         .localCheckpoint(eager=True)
     )
 
+    cap = max(1, int(math.ceil(rho * k)))
     for it in range(max_iter):
         new_e = edges.filter(F.col("is_new") == 1)
         old_e = edges.filter(F.col("is_new") == 0)
-        # rho-sampled forward + reverse lists (reference Split/Reverse,
-        # graph/nndescent.go:141-155,192-207)
-        s_new = _sample(new_e, rho, seed + it, 0).select("node", "nbr")
+        # rho*k-capped forward + reverse sample lists (reference Split/Reverse
+        # + fixed-size sample lists, graph/nndescent.go:141-155,192-228).
+        # Forward degree is already <= k, so the forward cap only bites when
+        # rho < 1; reverse in-degree is unbounded (hubs), so the per-node cap
+        # there is the skew guard.
+        fwd = new_e.select("node", "nbr")
+        s_new = fwd if cap >= k else _sample_per_node(fwd, cap, seed + it, 0)
         joined_new = s_new  # these edges graduate to old after the join
-        rev_new = _sample(
+        rev_new = _sample_per_node(
             new_e.select(F.col("nbr").alias("node"), F.col("node").alias("nbr")),
-            rho, seed + it, 1,
+            cap, seed + it, 1,
         )
-        rev_old = _sample(
+        rev_old = _sample_per_node(
             old_e.select(F.col("nbr").alias("node"), F.col("node").alias("nbr")),
-            rho, seed + it, 2,
+            cap, seed + it, 2,
         )
         new_l = s_new.unionByName(rev_new).dropDuplicates(["node", "nbr"])
         old_l = old_e.select("node", "nbr").unionByName(rev_old).dropDuplicates(
@@ -229,12 +286,14 @@ def graph_knn(
     entries_num: int = ENTRIES_NUM,
     beam: int = 32,
     max_hops: int = 6,
+    greedy_hops: int = 0,
     seed: int = 42,
     entries: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Graph-walk kNN -> (query_id, rk, vec_id, dist).
 
@@ -256,18 +315,27 @@ def graph_knn(
         F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
     ).cache()
 
+    # seeded pseudo-random entry points: only entries_num rows are needed, so
+    # orderBy+limit (TakeOrdered — a per-partition top-N merge, NO full-sort
+    # single-partition Exchange) replaces the former global row_number window
+    rand_entries = F.broadcast(
+        v.select("vid")
+        .orderBy(F.xxhash64("vid", F.lit(seed)), "vid")
+        .limit(entries_num)
+    )
     if entries is None:
-        # seeded pseudo-random entry points per query: hash-ranked ids
-        ranked = v.select(
-            F.col("vid"),
-            (F.row_number().over(Window.orderBy(F.xxhash64("vid", F.lit(seed)))) - 1
-             ).alias("pos"),
-        ).filter(F.col("pos") < entries_num)
-        entries = q.select("qid").crossJoin(F.broadcast(ranked.select("vid")))
+        entries = q.select("qid").crossJoin(rand_entries)
     else:
         entries = entries.select(
             F.col(query_id_col).alias("qid"), F.col(id_col).alias("vid")
         )
+        # backstop (reference SearchChannel's random-entries variant,
+        # index/graph_index.go:62-69): a query whose head index produced NO
+        # entry points — e.g. an LSH signature sharing no bucket with any
+        # corpus vector — falls back to the seeded random entry set instead
+        # of silently vanishing from the output
+        missing = q.select("qid").join(entries.select("qid").distinct(), "qid", "anti")
+        entries = entries.unionByName(missing.crossJoin(rand_entries))
 
     def score(cand: DataFrame) -> DataFrame:
         return (
@@ -279,7 +347,7 @@ def graph_knn(
 
     visited = score(entries.dropDuplicates(["qid", "vid"])).localCheckpoint(eager=True)
     frontier = visited
-    for _ in range(max_hops):
+    for hop_i in range(max_hops):
         hop = (
             frontier.select("qid", F.col("vid").alias("node"))
             .join(und, "node")
@@ -291,8 +359,21 @@ def graph_knn(
         if scored.isEmpty():
             break
         visited = visited.unionByName(scored).localCheckpoint(eager=True)
-        # beam: only the best new nodes expand next hop (priority-queue analog)
-        frontier = topk_per_group(scored, ["qid"], "dist", "vid", beam, dedup=False).drop("rk")
+        # hop width: the first ``greedy_hops`` hops keep only the entries_num
+        # best nodes per query — the batch analog of the reference's greedy
+        # hill-climb entry refinement (index/graph_index.go:24-60: descend
+        # each entry toward its local minimum BEFORE the best-first
+        # expansion). The narrow hops move the frontier close to the query
+        # for a fraction of a wide hop's scoring cost; the remaining hops
+        # widen to ``beam`` (priority-queue analog). Recall at a fixed total
+        # hop count is preserved while rows scored drop (pinned in
+        # tests/test_graph.py).
+        width = entries_num if hop_i < greedy_hops else beam
+        frontier = topk_per_group(scored, ["qid"], "dist", "vid", width, dedup=False).drop("rk")
+    if stats is not None:
+        # instrumentation (tests/bench only): rows scored == distinct
+        # (query, node) distance evaluations the walk paid for
+        stats["rows_scored"] = visited.count()
     # exclude self-matches AT THE END (engine-wide kNN convention, as
     # brute_knn: ids collide when queries come from the corpus) — the walk
     # itself still expands through the self node's neighbors
@@ -315,6 +396,7 @@ def composite_knn(
     entries_num: int = ENTRIES_NUM,
     beam: int = 32,
     max_hops: int = 6,
+    greedy_hops: int = 0,
     n_tables: int = 8,
     bits: int = 4,
     seed: int = 42,
@@ -327,8 +409,9 @@ def composite_knn(
     index/composite_index.go:21-43; the CLI's ``rpaknn``): the head — our
     static rp-plane LSH (the degenerate rp forest, operators/ann.py) — streams
     candidates, the first ``entries_num`` per query become entry points for
-    the graph tail. Head misses are backstopped by seeded random entries so
-    every query always has entries (fewer-than-k stays legal)."""
+    the graph tail. Head misses are backstopped inside graph_knn: a query
+    with no head entries gets the seeded random entry set (so no query ever
+    silently vanishes; fewer-than-k stays legal)."""
     from countrymaam_spark.operators.ann import rp_lsh_knn
 
     head = rp_lsh_knn(
@@ -341,7 +424,7 @@ def composite_knn(
     )
     return graph_knn(
         vecs, edges, queries, k=k, entries_num=entries_num, beam=beam,
-        max_hops=max_hops, seed=seed, entries=entries,
+        max_hops=max_hops, greedy_hops=greedy_hops, seed=seed, entries=entries,
         id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
     )

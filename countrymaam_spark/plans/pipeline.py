@@ -6,6 +6,7 @@ code over the fixture pages."""
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,8 +70,25 @@ def build_index_pipeline(
     return report
 
 
-def load_trees(spark: SparkSession, out_dir: str) -> DataFrame:
-    # blob rows are MB-sized: the default 4096-row columnar batch would
-    # materialize GBs per read task; 16 keeps the reader bounded
-    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "16")
-    return spark.read.parquet(os.path.join(out_dir, "trees"))
+@contextmanager
+def load_trees(spark: SparkSession, out_dir: str, batch_size: int = 16):
+    """Context-managed blob-table reader.
+
+    Blob rows are MB-sized: the default 4096-row columnar read batch would
+    materialize GBs per read task, so the scan needs a small
+    ``columnarReaderBatchSize``. That knob is session-wide (Spark has no
+    per-relation override), so this helper SCOPES it: set on enter, restored
+    on exit — consume (execute) the yielded DataFrame inside the ``with``
+    block. A bare setter here would silently degrade every later parquet
+    read in the session.
+    """
+    key = "spark.sql.parquet.columnarReaderBatchSize"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(batch_size))
+    try:
+        yield spark.read.parquet(os.path.join(out_dir, "trees"))
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

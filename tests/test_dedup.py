@@ -75,3 +75,30 @@ def test_simhash_docs_matches_oracle(spark, docs):
     got = dict(dedup.simhash_docs(docs).collect())
     want = dict(duckdb.sql(dedup.simhash_docs_sql(f"'{DOCS}'")).fetchall())
     assert got == want
+
+
+def test_ngram_jaccard_cap_matches_capped_oracle(spark):
+    """Regression (advisor r2): the max_shingle_freq cap must be mirrored in
+    the SQL oracle. On a corpus with a shingle above the cap, engine and
+    capped oracle agree with each other (and both differ from the uncapped
+    exact answer only via pairs whose EVERY shared shingle is ubiquitous)."""
+    common = "alpha beta gamma"  # one shingle shared by every doc
+    rows = [(i, f"{common} doc{i} unique{i} token{i} filler{i}") for i in range(6)]
+    # docs 10/11: near-dups sharing rare shingles too
+    rows += [(10, f"{common} same same same tail one"), (11, f"{common} same same same tail two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "docs.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    rel = f"(SELECT * FROM parquet_scan('{p}/*.parquet'))"
+    for cap in (3, None):
+        got = {tuple(r) for r in dedup.ngram_jaccard_pairs(
+            df, tau=0.05, max_shingle_freq=cap).collect()}
+        want = set(duckdb.sql(dedup.ngram_jaccard_pairs_sql(
+            rel, tau=0.05, max_shingle_freq=cap)).fetchall())
+        assert got == want
+    # the cap actually bites on this fixture (capped != uncapped)
+    capped = {tuple(r) for r in dedup.ngram_jaccard_pairs(df, tau=0.05, max_shingle_freq=3).collect()}
+    uncapped = {tuple(r) for r in dedup.ngram_jaccard_pairs(df, tau=0.05, max_shingle_freq=None).collect()}
+    assert capped != uncapped

@@ -171,3 +171,85 @@ def test_graph_knn_recall_monotone_in_beam(spark, graph_200):
         )
         r[beam] = len(got & exact) / len(exact)
     assert r[1] <= r[16]
+
+
+def test_init_plan_has_no_single_partition_exchange(spark):
+    """Scale regression (round-2 verdict #1): the k-regular init and the
+    entry picker must not rank the id table through a global-sort window —
+    at 10^9 nodes that funnels the whole corpus through ONE task. Bucketed
+    ranking + driver-side offsets leave NO SinglePartition exchange anywhere
+    in the init plan."""
+    arr = np.array(V32)
+    vecs = _vec_df(spark, arr)
+    plan = (
+        G.random_k_regular(vecs, k=5, seed=42)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan
+
+
+def test_init_deterministic_across_partitioning(spark):
+    """The advisor's dropDuplicates nondeterminism: the surviving slot per
+    (node, nbr) is now min(slot), so the picked neighbor sets are identical
+    across input partitionings."""
+    arr = np.array(V32)
+    a = _vec_df(spark, arr)
+    b = _vec_df(spark, arr).repartition(7)
+    ea = {(r["node"], r["nbr"]) for r in G.random_k_regular(a, k=5, seed=9).collect()}
+    eb = {(r["node"], r["nbr"]) for r in G.random_k_regular(b, k=5, seed=9).collect()}
+    assert ea == eb
+
+
+def test_reverse_sample_cap_bounds_hub(spark):
+    """Hub skew: a node with in-degree >> k contributes at most ceil(rho*k)
+    reverse sample entries per round (reference fixed-size sample lists,
+    graph/nndescent.go:221-228) — so its candidate-pair contribution is
+    bounded by cap^2 regardless of skew, not O((rho*d)^2)."""
+    hub_edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 200)], "node long, nbr long"
+    )
+    rev = hub_edges.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+    cap = 8
+    per_node = (
+        G._sample_per_node(rev, cap, seed=1, tag=1)
+        .groupBy("node").agg(F.count("*").alias("c")).collect()
+    )
+    assert all(r["c"] <= cap for r in per_node)
+    # deterministic across partitionings (seeded hash order, not scan order)
+    s1 = {(r["node"], r["nbr"]) for r in G._sample_per_node(rev, cap, 1, 1).collect()}
+    s2 = {(r["node"], r["nbr"]) for r in G._sample_per_node(rev.repartition(13), cap, 1, 1).collect()}
+    assert s1 == s2
+
+
+def test_graph_knn_backstop_entries_for_head_miss(spark, graph_200):
+    """A query whose head index produced no entry points must NOT vanish:
+    graph_knn falls back to the seeded random entry set for it (reference
+    random-entries variant, index/graph_index.go:62-69)."""
+    vecs, edges, q, exact = graph_200
+    # entries table covering every query EXCEPT query_id 0
+    some = q.filter(F.col("query_id") != 0).select("query_id").crossJoin(
+        vecs.limit(3).select("vec_id")
+    )
+    out = G.graph_knn(
+        vecs, edges, q, k=5, entries_num=10, beam=16, max_hops=5, entries=some
+    )
+    got_qids = {r["query_id"] for r in out.select("query_id").distinct().collect()}
+    assert 0 in got_qids and len(got_qids) == 8
+
+
+def test_greedy_hops_same_exactness_fewer_rows_scored(spark, graph_200):
+    """Hill-climb entry refinement (reference index/graph_index.go:24-60):
+    narrow greedy hops before the wide beam reach the same exact result at
+    budget while scoring measurably fewer rows."""
+    vecs, edges, q, exact = graph_200
+    wide, greedy = {}, {}
+    got_w = set(map(tuple, G.graph_knn(
+        vecs, edges, q, k=5, entries_num=4, beam=24, max_hops=6,
+        greedy_hops=0, stats=wide,
+    ).select("query_id", "rk", "vec_id").collect()))
+    got_g = set(map(tuple, G.graph_knn(
+        vecs, edges, q, k=5, entries_num=4, beam=24, max_hops=6,
+        greedy_hops=2, stats=greedy,
+    ).select("query_id", "rk", "vec_id").collect()))
+    assert got_w == exact and got_g == exact
+    assert greedy["rows_scored"] < wide["rows_scored"]

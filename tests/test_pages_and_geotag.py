@@ -63,3 +63,17 @@ def test_extract_geo_matches_duckdb_oracle(spark):
         ).fetchall()
     )
     assert engine == oracle
+
+
+def test_extract_geo_null_text_is_null_safe(spark):
+    """Regression (advisor r2): NULL text must not crash the extraction UDF —
+    the row survives with NULL text_sha/lat/lon, matching the NULL-safe JVM
+    path this UDF replaced (and sha256(NULL) IS NULL in the oracle)."""
+    df = spark.createDataFrame(
+        [("u1", None), ("u2", "visited near Oslo (59.91, 10.75) today")],
+        "url string, text string",
+    ).withColumn("warc_ts", F.current_timestamp()).withColumn("lang", F.lit("en"))
+    rows = {r["url"]: r for r in extract_geo(df).collect()}
+    assert rows["u1"]["text_sha"] is None
+    assert rows["u1"]["lat"] is None and rows["u1"]["lon"] is None
+    assert rows["u2"]["lat"] == 59.91 and rows["u2"]["text_sha"] is not None
