@@ -152,6 +152,127 @@ def deserialize(blob: bytes) -> dict:
     return pickle.loads(blob)
 
 
+def leaf_bounds(tree: dict, d: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """kd tree -> (leaf_node_ids, lo (L,d), hi (L,d)) axis-aligned leaf boxes.
+
+    One O(nodes) traversal per (blob, task) — amortized over the whole query
+    batch. Valid for the midpoint fallback too: fallback splits at the sorted
+    projection value, so left points are <= val and right points >= val.
+    Only meaningful for ``kind='kd'`` (rp leaves are halfspace intersections,
+    not boxes).
+    """
+    if len(tree["begin"]) == 0:
+        return np.empty(0, np.int64), np.empty((0, d)), np.empty((0, d))
+    lids, los, his = [], [], []
+    stack = [(0, np.full(d, -np.inf), np.full(d, np.inf))]
+    while stack:
+        node, lo, hi = stack.pop()
+        l, r = int(tree["left"][node]), int(tree["right"][node])
+        if l == 0 and r == 0:
+            lids.append(node)
+            los.append(lo)
+            his.append(hi)
+            continue
+        dim = int(tree["split_dim"][node])
+        val = float(tree["split_val"][node])
+        lhi = hi.copy()
+        lhi[dim] = min(hi[dim], val)
+        rlo = lo.copy()
+        rlo[dim] = max(lo[dim], val)
+        stack.append((l, lo, lhi))
+        stack.append((r, rlo, hi))
+    return (
+        np.asarray(lids, dtype=np.int64),
+        np.stack(los),
+        np.stack(his),
+    )
+
+
+def search_batch(
+    tree: dict,
+    points: np.ndarray,
+    qpts: np.ndarray,
+    k: int,
+    max_leaves: int = 32,
+    chunk: int = 256,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Budgeted kNN for a WHOLE query batch against one kd tree.
+
+    Returns (query_rows, point_indices): for each query row, its top-k
+    candidate indices among the ``max_leaves`` leaves with smallest exact
+    box lower bound. Semantics vs the per-query ``search``: same budget
+    knob, same exact-when-budget>=leaves invariant; the leaf visit order is
+    the TRUE box lower bound (tighter than best-first's inherited plane
+    bound, so per-budget recall can only improve). The point: ~Python-loop-
+    free serving — per chunk the work is one (Q, L, d) bound tensor, one
+    argpartition, and one vectorized distance block per touched LEAF
+    (amortized over all queries probing it), not a heap walk per query.
+    """
+    n_q = len(qpts)
+    if n_q == 0 or len(points) == 0 or len(tree["begin"]) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    if tree.get("kind") != "kd":
+        # rp trees have no box bounds: per-query best-first fallback
+        rows_q, rows_i = [], []
+        for r in range(n_q):
+            idx, _ = search(tree, points, qpts[r], k, max_leaves=max_leaves)
+            if len(idx):
+                rows_q.append(np.full(len(idx), r, dtype=np.int64))
+                rows_i.append(idx)
+        if not rows_q:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(rows_q), np.concatenate(rows_i)
+    d = points.shape[1]
+    lids, lo, hi = leaf_bounds(tree, d)
+    L = len(lids)
+    nb = min(max_leaves, L)
+    begin, end, indice = tree["begin"], tree["end"], tree["indice"]
+    out_q: list[np.ndarray] = []
+    out_i: list[np.ndarray] = []
+    for s in range(0, n_q, chunk):
+        qc = qpts[s : s + chunk]
+        c = len(qc)
+        gap = np.maximum(np.maximum(lo[None, :, :] - qc[:, None, :], qc[:, None, :] - hi[None, :, :]), 0.0)
+        bound = (gap * gap).sum(axis=2)  # (c, L) exact box lower bounds
+        if nb < L:
+            sel = np.argpartition(bound, nb - 1, axis=1)[:, :nb]
+        else:
+            sel = np.broadcast_to(np.arange(L), (c, L))
+        qrow = np.repeat(np.arange(c), sel.shape[1])
+        leaf = sel.ravel()
+        order = np.argsort(leaf, kind="stable")
+        qrow, leaf = qrow[order], leaf[order]
+        starts = np.flatnonzero(np.r_[True, leaf[1:] != leaf[:-1]])
+        ends = np.r_[starts[1:], len(leaf)]
+        cq, ci, cd = [], [], []
+        for st, en in zip(starts, ends):
+            node = int(lids[leaf[st]])
+            pidx = indice[begin[node] : end[node]]
+            if len(pidx) == 0:
+                continue
+            qs = qrow[st:en]
+            diff = qpts[s + qs][:, None, :] - points[pidx][None, :, :]
+            dmat = (diff * diff).sum(axis=2)  # (|qs|, |leaf|)
+            cq.append(np.repeat(qs, len(pidx)))
+            ci.append(np.tile(pidx, len(qs)))
+            cd.append(dmat.ravel())
+        if not cq:
+            continue
+        aq, ai, ad = np.concatenate(cq), np.concatenate(ci), np.concatenate(cd)
+        # per-query top-k: lexsort by (query, dist) then rank within query
+        o = np.lexsort((ad, aq))
+        aq, ai = aq[o], ai[o]
+        qstarts = np.flatnonzero(np.r_[True, aq[1:] != aq[:-1]])
+        runs = np.diff(np.r_[qstarts, len(aq)])
+        rank = np.arange(len(aq)) - np.repeat(qstarts, runs)
+        keep = rank < k
+        out_q.append(aq[keep] + s)
+        out_i.append(ai[keep])
+    if not out_q:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(out_q), np.concatenate(out_i)
+
+
 def search(
     tree: dict,
     points: np.ndarray,

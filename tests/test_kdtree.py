@@ -101,3 +101,49 @@ def test_serde_roundtrip(cloud):
     t2 = kdtree.deserialize(kdtree.serialize(t))
     for k in t:
         assert np.array_equal(t[k], t2[k])
+
+
+def test_search_batch_full_budget_exact(cloud):
+    """Batched descent at full budget == brute force, for every query."""
+    tree = kdtree.build(cloud, leaf_size=16, seed=1)
+    n_leaves = int(((tree["left"] == 0) & (tree["right"] == 0)).sum())
+    qpts = cloud[:32] + 0.01
+    bq, bi = kdtree.search_batch(tree, cloud, qpts, k=5, max_leaves=n_leaves + 1)
+    per = {}
+    for r, i in zip(bq, bi):
+        per.setdefault(int(r), set()).add(int(i))
+    for r in range(len(qpts)):
+        assert per[r] == brute(cloud, qpts[r], 5)
+
+
+def test_search_batch_recall_at_least_per_query_search(cloud):
+    """At a finite budget the batched box-bound leaf order must match or beat
+    the per-query inherited-bound order (the box bound is tighter)."""
+    tree = kdtree.build(cloud, leaf_size=16, seed=1)
+    qpts = cloud[100:140] + 0.005
+    budget = 8
+    bq, bi = kdtree.search_batch(tree, cloud, qpts, k=5, max_leaves=budget)
+    per = {}
+    for r, i in zip(bq, bi):
+        per.setdefault(int(r), set()).add(int(i))
+    rec_batch, rec_single = 0, 0
+    for r in range(len(qpts)):
+        want = brute(cloud, qpts[r], 5)
+        idx, _ = kdtree.search(tree, cloud, qpts[r], k=5, max_leaves=budget)
+        rec_batch += len(per.get(r, set()) & want)
+        rec_single += len(set(idx.tolist()) & want)
+    assert rec_batch >= rec_single
+
+
+def test_search_batch_rp_fallback(cloud):
+    """rp trees have no box bounds: search_batch falls back to the per-query
+    path and stays exact at full budget."""
+    tree = kdtree.build(cloud, leaf_size=16, seed=3, kind="rp")
+    n_leaves = int(((tree["left"] == 0) & (tree["right"] == 0)).sum())
+    qpts = cloud[:8] + 0.01
+    bq, bi = kdtree.search_batch(tree, cloud, qpts, k=3, max_leaves=n_leaves + 1)
+    per = {}
+    for r, i in zip(bq, bi):
+        per.setdefault(int(r), set()).add(int(i))
+    for r in range(len(qpts)):
+        assert per[r] == brute(cloud, qpts[r], 3)
