@@ -193,6 +193,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embed_knn_ivf"] = lambda s, d: ann.ivf_knn(
         _emb(s, d), _emb_queries(s, d), k=5, n_lists=16, n_probe=16
     )
+    # u8 dtype through an INDEXED path (reference dispatch covers all
+    # families): u8-code-space IVF, full probe -> exact -> bit-exact u8 oracle
+    q["embed_knn_u8_ivf"] = lambda s, d: ann.ivf_knn_u8(
+        _emb(s, d), _emb_queries(s, d), k=5, n_lists=16, n_probe=16
+    )
     # --- graph index family (NN-Descent / AKNN / composite) ---
     def _graph_edges(s: SparkSession, d: str) -> DataFrame:
         from countrymaam_spark.operators import graph as GR
@@ -469,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
     o["embed_lsh_knn"] = ann.brute_knn_sql("embeddings", emb_q, k=5)
     o["embed_knn_u8"] = ann.brute_knn_u8_sql("embeddings", emb_q, k=5)
     o["embed_knn_ivf"] = ann.brute_knn_sql("embeddings", emb_q, k=5)
+    o["embed_knn_u8_ivf"] = ann.brute_knn_u8_sql("embeddings", emb_q, k=5)
     # graph walk budgets verified exact on the fixture -> exact oracle
     o["embed_knn_graph"] = ann.brute_knn_sql("embeddings", emb_q, k=5)
     o["embed_knn_composite"] = ann.brute_knn_sql("embeddings", emb_q, k=5)

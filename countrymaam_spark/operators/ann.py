@@ -222,21 +222,26 @@ def cosine_near_pairs(
 # --- IVF (inverted-file) ANN ---------------------------------------------
 
 
-def _kmeans_centroids(
-    corpus: DataFrame, vec_col: str, n_lists: int, sample_n: int, iters: int, seed: int
-) -> np.ndarray:
-    """Seeded mini k-means over a bounded driver-side sample (<= sample_n
-    vectors — O(MBs) at any corpus scale; the full corpus never leaves the
-    executors). Lloyd iterations in numpy; empty clusters re-seeded from the
-    farthest points (deterministic)."""
-    pdf = (
-        corpus.select(vec_col)
-        .limit(sample_n)
-        .toPandas()
-    )
-    x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+def _kmeans_np(x: np.ndarray, n_lists: int, iters: int, seed: int) -> np.ndarray:
+    """Seeded k-means++ init + Lloyd iterations; empty clusters re-seeded
+    from the farthest points (deterministic). The ++ init matters for the
+    IVF quantizer: uniform init off a sample regularly seeds two centroids
+    in one cluster and none in another, leaving inverted lists badly
+    unbalanced (probe cost skew) even when the SAMPLE spans the space."""
     rng = np.random.default_rng(seed)
-    cents = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    k_eff = min(n_lists, len(x))
+    first = rng.integers(len(x))
+    chosen = [first]
+    d2 = ((x - x[first]) ** 2).sum(axis=1)
+    for _ in range(1, k_eff):
+        tot = d2.sum()
+        if tot <= 0:
+            chosen.append(int(rng.integers(len(x))))
+            continue
+        nxt = int(rng.choice(len(x), p=d2 / tot))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((x - x[nxt]) ** 2).sum(axis=1))
+    cents = x[np.array(chosen)].astype(np.float64).copy()
     for _ in range(iters):
         d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
@@ -247,6 +252,39 @@ def _kmeans_centroids(
             else:
                 cents[c] = x[d.min(axis=1).argmax()]
     return cents
+
+
+def _sample_vectors(corpus: DataFrame, vec_col: str, sample_n: int, seed: int):
+    """Bounded driver-side RANDOM sample column (<= sample_n rows — O(MBs) at
+    any corpus scale; the full corpus never leaves the executors).
+
+    A bare ``limit(sample_n)`` takes a PREFIX — one region of the space on
+    any clustered/sorted production table, degenerating the coarse quantizer
+    (r2 verdict #4; tests/test_ann.py pins the clustered fixture). Seeded
+    ``sample()`` draws across every partition; note ``.limit`` AFTER the
+    sample would re-introduce the prefix bias (it keeps the FIRST rows of
+    the sampled stream), so the final cut down to sample_n is a seeded
+    driver-side choice over the collected (bounded, ~1.3x) sample.
+    """
+    n = corpus.count()
+    sel = corpus.select(vec_col)
+    if n > sample_n:
+        frac = min(1.0, (1.3 * sample_n) / n)
+        sel = sel.sample(fraction=frac, seed=seed)
+    vs = sel.toPandas()[vec_col]
+    if len(vs) > sample_n:
+        keep = np.random.default_rng(seed).choice(len(vs), sample_n, replace=False)
+        vs = vs.iloc[np.sort(keep)].reset_index(drop=True)
+    return vs
+
+
+def _kmeans_centroids(
+    corpus: DataFrame, vec_col: str, n_lists: int, sample_n: int, iters: int, seed: int
+) -> np.ndarray:
+    """Seeded mini k-means over a bounded random driver-side sample."""
+    vs = _sample_vectors(corpus, vec_col, sample_n, seed)
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+    return _kmeans_np(x, n_lists, iters, seed)
 
 
 def _nearest_lists(vec_col, cents: np.ndarray, n: int):
@@ -431,6 +469,78 @@ def brute_knn_u8_sql(
             WHERE c.vec_id <> q.vec_id
         ) t WHERE rk <= {k}
     """
+
+
+def _nearest_lists_u8(bin_col, cents: np.ndarray, n: int):
+    """array<int> of the n nearest centroid ids per PACKED-uint8 vector
+    (centroids live in u8 code space; one BLAS matmul per Arrow batch)."""
+    c = cents.astype(np.float64)
+    c2 = (c * c).sum(axis=1)
+
+    @F.pandas_udf("array<int>")
+    def _nl(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack([np.frombuffer(x, dtype=np.uint8) for x in vs]).astype(np.float64)
+        d = c2[None, :] - 2.0 * (m @ c.T)
+        idx = np.argsort(d, axis=1)[:, :n].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return _nl(bin_col)
+
+
+def ivf_knn_u8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    sample_n: int = 2048,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN over the packed-uint8 dtype -> (query_id, rk, vec_id, dist).
+
+    The reference's dtype dispatch covers every index family
+    (/root/reference/cmd/countrymaam/main.go:154-161); this extends ours past
+    the brute path: quantize once, k-means the coarse quantizer IN u8 code
+    space (seeded random sample), bucket corpus rows by nearest centroid,
+    probe ``n_probe`` lists per query, re-rank with the exact integer
+    ``u8_sq_l2``. ``n_probe >= n_lists`` probes every list -> EXACT, so the
+    bit-exact u8 brute oracle applies while the plan stays the bucketed
+    probe."""
+    c_bin = corpus.select(
+        F.col(id_col).alias("cid"), quantize_u8(F.col(vec_col)).alias("cb")
+    ).cache()
+    vs = _sample_vectors(c_bin, "cb", sample_n, seed)
+    x = np.stack([np.frombuffer(b, dtype=np.uint8) for b in vs]).astype(np.float64)
+    cents = _kmeans_np(x, n_lists, iters, seed)
+    c_lists = c_bin.withColumn(
+        "list_id", F.element_at(_nearest_lists_u8(F.col("cb"), cents, 1), 1)
+    )
+    q_bin = queries.select(
+        F.col(query_id_col).alias("qid"),
+        quantize_u8(F.col(query_vec_col)).alias("qb"),
+    )
+    q_lists = q_bin.withColumn(
+        "list_id",
+        F.explode(_nearest_lists_u8(F.col("qb"), cents, min(n_probe, len(cents)))),
+    )
+    cands = (
+        c_lists.join(F.broadcast(q_lists), "list_id")
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("dist", u8_sq_l2(F.col("cb"), F.col("qb")))
+    )
+    out = topk_per_group(
+        cands.select("qid", "cid", "dist"), ["qid"], "dist", "cid", k, dedup=False
+    )
+    return out.select(
+        F.col("qid").alias("query_id"), "rk", F.col("cid").alias("vec_id"), "dist"
+    )
 
 
 def cosine_near_pairs_sql(corpus_rel: str, tau: float = 0.95) -> str:

@@ -45,6 +45,24 @@ from countrymaam_spark.functions import geo
 from countrymaam_spark.operators.topk import topk_per_group
 
 
+def _widen(narrow: DataFrame) -> DataFrame:
+    """Repartition an under-partitioned narrow corpus projection up to the
+    session parallelism.
+
+    A few-MB geo snapshot yields 1-3 parquet splits; a crossJoin then
+    amplifies |queries|x rows INSIDE those few tasks, and the window's
+    partial top-k sorts millions of rows single-threaded per task (measured:
+    13s of a 14s flat_knn at sf0.1 in 3 tasks). The 3 MB shuffle that fixes
+    the layout is noise. A 100 TB corpus scan arrives well-partitioned, so
+    this only ever triggers on small/compacted inputs.
+    """
+    spark = narrow.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < max(2, target // 2):
+        return narrow.repartition(target)
+    return narrow
+
+
 def flat_knn(pages_geo: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
     """Exact kNN: (query_id, rk, url, dist_km). pages_geo needs url/lat/lon;
     queries needs query_id/lat/lon."""
@@ -54,8 +72,7 @@ def flat_knn(pages_geo: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame
         )
     )
     pairs = (
-        pages_geo.filter(F.col("lat").isNotNull())
-        .select("url", "lat", "lon")
+        _widen(pages_geo.filter(F.col("lat").isNotNull()).select("url", "lat", "lon"))
         .crossJoin(q)
         .withColumn(
             "dist_km",
@@ -193,6 +210,7 @@ def cell_knn(
     init_radius: int = 1,
     max_rounds: int = 4,
     search_k: int | None = None,
+    timings: dict | None = None,
 ) -> DataFrame:
     """Exact kNN via cell-ring candidate generation + re-rank.
 
@@ -205,11 +223,18 @@ def cell_knn(
     >= search_k candidates (the reference's budget semantics: approximate,
     recall monotone in search_k).
     """
+    import time as _time
+
+    def _mark(name: str, t0: float) -> None:
+        if timings is not None:
+            timings[name] = timings.get(name, 0.0) + (_time.time() - t0)
+
     spark = pages_geo.sparkSession
     nx = 2 << res
+    # _widen: an under-partitioned snapshot read would otherwise pin the
+    # cache — and every probe join, sort, and window over it — to 1-3 tasks
     pages_cells = (
-        pages_geo.filter(F.col("lat").isNotNull())
-        .select("url", "lat", "lon")
+        _widen(pages_geo.filter(F.col("lat").isNotNull()).select("url", "lat", "lon"))
         .withColumn("cell", geo.encode_cell(F.col("lat"), F.col("lon"), res))
         .cache()  # scanned once per round; at cluster scale this is a
         # cell-bucketed persisted table (partition pruning does the same job)
@@ -218,6 +243,7 @@ def cell_knn(
     remaining = queries.select(
         "query_id", F.col("lat").alias("qlat"), F.col("lon").alias("qlon")
     )
+    _t = _time.time()
     remaining = (
         _plan_radius(remaining, pages_cells, res, k)
         .withColumn("ry", F.greatest(F.col("ry"), F.lit(init_radius).cast("long")))
@@ -226,6 +252,7 @@ def cell_knn(
         .localCheckpoint(eager=True)
     )
     n_total = n_remaining = remaining.count()
+    _mark("plan_radius", _t)
     settled_parts: list[DataFrame] = []
 
     for rnd in range(max_rounds):
@@ -263,6 +290,7 @@ def cell_knn(
         shift_col = F.when((F.col("rx") * 2 + 1) >= F.lit(nx), t_expr).otherwise(
             s_expr
         )
+        _t = _time.time()
         plan_rows = (
             remaining.withColumn("_band", (F.col("rx") * 2 + 1) >= F.lit(nx))
             .withColumn("s", shift_col)
@@ -281,6 +309,7 @@ def cell_knn(
             )
             .collect()
         )
+        _mark("round_plan_collect", _t)
         band_groups = [
             (int(r["s"]), int(r["est_cells"] or 0)) for r in plan_rows if r["_band"]
         ]
@@ -411,7 +440,9 @@ def cell_knn(
         # materialize the (small: <= |remaining| * k rows) round result once;
         # stats, output slice, and the final union all read these blocks
         # instead of re-running the candidate join
+        _t = _time.time()
         ranked = ranked.localCheckpoint(eager=True)
+        _mark("round_probe_rank", _t)
         ok_pred = (F.col("cnt") >= k) & (
             F.col("kth")
             < _ring_guarantee_km(F.col("rx"), F.col("ry"), res, F.col("qlat"), nx)
@@ -432,6 +463,7 @@ def cell_knn(
             seen = cands.groupBy("query_id").agg(F.count("*").alias("cnt_seen"))
             stats = stats.join(seen, "query_id", "left")
             ok_pred = ok_pred | (F.coalesce(F.col("cnt_seen"), F.lit(0)) >= search_k)
+        _t = _time.time()
         stats = stats.withColumn("ok", ok_pred)
         if search_k is not None:
             # with a budget, stats depends on `seen` (derived from the full
@@ -441,6 +473,7 @@ def cell_knn(
             # the consumers is cheaper than an extra eager checkpoint job.
             stats = stats.localCheckpoint(eager=True)
         n_ok = stats.filter("ok").count()
+        _mark("round_settle_check", _t)
         if n_ok:
             ok_q = stats.filter("ok").select("query_id")
             done = ranked.join(ok_q, "query_id").select(
@@ -450,9 +483,11 @@ def cell_knn(
             # anti-join against the SETTLED set: queries with zero candidates
             # this round have no stats row at all and must stay in `remaining`
             # (a semi-join against not-ok stats would silently drop them)
+            _t = _time.time()
             remaining = remaining.join(ok_q, "query_id", "anti").localCheckpoint(
                 eager=True
             )
+            _mark("round_remaining_ckpt", _t)
             n_remaining -= n_ok
         # escalate. A ring query that failed only the lon bound (high
         # latitude) switches to a latitude band with the SAME ry — its k-th

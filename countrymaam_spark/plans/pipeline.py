@@ -70,6 +70,47 @@ def build_index_pipeline(
     return report
 
 
+def build_graph_pipeline(
+    spark: SparkSession,
+    vecs: DataFrame,
+    out_dir: str,
+    k: int = 15,
+    rho: float = 0.7,
+    max_iter: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Save/Load for the graph index family — the reference gob-persists
+    every index type (/root/reference/index/io.go:9-36; graph loader
+    /root/reference/index/graph_index.go:181-191), and before this helper
+    the NN-Descent edge table lived only in session-scoped localCheckpoints,
+    so a real deployment rebuilt the graph every session. The edge table is
+    a Manifest stage: a rerun with an intact snapshot SKIPS the (expensive)
+    build, and ``load_graph_edges`` serves graph_knn/composite_knn from the
+    snapshot (round-trip equality pinned in tests/test_graph.py)."""
+    from countrymaam_spark.operators.graph import nn_descent
+
+    manifest = Manifest(out_dir)
+    edges_df, skipped = run_stage(
+        spark,
+        manifest,
+        "graph_edges",
+        lambda: nn_descent(
+            vecs, k=k, rho=rho, max_iter=max_iter, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        ),
+    )
+    return {"graph_edges": {"rows": edges_df.count(), "skipped": skipped}}
+
+
+def load_graph_edges(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The (node, nbr, dist) edge snapshot persisted by
+    ``build_graph_pipeline`` — plain parquet, no special reader knobs
+    (edges are narrow rows, unlike the MB-sized tree blobs)."""
+    return spark.read.parquet(os.path.join(out_dir, "graph_edges"))
+
+
 @contextmanager
 def load_trees(spark: SparkSession, out_dir: str, batch_size: int = 16):
     """Context-managed blob-table reader.

@@ -132,3 +132,61 @@ def test_ivf_recall_monotone_in_probe(spark, corpus, queries):
     r1, r4 = recall(1), recall(4)
     assert r4 >= r1
     assert r4 >= 0.5
+
+
+def test_ivf_sample_is_not_a_prefix_on_clustered_corpus(spark):
+    """Regression (r2 verdict #4): limit() takes a PREFIX — on a corpus
+    sorted by cluster the old 2048-row prefix was one region of the space
+    and the coarse quantizer degenerated. The seeded random sample spans the
+    clusters; the prefix demonstrably does not."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    centers = np.array([[float(10 * c), float(10 * ((c * 3) % 8))] for c in range(8)])
+    rows = []
+    for c in range(8):  # ORDERED by cluster: prefix = clusters 0..1 only
+        for i in range(64):
+            v = centers[c] + rng.normal(0, 0.3, 2)
+            rows.append((c * 64 + i, [float(v[0]), float(v[1])], c))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).coalesce(1).cache()
+
+    def coverage(cents):
+        d = ((cents[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        return len(set(d.argmin(axis=1).tolist()))
+
+    # old behavior: prefix sample -> centroids stuck in the first clusters
+    pdf = emb.select("embedding").limit(64).toPandas()
+    x = np.stack([np.asarray(v) for v in pdf["embedding"]])
+    cov_prefix = coverage(ann._kmeans_np(x, 8, 8, seed=1))
+    cov_random = coverage(ann._kmeans_centroids(emb, "embedding", 8, 64, 8, seed=1))
+    assert cov_prefix <= 2  # the failure mode the fix targets
+    assert cov_random >= 6  # seeded sample spans the space
+    # end-to-end: recall@1 at n_probe=1 survives the clustered layout
+    q = emb.filter(F.col("vec_id") % 64 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute = {(r["query_id"], r["vec_id"]) for r in ann.brute_knn(emb, q, k=1).collect()}
+    got = {(r["query_id"], r["vec_id"])
+           for r in ann.ivf_knn(emb, q, k=1, n_lists=8, n_probe=1, sample_n=64, seed=1).collect()}
+    assert len(brute & got) / len(brute) >= 0.9
+
+
+def test_ivf_u8_full_probe_matches_u8_brute(spark, corpus, queries):
+    """u8 dtype through the indexed path: full probe == the bit-exact u8
+    brute result (reference dtype dispatch across index families)."""
+    brute = _key(ann.brute_knn_u8(corpus, queries, k=5).collect())
+    ivf = _key(ann.ivf_knn_u8(corpus, queries, k=5, n_lists=8, n_probe=8).collect())
+    assert ivf == brute
+
+
+def test_ivf_u8_recall_monotone_in_probe(spark, corpus, queries):
+    brute = {(q, v) for q, _, v in _key(ann.brute_knn_u8(corpus, queries, k=5).collect())}
+
+    def recall(n_probe):
+        got = {(q, v) for q, _, v in _key(
+            ann.ivf_knn_u8(corpus, queries, k=5, n_lists=8, n_probe=n_probe).collect())}
+        return len(brute & got) / len(brute)
+
+    assert recall(1) <= recall(4) <= recall(8) == 1.0
