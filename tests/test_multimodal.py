@@ -54,3 +54,34 @@ def test_near_dup_assets_self_consistent(spark, assets):
     feats_dup = mm.extract_features(assets.unionByName(dup))
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in mm.near_dup_assets(feats_dup, max_hamming=0).collect()}
     assert pairs.get((0, 10_000)) == 0
+
+
+def test_asset_stats_matches_duckdb_oracle(spark):
+    """The multimodal driver entry: mapInPandas over binary+meta, bit-exact
+    vs the SQL oracle (sha256 over the hex encoding — DuckDB's sha256 takes
+    VARCHAR only)."""
+    import duckdb
+
+    from countrymaam_spark.sources import pages as pg
+
+    out = pg.ensure_fixtures("sf0.001")
+    p = f"'{out}/assets.parquet'"
+    assets = spark.read.parquet(f"{out}/assets.parquet")
+    got = {tuple(r) for r in mm.asset_stats(assets).collect()}
+    want = set(duckdb.sql(mm.asset_stats_sql(p)).fetchall())
+    assert got == want and len(got) == 400
+
+
+def test_asset_near_dups_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from countrymaam_spark.sources import pages as pg
+
+    out = pg.ensure_fixtures("sf0.001")
+    p = f"'{out}/assets.parquet'"
+    assets = spark.read.parquet(f"{out}/assets.parquet")
+    feats = mm.asset_stats(assets).select("asset_id", "fp")
+    got = {tuple(r) for r in mm.near_dup_assets(feats, max_hamming=3).collect()}
+    want = set(duckdb.sql(mm.near_dup_assets_sql(p)).fetchall())
+    assert got == want
+    assert len(got) >= 30  # the planted duplicate payloads are found
