@@ -19,7 +19,11 @@ counts changed nodes per round (O(1) rows to the driver). Serving is an
 iterative frontier expansion: each hop is one equi-join against the edge
 table — the distributed form of the reference's heap walk, with ``beam``/
 ``max_hops``/``entries_num`` as the budget knobs (recall-monotone, reference
-countrymaam.go:40-45).
+countrymaam.go:40-45) plus ``greedy_hops``: narrow entry-refinement hops
+before the wide beam, the batch analog of the reference's hill-climb descent
+(index/graph_index.go:24-60). Persistence: plans/pipeline.py
+``build_graph_pipeline``/``load_graph_edges`` snapshot the edge table
+through the checkpoint Manifest (reference Save/Load, index/io.go:9-36).
 
 Deviations from the reference, on purpose:
 - pair generation uses the canonical NN-Descent form (Dong et al. 2011,

@@ -288,28 +288,45 @@ def knn_tree(
                 rows_q, rows_i = [], []
                 if search_k >= n_leaves:
                     # budget covers every leaf -> exact within the blob. Rank
-                    # by TRUE haversine (vectorized), not the scaled-L2 build
-                    # metric — per-blob L2 top-k can drop a true neighbor and
-                    # break the full-budget-exact invariant. Tie-inclusive
-                    # (<= kth + eps) so the Spark-side re-rank sees a strict
-                    # superset of the global top-k.
+                    # by the TRUE great-circle ordering, not the scaled-L2
+                    # build metric — per-blob L2 top-k can drop a true
+                    # neighbor and break the full-budget-exact invariant.
+                    # Ranking trick: haversine and 3D CHORD distance are both
+                    # strictly monotone in the central angle, so top-k by
+                    # chord == top-k by haversine EXACTLY — and chord is one
+                    # unit-vector matmul (BLAS) per chunk instead of six
+                    # transcendentals per (query, point). Tie-inclusive
+                    # (>= kth_dot - eps) so the Spark-side exact-haversine
+                    # re-rank sees a strict superset of the global top-k.
                     kk = min(k, n)
                     qla = np.radians(np.array([a[1] for a in qarr], dtype=np.float64))
                     qlo = np.radians(np.array([a[2] for a in qarr], dtype=np.float64))
                     pla = np.radians(np.asarray(lat, dtype=np.float64))
                     plo = np.radians(np.asarray(lon, dtype=np.float64))
+                    X = np.stack(
+                        [np.cos(pla) * np.cos(plo), np.cos(pla) * np.sin(plo), np.sin(pla)],
+                        axis=1,
+                    )  # (n, 3) unit vectors — transcendentals O(n), once per blob
+                    Qm = np.stack(
+                        [np.cos(qla) * np.cos(qlo), np.cos(qla) * np.sin(qlo), np.sin(qla)],
+                        axis=1,
+                    )
+                    Xt = X.T.copy()
+                    nd_buf = np.empty((min(256, len(qla)), n))
                     for s in range(0, len(qla), 256):
-                        sl = slice(s, s + 256)
-                        aa = (
-                            np.sin((pla[None, :] - qla[sl, None]) / 2.0) ** 2
-                            + np.cos(qla[sl, None])
-                            * np.cos(pla[None, :])
-                            * np.sin((plo[None, :] - qlo[sl, None]) / 2.0) ** 2
-                        )
-                        hav = np.arcsin(np.sqrt(np.minimum(aa, 1.0)))
-                        for r in range(hav.shape[0]):
-                            kth = np.partition(hav[r], kk - 1)[kk - 1] if kk < n else hav[r].max()
-                            sel = np.flatnonzero(hav[r] <= kth + 1e-12)
+                        # reused out= buffer: fresh mmap-sized temporaries
+                        # first-touch-fault at seconds-per-40MB on this box
+                        # (see kdtree.search_batch) — allocate once per blob
+                        nd = nd_buf[: min(256, len(qla) - s)]
+                        np.matmul(Qm[s : s + 256], Xt, out=nd)
+                        np.negative(nd, out=nd)  # ascending == nearer first
+                        # per-row partition loop, NOT np.partition(axis=1):
+                        # the axis-1 introselect is ~9x slower than C
+                        # contiguous per-row partitions (microbenchmarked);
+                        # this loop costs ~15 ms per 256-query chunk
+                        for r in range(nd.shape[0]):
+                            kth = np.partition(nd[r], kk - 1)[kk - 1] if kk < n else nd[r].max()
+                            sel = np.flatnonzero(nd[r] <= kth + 1e-12)
                             rows_q.append(np.full(len(sel), s + r))
                             rows_i.append(sel)
                 else:

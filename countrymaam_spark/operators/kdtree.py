@@ -227,47 +227,88 @@ def search_batch(
     L = len(lids)
     nb = min(max_leaves, L)
     begin, end, indice = tree["begin"], tree["end"], tree["indice"]
+    n = len(points)
+    p2 = (points * points).sum(axis=1)
+    sizes = (end[lids] - begin[lids]).astype(np.int64) if L else np.empty(0, np.int64)
+    leaf_max = int(sizes.max()) if L else 0
+    # DENSE shortcut: when the budget's candidate volume (nb * leaf_max) is
+    # within ~4x of the whole blob, the leaf machinery costs more than it
+    # saves — one |p|^2 - 2 q.p dgemm over ALL points per chunk is cheaper
+    # than gathering the selected-leaf candidates (random-access reads).
+    # Semantics: this serves the blob EXACTLY, a strict superset of the
+    # budgeted result — the budget is a recall FLOOR (reference invariant:
+    # recall monotone in budget, budget >= corpus => exact). The gathered
+    # branch remains the at-scale path (200k-row blobs, budget ~4% of
+    # leaves, where dense dgemm would be 25x the selected volume).
+    dense = n <= 4 * nb * leaf_max if leaf_max else True
+    pad_pts = None
+    if not dense:
+        # padded leaf->points lookup (once per blob): (L, leaf_max), -1 pad.
+        # Selected candidates come from ONE fancy-indexed gather per chunk —
+        # no per-leaf Python loop, no global lexsort (a first cut grouped by
+        # leaf and lexsorted ~2M candidate rows per chunk; the sort alone
+        # dominated serving at volume).
+        pad_pts = np.full((L, leaf_max), -1, dtype=np.int64)
+        for j in range(L):
+            node = int(lids[j])
+            pad_pts[j, : sizes[j]] = indice[begin[node] : end[node]]
     out_q: list[np.ndarray] = []
     out_i: list[np.ndarray] = []
+    # preallocated chunk buffers, reused across every chunk: numpy frees
+    # mmap-sized temporaries back to the OS each iteration, and on this
+    # class of sandboxed box a 40 MB first-touch costs SECONDS (measured
+    # 0.03 s warm vs 8.8 s first-touch for one 256x20k elementwise op);
+    # buffer reuse + in-place ops make the cost once-per-task, not
+    # once-per-chunk
+    cmax = min(chunk, n_q)
+    if dense:
+        dist_buf = np.empty((cmax, n))
+    else:
+        m = nb * leaf_max
+        dist_buf = np.empty((cmax, m))
+        gath_buf = np.empty((cmax, m, d))
     for s in range(0, n_q, chunk):
         qc = qpts[s : s + chunk]
         c = len(qc)
+        if dense:
+            dist = dist_buf[:c]
+            np.matmul(qc, points.T, out=dist)  # (c, n)
+            dist *= -2.0
+            dist += p2[None, :]  # + |q|^2 = const/row, irrelevant to rank
+            kr = min(k, n)
+            for r in range(c):
+                idxk = np.argpartition(dist[r], kr - 1)[:kr] if kr < n else np.arange(n)
+                out_q.append(np.full(len(idxk), s + r, dtype=np.int64))
+                out_i.append(idxk.astype(np.int64))
+            continue
         gap = np.maximum(np.maximum(lo[None, :, :] - qc[:, None, :], qc[:, None, :] - hi[None, :, :]), 0.0)
         bound = (gap * gap).sum(axis=2)  # (c, L) exact box lower bounds
         if nb < L:
             sel = np.argpartition(bound, nb - 1, axis=1)[:, :nb]
         else:
             sel = np.broadcast_to(np.arange(L), (c, L))
-        qrow = np.repeat(np.arange(c), sel.shape[1])
-        leaf = sel.ravel()
-        order = np.argsort(leaf, kind="stable")
-        qrow, leaf = qrow[order], leaf[order]
-        starts = np.flatnonzero(np.r_[True, leaf[1:] != leaf[:-1]])
-        ends = np.r_[starts[1:], len(leaf)]
-        cq, ci, cd = [], [], []
-        for st, en in zip(starts, ends):
-            node = int(lids[leaf[st]])
-            pidx = indice[begin[node] : end[node]]
-            if len(pidx) == 0:
+        flat = pad_pts[sel].reshape(c, -1)  # (c, nb*leaf_max) point ids, -1 pad
+        valid = flat >= 0
+        safe = np.where(valid, flat, 0)
+        # |p|^2 - 2 p.q via gather + einsum into reused buffers: one fused
+        # pass, ~half the temporary traffic of a diff-square-sum chain
+        gath = gath_buf[:c]
+        np.take(points, safe, axis=0, out=gath)
+        dist = dist_buf[:c]
+        np.einsum("cmd,cd->cm", gath, qc, out=dist)
+        dist *= -2.0
+        dist += p2[safe]
+        dist[~valid] = np.inf
+        # per-row top-k: argpartition per contiguous row (fast; the axis=1
+        # variant is ~9x slower — microbenchmarked)
+        for r in range(c):
+            nv = int(valid[r].sum())
+            if nv == 0:
                 continue
-            qs = qrow[st:en]
-            diff = qpts[s + qs][:, None, :] - points[pidx][None, :, :]
-            dmat = (diff * diff).sum(axis=2)  # (|qs|, |leaf|)
-            cq.append(np.repeat(qs, len(pidx)))
-            ci.append(np.tile(pidx, len(qs)))
-            cd.append(dmat.ravel())
-        if not cq:
-            continue
-        aq, ai, ad = np.concatenate(cq), np.concatenate(ci), np.concatenate(cd)
-        # per-query top-k: lexsort by (query, dist) then rank within query
-        o = np.lexsort((ad, aq))
-        aq, ai = aq[o], ai[o]
-        qstarts = np.flatnonzero(np.r_[True, aq[1:] != aq[:-1]])
-        runs = np.diff(np.r_[qstarts, len(aq)])
-        rank = np.arange(len(aq)) - np.repeat(qstarts, runs)
-        keep = rank < k
-        out_q.append(aq[keep] + s)
-        out_i.append(ai[keep])
+            kr = min(k, nv)
+            idxk = np.argpartition(dist[r], kr - 1)[:kr]
+            out_q.append(np.full(kr, s + r, dtype=np.int64))
+            out_i.append(flat[r][idxk])
     if not out_q:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     return np.concatenate(out_q), np.concatenate(out_i)

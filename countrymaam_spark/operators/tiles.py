@@ -48,12 +48,37 @@ def _tile_cols(z: int):
 
 
 def tile_counts(pages_geo: DataFrame, zooms: list[int]) -> DataFrame:
-    """Per-tile page counts — the rollup a tile server would pre-compute."""
-    return (
-        assign_tiles(pages_geo, zooms)
-        .groupBy("z", "xt", "yt")
-        .agg(F.count("*").alias("n_pages"))
+    """Per-tile page counts — the rollup a tile server would pre-compute.
+
+    One corpus aggregation, not |zooms|: rows group once by the COMPOUND
+    key (every zoom's tile columns together — the same per-row expressions
+    the exploded form evaluates, so results are bit-identical regroupings),
+    then each zoom's counts roll up from that small aggregate (~#finest
+    tiles rows). The exploded form pushed |zooms| x corpus rows through the
+    partial aggregate; this pushes 1x, and the coarse zooms never touch the
+    corpus again (the coarse-from-fine rollup pattern of cell_knn's radius
+    planner)."""
+    keys = []
+    for z in zooms:
+        xt, yt = _tile_cols(z)
+        keys += [xt.alias(f"_x{z}"), yt.alias(f"_y{z}")]
+    fine = (
+        pages_geo.filter(F.col("lat").isNotNull())
+        .select(*keys)
+        .groupBy(*[f"_x{z}" for z in zooms], *[f"_y{z}" for z in zooms])
+        .agg(F.count("*").alias("_n"))
     )
+    out = None
+    for z in zooms:
+        part = (
+            fine.groupBy(
+                F.col(f"_x{z}").alias("xt"), F.col(f"_y{z}").alias("yt")
+            )
+            .agg(F.sum("_n").alias("n_pages"))
+            .select(F.lit(z).alias("z"), "xt", "yt", "n_pages")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def _tile_sql(z: int, lat: str, lon: str) -> tuple[str, str]:
