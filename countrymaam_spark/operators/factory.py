@@ -3,7 +3,9 @@
 rp-tree, rrp-tree, aknn, rpaknn``) as one config surface over the engine's
 DataFrame indexes. Two corpora shapes:
 
-- embeddings (vec_id, embedding array): ``flat | rplsh | aknn | rpaknn``
+- embeddings (vec_id, embedding array): ``flat | flat_u8 | rplsh | ivf |
+  ivf_u8 | aknn | rpaknn`` (the ``_u8`` flavors run the packed-uint8 dtype,
+  the reference's dtype dispatch: cmd/countrymaam/main.go:154-161)
 - geo pages  (url, lat, lon):           ``cell | kd | rkd | rp | rrp``
 
 ``build`` returns the index STATE as DataFrames (edges / tree blobs —
@@ -22,7 +24,7 @@ from pyspark.sql import DataFrame
 
 from countrymaam_spark.operators import ann, graph, index_build, knn
 
-EMBED_KINDS = ("flat", "rplsh", "ivf", "aknn", "rpaknn")
+EMBED_KINDS = ("flat", "flat_u8", "rplsh", "ivf", "ivf_u8", "aknn", "rpaknn")
 GEO_KINDS = ("cell", "kd", "rkd", "rp", "rrp")
 # the reference CLI's exact names accepted verbatim
 # (/root/reference/cmd/countrymaam/main.go:29-78)
@@ -84,6 +86,8 @@ class AnnIndex:
         cfg, k = self.cfg, k or self.cfg.k
         if cfg.kind == "flat":
             return ann.brute_knn(self.corpus, queries, k=k)
+        if cfg.kind == "flat_u8":
+            return ann.brute_knn_u8(self.corpus, queries, k=k)
         if cfg.kind == "rplsh":
             return ann.rp_lsh_knn(
                 self.corpus, queries, k=k,
@@ -91,6 +95,11 @@ class AnnIndex:
             )
         if cfg.kind == "ivf":
             return ann.ivf_knn(
+                self.corpus, queries, k=k,
+                n_lists=cfg.n_lists, n_probe=cfg.n_probe, seed=cfg.seed,
+            )
+        if cfg.kind == "ivf_u8":
+            return ann.ivf_knn_u8(
                 self.corpus, queries, k=k,
                 n_lists=cfg.n_lists, n_probe=cfg.n_probe, seed=cfg.seed,
             )

@@ -204,6 +204,18 @@ def test_factory_zoo(spark, geo_small):
         recall = len(got & e_exact) / len(e_exact)
         assert recall >= 0.95, (kind, recall)
 
+    # u8 dtype flavors: compared against the u8 brute exact (quantization
+    # changes neighbor sets vs float, so the float oracle does not apply);
+    # full-probe ivf_u8 must match flat_u8 exactly (budget >= corpus)
+    u8_exact = {
+        (r["query_id"], r["vec_id"])
+        for r in _ann.brute_knn_u8(emb, eq, k=5).collect()
+    }
+    for kind in ("flat_u8", "ivf_u8"):
+        idx = create_index(emb, IndexConfig(kind=kind, k=5, n_lists=8, n_probe=8))
+        got = {(r["query_id"], r["vec_id"]) for r in idx.search(eq).collect()}
+        assert got == u8_exact, kind
+
 
 def test_knn_tree_shuffle_route_matches_broadcast_route(spark, geo_small, monkeypatch):
     """Adaptive broadcast (round-2 verdict #2): forcing the route estimate
