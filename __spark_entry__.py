@@ -395,6 +395,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_cell_rollup"] = _stream_rollup
 
+    def _stream_sessionize(s: SparkSession, d: str) -> DataFrame:
+        """Stateful streaming driver entry (applyInPandasWithState): the
+        events table replayed through a file-source stream into the
+        per-user sessionizer. One drop -> one micro-batch -> the update-mode
+        memory sink holds exactly the final state per user, which equals the
+        batch lag+running-sum sessionization — so the events_sessionize SQL
+        oracle applies verbatim (multi-batch state carry-over is pinned in
+        tests/test_streaming.py)."""
+        import shutil
+        import tempfile
+
+        from countrymaam_spark.streaming import sessionize as SZ
+
+        src = os.path.join(d, "events.parquet")
+        schema = s.read.parquet(src).schema
+        drop_dir = tempfile.mkdtemp(prefix="cm_sess_drop_")
+        try:
+            try:
+                os.link(src, os.path.join(drop_dir, "drop1.parquet"))
+            except OSError:
+                shutil.copy(src, os.path.join(drop_dir, "drop1.parquet"))
+            stream = s.readStream.schema(schema).parquet(drop_dir)
+            _STREAM_N[0] += 1
+            name = f"stream_sess_sink_{_STREAM_N[0]}"
+            sq = (
+                SZ.sessionize_stream(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination(600)
+            out = s.table(name).select(
+                "user_id", "n_sessions", "n_events"
+            ).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(drop_dir, ignore_errors=True)
+        return out
+
+    q["stream_sessionize"] = _stream_sessionize
+
     q["region_revenue"] = lambda s, d: (
         s.read.parquet(os.path.join(d, "orders.parquet"))
         .join(
@@ -573,6 +615,10 @@ def oracle_sql() -> dict[str, str]:
         WHERE lat IS NOT NULL
         GROUP BY 1, 2
     """
+    # stateful streaming sessionizer: one drop => final state == the batch
+    # sessionization, so the SAME oracle as events_sessionize applies
+    o["stream_sessionize"] = o["events_sessionize"]
+
     o["region_revenue"] = """
         SELECT r_name, COUNT(*) AS n_orders,
                ROUND(SUM(o_totalprice), 3) AS revenue
