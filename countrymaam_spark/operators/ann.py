@@ -305,35 +305,34 @@ def _nearest_lists(vec_col, cents: np.ndarray, n: int):
     return _nl(vec_col)
 
 
-def ivf_knn(
+def ivf_assignments(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    n_lists: int = 16,
-    n_probe: int = 4,
-    sample_n: int = 2048,
-    iters: int = 8,
+    cents: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-    query_vec_col: str = "query_vec",
-    seed: int = 42,
 ) -> DataFrame:
-    """IVF ANN: coarse k-means quantizer -> per-vector inverted list ->
-    queries probe their ``n_probe`` nearest lists -> exact re-rank.
-    -> (query_id, rk, vec_id, dist).
-
-    The scale path for the reference's budget semantics on embeddings:
-    recall monotone in n_probe; ``n_probe >= n_lists`` probes every list
-    and is EXACT (the brute-force oracle applies). The corpus partitions by
-    list id (equi-join — at scale the corpus table is bucketed by list);
-    only probed lists' rows are scored."""
-    cents = _kmeans_centroids(corpus, vec_col, n_lists, sample_n, iters, seed)
-    c_lists = corpus.select(
+    """(cid, cv, list_id): the IVF inverted-list assignment table — the
+    persistable index STATE (with the centroid table). At scale this is
+    written bucketed by list_id so probes prune files."""
+    return corpus.select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("cv"),
         F.element_at(_nearest_lists(F.col(vec_col), cents, 1), 1).alias("list_id"),
     )
+
+
+def ivf_knn_from_state(
+    c_lists: DataFrame,
+    cents: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Serve IVF kNN from persisted state (centroids + assignment table) —
+    no k-means, no corpus re-assignment: the Save/Load serving path
+    (reference loadIndex analog, /root/reference/index/io.go:28-36)."""
     q_lists = queries.select(
         F.col(query_id_col).alias("qid"),
         F.col(query_vec_col).alias("qv"),
@@ -354,6 +353,39 @@ def ivf_knn(
         "rk",
         F.col("cid").alias("vec_id"),
         F.round("dist", 3).alias("dist"),
+    )
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    sample_n: int = 2048,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: coarse k-means quantizer -> per-vector inverted list ->
+    queries probe their ``n_probe`` nearest lists -> exact re-rank.
+    -> (query_id, rk, vec_id, dist).
+
+    Build + serve in one call (fixture/oracle convenience). A deployment
+    builds the state ONCE (``_kmeans_centroids`` + ``ivf_assignments``,
+    persisted via plans/pipeline.build_ivf_pipeline) and serves with
+    ``ivf_knn_from_state``. Recall monotone in n_probe; ``n_probe >=
+    n_lists`` probes every list and is EXACT (the brute-force oracle
+    applies). The corpus partitions by list id (equi-join — at scale the
+    corpus table is bucketed by list); only probed lists' rows are scored."""
+    cents = _kmeans_centroids(corpus, vec_col, n_lists, sample_n, iters, seed)
+    c_lists = ivf_assignments(corpus, cents, id_col=id_col, vec_col=vec_col)
+    return ivf_knn_from_state(
+        c_lists, cents, queries, k=k, n_probe=n_probe,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
     )
 
 

@@ -104,6 +104,67 @@ def build_graph_pipeline(
     return {"graph_edges": {"rows": edges_df.count(), "skipped": skipped}}
 
 
+def build_ivf_pipeline(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    n_lists: int = 16,
+    sample_n: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Save/Load for the IVF family: the coarse quantizer (centroid table)
+    and the inverted-list assignment table persist as Manifest stages, so
+    serving (``ann.ivf_knn_from_state`` via ``load_ivf``) never re-runs
+    k-means or re-assigns the corpus. Completes #25 parity across the zoo:
+    trees and graph edges already persist; LSH planes are seeded-
+    deterministic (no state to store); flat has no build state."""
+    from countrymaam_spark.operators import ann
+
+    manifest = Manifest(out_dir)
+    cents_df, skipped_c = run_stage(
+        spark,
+        manifest,
+        "ivf_centroids",
+        lambda: spark.createDataFrame(
+            [
+                (int(i), [float(x) for x in c])
+                for i, c in enumerate(
+                    ann._kmeans_centroids(corpus, vec_col, n_lists, sample_n, iters, seed)
+                )
+            ],
+            "list_id int, centroid array<double>",
+        ),
+    )
+    cents = _cents_array(cents_df)
+    lists_df, skipped_l = run_stage(
+        spark,
+        manifest,
+        "ivf_lists",
+        lambda: ann.ivf_assignments(corpus, cents, id_col=id_col, vec_col=vec_col),
+    )
+    return {
+        "ivf_centroids": {"rows": cents_df.count(), "skipped": skipped_c},
+        "ivf_lists": {"rows": lists_df.count(), "skipped": skipped_l},
+    }
+
+
+def _cents_array(cents_df: DataFrame):
+    import numpy as np
+
+    rows = sorted(cents_df.collect(), key=lambda r: r["list_id"])
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def load_ivf(spark: SparkSession, out_dir: str):
+    """-> (assignment DataFrame, centroid ndarray) for ivf_knn_from_state."""
+    cents = _cents_array(spark.read.parquet(os.path.join(out_dir, "ivf_centroids")))
+    lists_df = spark.read.parquet(os.path.join(out_dir, "ivf_lists"))
+    return lists_df, cents
+
+
 def load_graph_edges(spark: SparkSession, out_dir: str) -> DataFrame:
     """The (node, nbr, dist) edge snapshot persisted by
     ``build_graph_pipeline`` — plain parquet, no special reader knobs

@@ -190,3 +190,24 @@ def test_ivf_u8_recall_monotone_in_probe(spark, corpus, queries):
         return len(brute & got) / len(brute)
 
     assert recall(1) <= recall(4) <= recall(8) == 1.0
+
+
+def test_ivf_persist_load_serve_roundtrip(spark, corpus, queries, tmp_path):
+    """IVF Save/Load (reference index/io.go): centroids + assignments persist
+    through the Manifest; a rerun skips both stages; serving from the loaded
+    state equals the build-and-serve path."""
+    from countrymaam_spark.plans import pipeline as PL
+
+    out = str(tmp_path / "ivf")
+    rep1 = PL.build_ivf_pipeline(spark, corpus, out, n_lists=8, seed=1)
+    assert not rep1["ivf_centroids"]["skipped"] and not rep1["ivf_lists"]["skipped"]
+    rep2 = PL.build_ivf_pipeline(spark, corpus, out, n_lists=8, seed=1)
+    assert rep2["ivf_centroids"]["skipped"] and rep2["ivf_lists"]["skipped"]
+    lists_df, cents = PL.load_ivf(spark, out)
+    served = _key(
+        ann.ivf_knn_from_state(lists_df, cents, queries, k=5, n_probe=8).collect()
+    )
+    direct = _key(
+        ann.ivf_knn(corpus, queries, k=5, n_lists=8, n_probe=8, seed=1).collect()
+    )
+    assert served == direct
