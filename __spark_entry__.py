@@ -160,6 +160,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d), tau=0.05)
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d), tau=0.8)
     q["dedup_simhash_pairs"] = lambda s, d: dedup.simhash_near_pairs(_docs(s, d), max_hamming=3)
+    # canonicalization over the LSH pair graph (keep-one-per-component):
+    # LSH recall 1.0 at this fixture/config (same argument as
+    # dedup_minhash_lsh) -> the exact-pairs transitive-closure oracle applies
+    q["dedup_components"] = lambda s, d: dedup.dup_components(
+        _docs(s, d), dedup.minhash_lsh_pairs(_docs(s, d), tau=0.8)
+    )
 
     # --- embedding similarity over the driver embeddings table ---
     def _emb(s: SparkSession, d: str) -> DataFrame:
@@ -531,6 +537,11 @@ def oracle_sql() -> dict[str, str]:
         FROM s a JOIN s b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.h, b.h)) <= 3
     """
+
+    o["dedup_components"] = dedup.dup_components_sql(
+        "documents",
+        dedup.ngram_jaccard_pairs_sql("documents", tau=0.8, max_shingle_freq=None),
+    )
 
     emb_q = "(SELECT * FROM embeddings WHERE vec_id < 8)"
     o["embed_knn_l2"] = ann.brute_knn_sql("embeddings", emb_q, k=5)

@@ -215,6 +215,84 @@ def minhash_lsh_pairs(
     )
 
 
+def dup_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup pairs -> (doc_id, canonical_id): connected components by
+    iterative min-label propagation — the canonicalization step a dedup
+    pipeline runs AFTER pair generation (keep one doc per component).
+
+    Every doc gets a row; singletons are their own canonical. Each round is
+    one edge join + min-aggregate (O(E) shuffle); rounds needed = component
+    diameter, and near-dup components are dense clusters with tiny diameter
+    (pathological long chains would want the large-star/small-star variant;
+    not needed for dedup graphs). The driver sees only the changed-count per
+    round — O(1) rows — and the loop exits on the first fixpoint.
+    Deterministic: min is order-free.
+    """
+    nodes = docs.select(F.col(id_col).alias("node"))
+    e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = nodes.withColumn("comp", F.col("node")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("node").alias("a"), F.col("comp").alias("acomp")),
+                "a",
+            )
+            .groupBy("b")
+            .agg(F.min("acomp").alias("nmin"))
+            .select(F.col("b").alias("node"), "nmin")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("comp").alias("old")), "node"
+            )
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("comp").alias("canonical_id"))
+
+
+def dup_components_sql(
+    docs_rel: str, pairs_sql: str, id_col: str = "doc_id"
+) -> str:
+    """Oracle: transitive closure by recursive CTE over the symmetrized pair
+    graph; canonical = min(node, all reachable). Fixture-scale only (the
+    closure is quadratic per component) — which is exactly what an oracle
+    is for."""
+    return f"""
+        WITH RECURSIVE pr AS ({pairs_sql}),
+        sym AS (
+            SELECT id_a AS a, id_b AS b FROM pr
+            UNION SELECT id_b AS a, id_a AS b FROM pr
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        )
+        SELECT d.{id_col} AS {id_col},
+               LEAST(d.{id_col}, COALESCE(MIN(r.b), d.{id_col})) AS canonical_id
+        FROM {docs_rel} d LEFT JOIN reach r ON d.{id_col} = r.a
+        GROUP BY d.{id_col}
+    """
+
+
 def simhash_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """-> (doc_id, simhash): 32-bit portable SimHash per doc. Tokenization
     is expression-side (oracle-identical split); hashing + votes run in the

@@ -102,3 +102,22 @@ def test_ngram_jaccard_cap_matches_capped_oracle(spark):
     capped = {tuple(r) for r in dedup.ngram_jaccard_pairs(df, tau=0.05, max_shingle_freq=3).collect()}
     uncapped = {tuple(r) for r in dedup.ngram_jaccard_pairs(df, tau=0.05, max_shingle_freq=None).collect()}
     assert capped != uncapped
+
+
+def test_dup_components_planted_chain(spark):
+    """Min-label propagation: a pair CHAIN (1-2, 2-3) collapses into one
+    component via transitivity; untouched docs stay their own canonical."""
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(1, 6)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2, 0.9), (2, 3, 0.85)], "id_a long, id_b long, jac double")
+    got = dict(dedup.dup_components(docs, pairs).collect())
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+
+
+def test_dup_components_matches_recursive_oracle(spark, docs):
+    got = dict(dedup.dup_components(docs, dedup.minhash_lsh_pairs(docs, tau=0.8)).collect())
+    sql = dedup.dup_components_sql(
+        f"'{DOCS}'", dedup.ngram_jaccard_pairs_sql(f"'{DOCS}'", tau=0.8, max_shingle_freq=None)
+    )
+    want = dict(duckdb.sql(sql).fetchall())
+    assert got == want
+    assert any(k != v for k, v in got.items())  # at least one real merge
