@@ -166,6 +166,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_components"] = lambda s, d: dedup.dup_components(
         _docs(s, d), dedup.minhash_lsh_pairs(_docs(s, d), tau=0.8)
     )
+    # end-to-end curation (lang filter -> quality floor -> dedup keep-list):
+    # the composition of already-verified stages, under a composed oracle
+    q["docs_curated"] = lambda s, d: dedup.curate_docs(
+        _docs(s, d), langs=("en",), min_quality=0.3, tau=0.8
+    )
 
     # --- embedding similarity over the driver embeddings table ---
     def _emb(s: SparkSession, d: str) -> DataFrame:
@@ -538,6 +543,9 @@ def oracle_sql() -> dict[str, str]:
         WHERE bit_count(xor(a.h, b.h)) <= 3
     """
 
+    o["docs_curated"] = dedup.curate_docs_sql(
+        "documents", langs=("en",), min_quality=0.3, tau=0.8
+    )
     o["dedup_components"] = dedup.dup_components_sql(
         "documents",
         dedup.ngram_jaccard_pairs_sql("documents", tau=0.8, max_shingle_freq=None),

@@ -293,6 +293,74 @@ def dup_components_sql(
     """
 
 
+def curate_docs(
+    docs: DataFrame,
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.0,
+    tau: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end training-data curation: language-ID filter -> quality
+    threshold -> near-dup canonicalization -> the KEPT document set
+    (one survivor per near-dup component). -> (doc_id, lang_pred, quality).
+
+    The composition a web-scale corpus pipeline actually ships: each stage
+    is the already-verified operator (lang_id / quality_score expression
+    layers; MinHash-LSH pairs; min-label components), so the whole pipeline
+    stays a single declarative plan per stage with no new shuffle shapes.
+    Survivor = the component's canonical (min id) — deterministic.
+    """
+    from countrymaam_spark.functions import text as T
+
+    scored = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        T.lang_id(F.col(text_col)).alias("lang_pred"),
+        T.quality_score(F.col(text_col)).alias("quality"),
+    )
+    kept = scored.filter(
+        F.col("lang_pred").isin(list(langs)) & (F.col("quality") >= min_quality)
+    ).cache()
+    pairs = minhash_lsh_pairs(kept, tau=tau, id_col=id_col, text_col=text_col)
+    comps = dup_components(kept, pairs, id_col=id_col)
+    return (
+        kept.join(comps, id_col)
+        .filter(F.col(id_col) == F.col("canonical_id"))
+        .select(id_col, "lang_pred", "quality")
+    )
+
+
+def curate_docs_sql(
+    docs_rel: str,
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.0,
+    tau: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle: the same filters + exact-Jaccard pairs + recursive-closure
+    components over the FILTERED set, keeping canonical rows."""
+    from countrymaam_spark.functions import text as T
+
+    lang_list = ", ".join(f"'{l}'" for l in langs)
+    kept_rel = (
+        f"(SELECT {id_col}, {text_col}, {T.lang_id_sql(text_col)} AS lang_pred, "
+        f"{T.quality_score_sql(text_col)} AS quality FROM {docs_rel} "
+        f"WHERE {T.lang_id_sql(text_col)} IN ({lang_list}) "
+        f"AND {T.quality_score_sql(text_col)} >= {min_quality})"
+    )
+    pairs_sql = ngram_jaccard_pairs_sql(
+        kept_rel, tau=tau, id_col=id_col, text_col=text_col, max_shingle_freq=None
+    )
+    comp_sql = dup_components_sql(kept_rel, pairs_sql, id_col=id_col)
+    return f"""
+        SELECT k.{id_col} AS {id_col}, k.lang_pred, k.quality
+        FROM {kept_rel} k JOIN ({comp_sql}) c ON k.{id_col} = c.{id_col}
+        WHERE c.{id_col} = c.canonical_id
+    """
+
+
 def simhash_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """-> (doc_id, simhash): 32-bit portable SimHash per doc. Tokenization
     is expression-side (oracle-identical split); hashing + votes run in the
