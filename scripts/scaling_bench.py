@@ -100,6 +100,18 @@ def main() -> None:
         f"{r_high['pages_per_sec']} pages/s at {high} cores.",
         "",
     ]
+    stages_env = os.environ.get("SPARK_GRAFT_STAGES", "(all)")
+    nq = os.environ.get("SPARK_GRAFT_KNN_QUERIES", "200 (fixture)")
+    lines += [
+        f"Config: stages={stages_env}; knn queries={nq}; "
+        f"warm={os.environ.get('SPARK_GRAFT_WARM', '0')}; repeats={REPEATS} (min).",
+        "",
+        "kNN SERVING scaling is a query-volume question, not a core-count",
+        "one — at the 200-query fixture the driver-round/blob constants",
+        "dominate both arms. The serving sweeps (20k queries: cell 0.84,",
+        "tree 0.81 at sf10) and the core-pinned trio live in BENCH.md.",
+        "",
+    ]
     report = "\n".join(lines)
     print(report)
     with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
