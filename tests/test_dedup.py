@@ -121,3 +121,28 @@ def test_dup_components_matches_recursive_oracle(spark, docs):
     want = dict(duckdb.sql(sql).fetchall())
     assert got == want
     assert any(k != v for k, v in got.items())  # at least one real merge
+
+
+def test_curate_docs_planted(spark):
+    """End-to-end curation: the German doc is language-filtered, the tiny doc
+    falls below the quality floor, and only the canonical (min-id) survivor
+    of the near-dup pair is kept."""
+    base = (
+        "this is a long document that contains many of the common english "
+        "words and it is written for the quality scorer with plenty of "
+        "ordinary text in it so that the score is comfortably high today"
+    )
+    rows = [
+        (1, base + " one"),
+        (2, base + " two"),  # near-dup of 1 -> same component, 1 survives
+        (3, "das ist ein langer deutscher text der die worte mit der sprache "
+            "verbindet und ist nicht englisch der die das ein ist mit und"),
+        (4, "x"),  # too short / no stopwords -> low quality
+        (5, "completely different english text that is about databases and "
+            "query engines and is of a reasonable length for the scorer to "
+            "accept it as high quality content in the corpus today as well"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in dedup.curate_docs(
+        docs, langs=("en",), min_quality=0.3, tau=0.5).collect()}
+    assert kept == {1, 5}
