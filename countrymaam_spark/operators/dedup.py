@@ -235,7 +235,13 @@ def dup_components(
     """
     nodes = docs.select(F.col(id_col).alias("node"))
     e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # pin the edge table ONCE: `pairs` is usually a lazy candidate pipeline
+    # (LSH banding + verification) and every propagation round joins against
+    # it — without the checkpoint the whole pair-generation DAG would
+    # re-execute per round
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     labels = nodes.withColumn("comp", F.col("node")).localCheckpoint(eager=True)
     for _ in range(max_iter):
         nbr_min = (
