@@ -146,3 +146,39 @@ def test_curate_docs_planted(spark):
     kept = {r["doc_id"] for r in dedup.curate_docs(
         docs, langs=("en",), min_quality=0.3, tau=0.5).collect()}
     assert kept == {1, 5}
+
+
+def test_dup_components_random_graphs_match_union_find(spark):
+    """Property: on seeded random pair graphs, min-label propagation equals
+    a pure-Python union-find with min-id canonicals (3 graphs, one Spark
+    session round-trip each)."""
+    import random
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        n = 30
+        edges = sorted({
+            tuple(sorted(rng.sample(range(1, n + 1), 2))) for _ in range(rng.randint(5, 25))
+        })
+        parent = list(range(n + 1))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {i: find(i) for i in range(1, n + 1)}
+        docs = spark.createDataFrame([(i, f"d{i}") for i in range(1, n + 1)], "doc_id long, text string")
+        pairs = spark.createDataFrame(
+            [(a, b, 1.0) for a, b in edges] or [(1, 1, 1.0)],
+            "id_a long, id_b long, jac double",
+        )
+        if not edges:
+            pairs = pairs.filter("id_a <> id_b")
+        got = dict(dedup.dup_components(docs, pairs).collect())
+        assert got == want, (seed, edges)
