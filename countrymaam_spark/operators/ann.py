@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from countrymaam_spark.functions import vector as V
+from countrymaam_spark.operators.adaptive import gate_broadcast
 from countrymaam_spark.operators.topk import topk_per_group
 
 
@@ -147,6 +148,7 @@ def rp_lsh_knn(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     seed: int = 42,
+    broadcast_limit: int | None = None,
 ) -> DataFrame:
     """Approximate kNN: union of same-bucket candidates over n_tables random
     hyperplane tables, exact re-rank. -> (query_id, rk, vec_id, dist)."""
@@ -163,8 +165,13 @@ def rp_lsh_knn(
         F.col(query_vec_col).alias("qv"),
         F.posexplode(rp_signature(F.col(query_vec_col), planes)).alias("tbl", "key"),
     )
+    # the probe side holds |Q| x n_tables structs: broadcast while that fits,
+    # shuffle equi-join on (tbl, key) past the limit (one count job on the
+    # small query table; at cluster scale the signed corpus is bucketed by
+    # (tbl, key), so only the probe side moves)
+    q_sig = gate_broadcast(q_sig, queries.count() * n_tables, broadcast_limit)
     cands = (
-        c_sig.join(F.broadcast(q_sig), ["tbl", "key"])
+        c_sig.join(q_sig, ["tbl", "key"])
         .filter(F.col("cid") != F.col("qid"))
         .dropDuplicates(["qid", "cid"])
         .withColumn("dist", _dist(metric, F.col("cv"), F.col("qv")))
@@ -329,19 +336,25 @@ def ivf_knn_from_state(
     n_probe: int = 4,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    broadcast_limit: int | None = None,
 ) -> DataFrame:
     """Serve IVF kNN from persisted state (centroids + assignment table) —
     no k-means, no corpus re-assignment: the Save/Load serving path
     (reference loadIndex analog, /root/reference/index/io.go:28-36)."""
+    eff_probe = min(n_probe, len(cents))
     q_lists = queries.select(
         F.col(query_id_col).alias("qid"),
         F.col(query_vec_col).alias("qv"),
-        F.explode(
-            _nearest_lists(F.col(query_vec_col), cents, min(n_probe, len(cents)))
-        ).alias("list_id"),
+        F.explode(_nearest_lists(F.col(query_vec_col), cents, eff_probe)).alias(
+            "list_id"
+        ),
     )
+    # probe side = |Q| x n_probe structs; past the limit the equi-join on
+    # list_id shuffles only this small side (the assignment table is written
+    # partitioned by list_id — build_ivf_pipeline — so probes prune files)
+    q_lists = gate_broadcast(q_lists, queries.count() * eff_probe, broadcast_limit)
     cands = (
-        c_lists.join(F.broadcast(q_lists), "list_id")
+        c_lists.join(q_lists, "list_id")
         .filter(F.col("cid") != F.col("qid"))
         .withColumn("dist", _dist("sq_l2", F.col("cv"), F.col("qv")))
     )
@@ -369,6 +382,7 @@ def ivf_knn(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     seed: int = 42,
+    broadcast_limit: int | None = None,
 ) -> DataFrame:
     """IVF ANN: coarse k-means quantizer -> per-vector inverted list ->
     queries probe their ``n_probe`` nearest lists -> exact re-rank.
@@ -386,6 +400,7 @@ def ivf_knn(
     return ivf_knn_from_state(
         c_lists, cents, queries, k=k, n_probe=n_probe,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
+        broadcast_limit=broadcast_limit,
     )
 
 
@@ -534,6 +549,8 @@ def ivf_knn_u8(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     seed: int = 42,
+    pre_quantized: bool = False,
+    broadcast_limit: int | None = None,
 ) -> DataFrame:
     """IVF ANN over the packed-uint8 dtype -> (query_id, rk, vec_id, dist).
 
@@ -544,10 +561,20 @@ def ivf_knn_u8(
     probe ``n_probe`` lists per query, re-rank with the exact integer
     ``u8_sq_l2``. ``n_probe >= n_lists`` probes every list -> EXACT, so the
     bit-exact u8 brute oracle applies while the plan stays the bucketed
-    probe."""
-    c_bin = corpus.select(
-        F.col(id_col).alias("cid"), quantize_u8(F.col(vec_col)).alias("cb")
-    ).cache()
+    probe.
+
+    ``pre_quantized=True`` means ``vec_col`` is already the packed binary
+    column — the production shape (the table stores the binary column once).
+    Without it the corpus is quantized in-plan, UNCACHED: the quantize UDF
+    runs twice (sample pass + serving pass), a bounded recompute, instead of
+    pinning executor storage that a long-lived session never releases (the
+    round-3 advisor's leak)."""
+    if pre_quantized:
+        c_bin = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cb"))
+    else:
+        c_bin = corpus.select(
+            F.col(id_col).alias("cid"), quantize_u8(F.col(vec_col)).alias("cb")
+        )
     vs = _sample_vectors(c_bin, "cb", sample_n, seed)
     x = np.stack([np.frombuffer(b, dtype=np.uint8) for b in vs]).astype(np.float64)
     cents = _kmeans_np(x, n_lists, iters, seed)
@@ -558,12 +585,13 @@ def ivf_knn_u8(
         F.col(query_id_col).alias("qid"),
         quantize_u8(F.col(query_vec_col)).alias("qb"),
     )
+    eff_probe = min(n_probe, len(cents))
     q_lists = q_bin.withColumn(
-        "list_id",
-        F.explode(_nearest_lists_u8(F.col("qb"), cents, min(n_probe, len(cents)))),
+        "list_id", F.explode(_nearest_lists_u8(F.col("qb"), cents, eff_probe))
     )
+    q_lists = gate_broadcast(q_lists, queries.count() * eff_probe, broadcast_limit)
     cands = (
-        c_lists.join(F.broadcast(q_lists), "list_id")
+        c_lists.join(q_lists, "list_id")
         .filter(F.col("cid") != F.col("qid"))
         .withColumn("dist", u8_sq_l2(F.col("cb"), F.col("qb")))
     )

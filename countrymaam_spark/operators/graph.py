@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from countrymaam_spark.functions import vector as V
+from countrymaam_spark.operators.adaptive import gate_broadcast
 from countrymaam_spark.operators.topk import topk_per_group
 
 DEFAULT_K = 15        # reference aknn defaults (graph/aknn.go:20-23)
@@ -298,6 +299,7 @@ def graph_knn(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     stats: dict | None = None,
+    broadcast_limit: int | None = None,
 ) -> DataFrame:
     """Graph-walk kNN -> (query_id, rk, vec_id, dist).
 
@@ -318,6 +320,11 @@ def graph_knn(
     q = queries.select(
         F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
     ).cache()
+    # the scorer re-joins the query table EVERY hop: broadcast while |Q| fits
+    # (one count on the cached query table), else each hop's lookup becomes a
+    # shuffle equi-join on qid — millions of query vectors per serving batch
+    # must never be driver-serialized once per hop (round-3 verdict #1)
+    q_b = gate_broadcast(q, q.count(), broadcast_limit)
 
     # seeded pseudo-random entry points: only entries_num rows are needed, so
     # orderBy+limit (TakeOrdered — a per-partition top-N merge, NO full-sort
@@ -344,7 +351,7 @@ def graph_knn(
     def score(cand: DataFrame) -> DataFrame:
         return (
             cand.join(v, "vid")
-            .join(F.broadcast(q), "qid")
+            .join(q_b, "qid")
             .withColumn("dist", V.sq_l2_batch(F.col("vec"), F.col("qv")))
             .select("qid", "vid", "dist")
         )
@@ -408,6 +415,7 @@ def composite_knn(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    broadcast_limit: int | None = None,
 ) -> DataFrame:
     """Two-stage head/tail search (reference CompositeIndex,
     index/composite_index.go:21-43; the CLI's ``rpaknn``): the head — our
@@ -422,6 +430,7 @@ def composite_knn(
         vecs, queries, k=entries_num, n_tables=n_tables, bits=bits,
         id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, query_vec_col=query_vec_col, seed=seed,
+        broadcast_limit=broadcast_limit,
     )
     entries = head.select(
         F.col("query_id").alias(query_id_col), F.col("vec_id").alias(id_col)
@@ -431,4 +440,5 @@ def composite_knn(
         max_hops=max_hops, greedy_hops=greedy_hops, seed=seed, entries=entries,
         id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
+        broadcast_limit=broadcast_limit,
     )

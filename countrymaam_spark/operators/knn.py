@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from countrymaam_spark.functions import geo
+from countrymaam_spark.operators.adaptive import gate_broadcast
 from countrymaam_spark.operators.topk import topk_per_group
 
 
@@ -354,8 +355,7 @@ def cell_knn(
                     "ry",
                     F.explode(geo.ring_cells_xy(qc, lv, rcx, rcy)).alias("jcell"),
                 )
-                if est_cells <= 1_000_000:
-                    exploded = F.broadcast(exploded)
+                exploded = gate_broadcast(exploded, est_cells)
                 join_key = (
                     geo.cell_parent(F.col("cell"), lv, res) if s else F.col("cell")
                 )
@@ -394,8 +394,7 @@ def cell_knn(
                     qy.alias("b_qy"),
                     F.explode(F.sequence(lo, hi)).alias("crow"),
                 )
-                if est <= 1_000_000:
-                    exploded = F.broadcast(exploded)
+                exploded = gate_broadcast(exploded, est)
                 corp = pages_cells.withColumn("cy", geo.cell_y(F.col("cell")))
                 band_cands = (
                     corp.join(
