@@ -57,10 +57,19 @@ def _ids(vecs: DataFrame, id_col: str) -> DataFrame:
     return vecs.select(F.col(id_col).alias("node"))
 
 
-N_POS_BUCKETS = 1024  # bucketed-ranking fanout for _hash_positions
+N_POS_BUCKETS = 1024  # bucketed-ranking fanout floor for _hash_positions
 
 
-def _hash_positions(ids: DataFrame, seed: int, n_buckets: int = N_POS_BUCKETS) -> tuple[DataFrame, int]:
+def _pos_buckets(ids: DataFrame) -> int:
+    """Bucket count for the position ranking: the 1024 floor (unchanged on
+    any single box, so seeded goldens are stable), scaled up with cluster
+    parallelism — at a fixed 1024 a 10^9-node build ranks ~10^6 rows per
+    bucket window single-threaded (round-3 verdict #3); 32 buckets per slot
+    keeps each window task's rank width bounded as executors grow."""
+    return max(N_POS_BUCKETS, ids.sparkSession.sparkContext.defaultParallelism * 32)
+
+
+def _hash_positions(ids: DataFrame, seed: int, n_buckets: int | None = None) -> tuple[DataFrame, int]:
     """(node) -> ((node, pos), n): a seeded pseudo-random permutation 0..n-1,
     WITHOUT a global sort.
 
@@ -73,6 +82,8 @@ def _hash_positions(ids: DataFrame, seed: int, n_buckets: int = N_POS_BUCKETS) -
     the ``ids.count()`` job a caller needs anyway, so it costs nothing
     extra). pos = offset[bucket] + rank_in_bucket, a true permutation.
     """
+    if n_buckets is None:
+        n_buckets = _pos_buckets(ids)
     h = F.xxhash64("node", F.lit(seed))
     b = ids.select("node", h.alias("_h"), F.pmod(h, F.lit(n_buckets)).cast("int").alias("_bkt"))
     counts = {
