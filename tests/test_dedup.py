@@ -182,3 +182,30 @@ def test_dup_components_random_graphs_match_union_find(spark):
             pairs = pairs.filter("id_a <> id_b")
         got = dict(dedup.dup_components(docs, pairs).collect())
         assert got == want, (seed, edges)
+
+
+def test_dup_components_long_chain_converges_logarithmically(spark):
+    """Round-3 verdict #6: a planted 50-link chain (diameter 50 — templated
+    page series) must converge well inside O(log n) star rounds, where the
+    old min-label propagation needed 50 diameter rounds and silently
+    truncated at max_iter=20."""
+    n = 51
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, n + 1)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(1, n)], "id_a long, id_b long, jac double"
+    )
+    got = dict(dedup.dup_components(docs, pairs, max_iter=12).collect())
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_dup_components_raises_on_truncation(spark):
+    """The advisor's silent-truncation hazard: exhausting max_iter raises
+    instead of returning partially-merged canonical ids."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(i, "x") for i in range(1, 5)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2, 1.0), (2, 3, 1.0)], "id_a long, id_b long, jac double")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_components(docs, pairs, max_iter=0)
