@@ -60,24 +60,44 @@ def run_stage(
     name: str,
     build_fn,
     verify_hash: bool = False,
+    params: dict | None = None,
 ) -> tuple[DataFrame, bool]:
     """Build-or-resume one stage. Returns (df, skipped).
 
-    Skip requires: manifest entry + snapshot dir + row count match (and
-    content hash match when ``verify_hash``). Any mismatch rebuilds and
-    overwrites — a torn write is never trusted.
+    Skip requires: manifest entry + snapshot dir + row count match + BUILD
+    PARAMS match (and content hash match when ``verify_hash``). Any mismatch
+    rebuilds and overwrites — a torn write is never trusted.
+
+    ``params`` is the stage's full build configuration, recorded verbatim in
+    the manifest entry. Without it, a re-run with changed parameters could
+    resume a stale snapshot whenever the ROW COUNT happens to be unchanged —
+    the round-3 advisor's staleness: rebuilding IVF with a new n_lists
+    refreshed the centroid table (row mismatch) but resumed the assignment
+    table (rows always = corpus size), silently serving list ids the
+    assignments never contain. Dependent stages should pass the SAME params
+    dict (one shared invalidation key), so they can never resume out of
+    sync with each other.
     """
     path = os.path.join(manifest.out_dir, name)
     entry = manifest.stages.get(name)
+    want_params = {} if params is None else {
+        k: v for k, v in sorted(params.items())
+    }
     if entry is not None and os.path.exists(os.path.join(path, "_SUCCESS")):
         df = spark.read.parquet(path)
-        if df.count() == entry["rows"] and (
-            not verify_hash or content_hash(df) == entry["hash"]
+        if (
+            entry.get("params") == want_params
+            and df.count() == entry["rows"]
+            and (not verify_hash or content_hash(df) == entry["hash"])
         ):
             return df, True
     df = build_fn()
     df.write.mode("overwrite").parquet(path)
     out = spark.read.parquet(path)
-    manifest.stages[name] = {"rows": out.count(), "hash": content_hash(out)}
+    manifest.stages[name] = {
+        "rows": out.count(),
+        "hash": content_hash(out),
+        "params": want_params,
+    }
     manifest.save()
     return out, False

@@ -30,12 +30,20 @@ def build_index_pipeline(
     """Runs (or resumes) the full build. Returns stage -> (rows, skipped)."""
     manifest = Manifest(out_dir)
     report: dict[str, dict] = {}
+    # ONE shared invalidation key for every stage: a parameter change can
+    # never leave upstream/downstream snapshots resuming out of sync
+    params = {
+        "res": res, "parent_res": parent_res,
+        "target_group_rows": target_group_rows,
+        "seed": seed, "kind": kind, "n_trees": n_trees,
+    }
 
     geo_df, skipped = run_stage(
         spark,
         manifest,
         "geo",
         lambda: extract_geo(pages).select("url", "lat", "lon", "text_sha"),
+        params=params,
     )
     report["geo"] = {"rows": geo_df.count(), "skipped": skipped}
 
@@ -46,6 +54,7 @@ def build_index_pipeline(
         lambda: index_build.salt_hot_cells(
             index_build.encode_pages(geo_df, res, parent_res), target_group_rows
         ),
+        params=params,
     )
     report["cells"] = {"rows": cells_df.count(), "skipped": skipped}
 
@@ -54,11 +63,13 @@ def build_index_pipeline(
         manifest,
         "trees",
         lambda: index_build.build_tree_blobs(cells_df, seed=seed, kind=kind, n_trees=n_trees),
+        params=params,
     )
     report["trees"] = {"rows": trees_df.count(), "skipped": skipped}
 
     lineage_df, skipped = run_stage(
-        spark, manifest, "lineage", lambda: index_build.lineage(trees_df)
+        spark, manifest, "lineage", lambda: index_build.lineage(trees_df),
+        params=params,
     )
     report["lineage"] = {"rows": lineage_df.count(), "skipped": skipped}
 
@@ -92,6 +103,10 @@ def build_graph_pipeline(
     from countrymaam_spark.operators.graph import nn_descent
 
     manifest = Manifest(out_dir)
+    params = {
+        "k": k, "rho": rho, "max_iter": max_iter, "seed": seed,
+        "id_col": id_col, "vec_col": vec_col,
+    }
     edges_df, skipped = run_stage(
         spark,
         manifest,
@@ -100,6 +115,7 @@ def build_graph_pipeline(
             vecs, k=k, rho=rho, max_iter=max_iter, seed=seed,
             id_col=id_col, vec_col=vec_col,
         ),
+        params=params,
     )
     return {"graph_edges": {"rows": edges_df.count(), "skipped": skipped}}
 
@@ -124,6 +140,14 @@ def build_ivf_pipeline(
     from countrymaam_spark.operators import ann
 
     manifest = Manifest(out_dir)
+    # BOTH stages share this key: changing n_lists/seed/sample_n invalidates
+    # centroids AND assignments together — the round-3 advisor's staleness
+    # (rows-only skip resumed an assignment table inconsistent with freshly
+    # rebuilt centroids, silently losing recall at n_probe < n_lists)
+    params = {
+        "n_lists": n_lists, "sample_n": sample_n, "iters": iters,
+        "seed": seed, "id_col": id_col, "vec_col": vec_col,
+    }
     cents_df, skipped_c = run_stage(
         spark,
         manifest,
@@ -137,6 +161,7 @@ def build_ivf_pipeline(
             ],
             "list_id int, centroid array<double>",
         ),
+        params=params,
     )
     cents = _cents_array(cents_df)
     lists_df, skipped_l = run_stage(
@@ -144,6 +169,7 @@ def build_ivf_pipeline(
         manifest,
         "ivf_lists",
         lambda: ann.ivf_assignments(corpus, cents, id_col=id_col, vec_col=vec_col),
+        params=params,
     )
     return {
         "ivf_centroids": {"rows": cents_df.count(), "skipped": skipped_c},

@@ -211,3 +211,28 @@ def test_ivf_persist_load_serve_roundtrip(spark, corpus, queries, tmp_path):
         ann.ivf_knn(corpus, queries, k=5, n_lists=8, n_probe=8, seed=1).collect()
     )
     assert served == direct
+
+
+def test_ivf_param_change_invalidates_both_stages(spark, corpus, queries, tmp_path):
+    """Round-3 advisor (medium): a rerun with a changed n_lists must rebuild
+    BOTH stages — the assignment table's row count never changes (always =
+    corpus size), so a rows-only skip would serve assignments inconsistent
+    with the fresh centroids and silently lose recall at n_probe < n_lists.
+    Params are one shared manifest key for the dependent stages."""
+    from countrymaam_spark.plans import pipeline as PL
+
+    out = str(tmp_path / "ivf_inval")
+    PL.build_ivf_pipeline(spark, corpus, out, n_lists=8, seed=1)
+    rep = PL.build_ivf_pipeline(spark, corpus, out, n_lists=4, seed=1)
+    assert not rep["ivf_centroids"]["skipped"]
+    assert not rep["ivf_lists"]["skipped"]
+    # and the rebuilt state actually serves the n_lists=4 quantizer exactly
+    lists_df, cents = PL.load_ivf(spark, out)
+    assert len(cents) == 4
+    served = _key(
+        ann.ivf_knn_from_state(lists_df, cents, queries, k=5, n_probe=4).collect()
+    )
+    direct = _key(
+        ann.ivf_knn(corpus, queries, k=5, n_lists=4, n_probe=4, seed=1).collect()
+    )
+    assert served == direct
