@@ -337,10 +337,20 @@ def ivf_knn_from_state(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     broadcast_limit: int | None = None,
+    prune_lists: bool = True,
 ) -> DataFrame:
     """Serve IVF kNN from persisted state (centroids + assignment table) —
     no k-means, no corpus re-assignment: the Save/Load serving path
-    (reference loadIndex analog, /root/reference/index/io.go:28-36)."""
+    (reference loadIndex analog, /root/reference/index/io.go:28-36).
+
+    ``prune_lists`` collects the DISTINCT probed list ids (bounded by
+    n_lists — thousands of rows at most, never O(|Q|)) and pushes them as a
+    literal filter on the assignment side: against the snapshot persisted by
+    build_ivf_pipeline (directory-partitioned on list_id) that is plan-time
+    partition pruning, so probes never scan unprobed lists' files. A literal
+    IN beats relying on dynamic partition pruning here because the probe
+    side is a pandas-UDF derivation with no stats, which DPP's benefit
+    heuristic declines."""
     eff_probe = min(n_probe, len(cents))
     q_lists = queries.select(
         F.col(query_id_col).alias("qid"),
@@ -349,6 +359,12 @@ def ivf_knn_from_state(
             "list_id"
         ),
     )
+    if prune_lists:
+        probed = sorted(
+            r["list_id"] for r in q_lists.select("list_id").distinct().collect()
+        )
+        if len(probed) < len(cents):
+            c_lists = c_lists.filter(F.col("list_id").isin(probed))
     # probe side = |Q| x n_probe structs; past the limit the equi-join on
     # list_id shuffles only this small side (the assignment table is written
     # partitioned by list_id — build_ivf_pipeline — so probes prune files)

@@ -61,8 +61,14 @@ def run_stage(
     build_fn,
     verify_hash: bool = False,
     params: dict | None = None,
+    partition_by: list[str] | None = None,
 ) -> tuple[DataFrame, bool]:
     """Build-or-resume one stage. Returns (df, skipped).
+
+    ``partition_by`` directory-partitions the snapshot on those columns (the
+    Iceberg partitioned-table analog on plain parquet): scans with a literal
+    or dynamic filter on the partition column prune whole directories — the
+    IVF assignment table uses this so probes read only probed lists.
 
     Skip requires: manifest entry + snapshot dir + row count match + BUILD
     PARAMS match (and content hash match when ``verify_hash``). Any mismatch
@@ -92,7 +98,10 @@ def run_stage(
         ):
             return df, True
     df = build_fn()
-    df.write.mode("overwrite").parquet(path)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
     out = spark.read.parquet(path)
     manifest.stages[name] = {
         "rows": out.count(),

@@ -170,6 +170,11 @@ def build_ivf_pipeline(
         "ivf_lists",
         lambda: ann.ivf_assignments(corpus, cents, id_col=id_col, vec_col=vec_col),
         params=params,
+        # the docstring promise at operators/ann.py ivf_assignments: persist
+        # bucketed by list_id so probes prune files — directory partitioning
+        # gives static AND dynamic (DPP) partition pruning on the probe
+        # equi-join (plan-asserted in tests/test_ann.py)
+        partition_by=["list_id"],
     )
     return {
         "ivf_centroids": {"rows": cents_df.count(), "skipped": skipped_c},

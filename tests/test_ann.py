@@ -236,3 +236,32 @@ def test_ivf_param_change_invalidates_both_stages(spark, corpus, queries, tmp_pa
         ann.ivf_knn(corpus, queries, k=5, n_lists=4, n_probe=4, seed=1).collect()
     )
     assert served == direct
+
+
+def test_ivf_snapshot_partition_pruning(spark, corpus, queries, tmp_path):
+    """Round-3 verdict #7: the persisted assignment table is directory-
+    partitioned by list_id, so (a) a literal probe filter prunes partitions
+    at plan time and (b) the serving equi-join gets a dynamic-partition-
+    pruning filter — probes never scan unprobed lists' files."""
+    from countrymaam_spark.plans import pipeline as PL
+
+    out = str(tmp_path / "ivf_part")
+    PL.build_ivf_pipeline(spark, corpus, out, n_lists=8, seed=1)
+    import os as _os
+    part_dirs = [d for d in _os.listdir(_os.path.join(out, "ivf_lists")) if d.startswith("list_id=")]
+    assert len(part_dirs) == 8
+    lists_df, cents = PL.load_ivf(spark, out)
+    static = lists_df.filter(F.col("list_id") == 3)
+    splan = static._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in splan and "list_id" in splan
+    served = ann.ivf_knn_from_state(lists_df, cents, queries, k=5, n_probe=2)
+    jplan = served._jdf.queryExecution().executedPlan().toString()
+    # the probed-list IN filter lands in the snapshot scan's PartitionFilters
+    # (plan-time pruning; DPP declines on the stats-less UDF probe side)
+    import re as _re
+    assert _re.search(r"PartitionFilters: \[[^\]]*list_id", jplan)
+    # and pruned serving equals unpruned serving
+    unpruned = ann.ivf_knn_from_state(
+        lists_df, cents, queries, k=5, n_probe=2, prune_lists=False
+    )
+    assert _key(served.collect()) == _key(unpruned.collect())
