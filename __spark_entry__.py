@@ -31,6 +31,15 @@ from countrymaam_spark.sources import pages as PG
 
 ORACLE_SF = "sf0.01"  # the driver compares at sf=0.01
 _STREAM_N = [0]  # memory-sink names must be unique per streaming start
+
+
+def _await_or_raise(sq, timeout_s: int) -> None:
+    """awaitTermination with the timeout RESULT checked: a hung stream must
+    fail loudly, not let the driver read a partially-populated sink that
+    silently diverges from the oracle (round-3 advisor)."""
+    if not sq.awaitTermination(timeout_s):
+        sq.stop()
+        raise RuntimeError(f"streaming query did not finish within {timeout_s}s")
 _EDGE_CACHE: dict = {}  # (session id, sf_dir) -> checkpointed NN-Descent edges
 ZOOMS = [4, 8, 12]
 CELL_RES = 7
@@ -393,7 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 name,
                 mode="complete",
             )
-            sq.awaitTermination(600)
+            _await_or_raise(sq, 600)
             # pin the result before the drop dir disappears
             out = s.table(name).select(
                 F.unix_timestamp(F.col("window_start")).cast("long").alias("ws"),
@@ -438,7 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .trigger(availableNow=True)
                 .start()
             )
-            sq.awaitTermination(600)
+            _await_or_raise(sq, 600)
             out = s.table(name).select(
                 "user_id", "n_sessions", "n_events"
             ).localCheckpoint(eager=True)
@@ -447,6 +456,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out
 
     q["stream_sessionize"] = _stream_sessionize
+
+    def _stream_knn_serve(s: SparkSession, d: str) -> DataFrame:
+        """Streaming query SERVING (#27's literal form — the reference's
+        long-lived predict loop, /root/reference/cmd/countrymaam/main.go:228-311):
+        the kNN query fixture replayed as two file drops, each micro-batch
+        served EXACT flat kNN against the static geo corpus via foreachBatch
+        (streaming/serve.py). The union of streamed batches equals the
+        one-shot batch serve, so the flat_knn SQL oracle applies verbatim."""
+        import shutil
+        import tempfile
+
+        from countrymaam_spark.streaming import serve as SV
+
+        g = _pages_geo(s, d).select("url", "lat", "lon").cache()
+        queries = PG.load_knn_queries(s, d)
+        work = tempfile.mkdtemp(prefix="cm_knn_serve_")
+        try:
+            qdir = os.path.join(work, "drops")
+            os.makedirs(qdir)
+            half = os.path.join(work, "half")
+            for i, pred in enumerate(
+                (F.col("query_id") % 2 == 0, F.col("query_id") % 2 == 1)
+            ):
+                queries.filter(pred).coalesce(1).write.parquet(f"{half}{i}")
+                part = [
+                    f for f in os.listdir(f"{half}{i}") if f.endswith(".parquet")
+                ][0]
+                os.rename(
+                    os.path.join(f"{half}{i}", part),
+                    os.path.join(qdir, f"q{i}.parquet"),
+                )
+            qstream = (
+                s.readStream.schema(queries.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(qdir)
+            )
+            sink = os.path.join(work, "served")
+            sq = SV.serve_knn_stream(
+                qstream,
+                lambda batch: flat_knn(g, batch, k=10),
+                sink_dir=sink,
+                checkpoint_dir=os.path.join(work, "ckpt"),
+            )
+            SV.await_stream(sq, 600)
+            out = (
+                s.read.parquet(sink)
+                .select("query_id", "rk", "url", "dist_km")
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+            g.unpersist()
+        return out
+
+    q["stream_knn_serve"] = _stream_knn_serve
 
     q["region_revenue"] = lambda s, d: (
         s.read.parquet(os.path.join(d, "orders.parquet"))
@@ -637,6 +701,8 @@ def oracle_sql() -> dict[str, str]:
     # stateful streaming sessionizer: one drop => final state == the batch
     # sessionization, so the SAME oracle as events_sessionize applies
     o["stream_sessionize"] = o["events_sessionize"]
+    # streamed serving unions exact per-batch flat kNN -> the flat oracle
+    o["stream_knn_serve"] = o["knn_flat"]
 
     o["region_revenue"] = """
         SELECT r_name, COUNT(*) AS n_orders,

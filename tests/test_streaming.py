@@ -119,3 +119,155 @@ def test_stateful_sessionize_equals_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(want) > 0
+
+
+def _mk_pages(spark, rows):
+    """rows: [(url, ts_str, lat, lon)] -> pages-schema DataFrame whose text
+    geotags to exactly (lat, lon)."""
+    import datetime as dt
+
+    data = [
+        (
+            url,
+            dt.datetime.fromisoformat(ts).replace(tzinfo=dt.timezone.utc),
+            b"<html/>",
+            f"crawl page near city ({lat:.4f}, {lon:.4f})",
+            "en",
+        )
+        for url, ts, lat, lon in rows
+    ]
+    return spark.createDataFrame(
+        data, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+
+def test_append_mode_watermark_evicts_and_drops_late(spark, tmp_path):
+    """Round-3 verdict #9: multi-drop APPEND-mode rollup — a window is
+    emitted exactly once after the watermark passes its end, a late row
+    behind the watermark is DROPPED, and a still-open window is withheld."""
+    import os as _os
+    import time as _time
+
+    from countrymaam_spark.streaming import serve as SV
+
+    d = tmp_path / "wdrops"
+    d.mkdir()
+    lat, lon = 10.0, 20.0
+    drops = [
+        # 5 rows in window [00:00, 00:10)
+        [(f"https://a{i}.example/", f"2024-01-01 00:0{i}:00", lat, lon) for i in range(5)],
+        # 02:00 advances the watermark to 01:30 -> closes the 00:00 window
+        [(f"https://b{i}.example/", "2024-01-01 02:00:30", lat, lon) for i in range(3)],
+        # advances the watermark further (Spark's late-event filter lags ONE
+        # batch behind eviction, so the late row must arrive >= 2 batches
+        # after the closing drop to exercise the drop path — measured)
+        [("https://c0.example/", "2024-01-01 04:00:00", lat, lon)],
+        # LATE row far behind the watermark (dropped) + 06:00 row that
+        # closes the 04:00 window; its own window stays open (withheld)
+        [("https://late.example/", "2024-01-01 00:06:00", lat, lon),
+         ("https://e0.example/", "2024-01-01 06:00:00", lat, lon)],
+    ]
+    for i, rows in enumerate(drops):
+        p = str(d / f"drop{i}.parquet")
+        _mk_pages(spark, rows).coalesce(1).write.mode("overwrite").parquet(p)
+        # one FILE per drop for deterministic one-drop-per-batch ordering
+        files = [f for f in _os.listdir(p) if f.endswith(".parquet")]
+        assert len(files) == 1
+        _os.rename(_os.path.join(p, files[0]), str(d / f"d{i}.parquet"))
+        _os.utime(str(d / f"d{i}.parquet"), (1700000000 + i, 1700000000 + i))
+    for extra in d.iterdir():
+        if extra.is_dir():
+            import shutil as _sh
+            _sh.rmtree(extra)
+
+    schema = spark.read.parquet(str(d / "d0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    rolled = ingest.windowed_cell_counts(ingest.geotag_stream(stream))
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("wm_append_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    SV.await_stream(q, 180)
+    got = {
+        (str(r["window_start"]), r["n_pages"])
+        for r in spark.sql("SELECT * FROM wm_append_test").collect()
+    }
+    # each closed window emitted EXACTLY once with the late row excluded;
+    # the 06:00 window is still open -> withheld
+    assert got == {
+        ("2024-01-01 00:00:00", 5),
+        ("2024-01-01 02:00:00", 3),
+        ("2024-01-01 04:00:00", 1),
+    }
+    # the watermark actually dropped the late row (not just missing state)
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
+
+
+def test_stream_knn_serve_equals_batch(spark, tmp_path):
+    """Round-3 verdict #8 (#27 literal form): a queries STREAM served per
+    micro-batch from PERSISTED IVF state — the union of streamed results
+    equals the one-shot batch serve over all queries."""
+    from countrymaam_spark.operators import ann
+    from countrymaam_spark.plans import pipeline as PL
+    from countrymaam_spark.streaming import serve as SV
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    out = str(tmp_path / "ivf_state")
+    PL.build_ivf_pipeline(spark, corpus, out, n_lists=8, seed=1)
+    lists_df, cents = PL.load_ivf(spark, out)
+    lists_df = lists_df.cache()
+
+    queries = corpus.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    qdir = tmp_path / "qdrops"
+    qdir.mkdir()
+    queries.filter(F.col("query_id") < 6).coalesce(1).write.parquet(str(qdir / "q0"))
+    queries.filter(F.col("query_id") >= 6).coalesce(1).write.parquet(str(qdir / "q1"))
+    import shutil as _sh
+    flat = tmp_path / "qflat"
+    flat.mkdir()
+    n = 0
+    for sub in ("q0", "q1"):
+        for f in sorted((qdir / sub).glob("*.parquet")):
+            _sh.copy(f, flat / f"q{n}.parquet")
+            n += 1
+
+    qstream = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    sink = str(tmp_path / "served")
+    sq = SV.serve_knn_stream(
+        qstream,
+        lambda batch: ann.ivf_knn_from_state(lists_df, cents, batch, k=5, n_probe=8),
+        sink_dir=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    SV.await_stream(sq, 300)
+    served = spark.read.parquet(sink)
+    assert served.select("serve_batch_id").distinct().count() == 2
+    got = sorted(
+        (r["query_id"], r["rk"], r["vec_id"])
+        for r in served.select("query_id", "rk", "vec_id").collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rk"], r["vec_id"])
+        for r in ann.ivf_knn_from_state(lists_df, cents, queries, k=5, n_probe=8)
+        .select("query_id", "rk", "vec_id")
+        .collect()
+    )
+    assert got == want
