@@ -167,8 +167,13 @@ def minhash_lsh_pairs(
         raise ValueError("bands must divide num_hashes")
     rows = num_hashes // bands
     # shingle table is consumed three times (signatures + two verify joins):
-    # cache it so the expression-heavy shingling runs once
-    s = _doc_shingles(docs, id_col, text_col, n).cache()
+    # pin it so the expression-heavy shingling runs once. localCheckpoint,
+    # not .cache(): cached plans stay in executor storage until an explicit
+    # unpersist (which a lazily-returned plan can never safely issue), while
+    # checkpoint blocks are released by the ContextCleaner when the plan is
+    # garbage collected — so repeated calls in a long session don't
+    # accumulate storage (round-3 advisor)
+    s = _doc_shingles(docs, id_col, text_col, n).localCheckpoint(eager=True)
     # one vectorized pandas UDF computes the whole signature (md5 at C speed
     # per process — the JVM md5 path is MessageDigest-lock-bound across task
     # threads); values are bit-identical to the expression form
@@ -376,9 +381,11 @@ def curate_docs(
         T.lang_id(F.col(text_col)).alias("lang_pred"),
         T.quality_score(F.col(text_col)).alias("quality"),
     )
+    # localCheckpoint, not .cache(): released on GC instead of pinning
+    # executor storage across repeated calls (round-3 advisor)
     kept = scored.filter(
         F.col("lang_pred").isin(list(langs)) & (F.col("quality") >= min_quality)
-    ).cache()
+    ).localCheckpoint(eager=True)
     pairs = minhash_lsh_pairs(kept, tau=tau, id_col=id_col, text_col=text_col)
     comps = dup_components(kept, pairs, id_col=id_col)
     return (
