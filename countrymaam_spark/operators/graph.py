@@ -181,7 +181,12 @@ def nn_descent(
     self-join + one vectorized distance pass + one window prune; the driver
     sees only the changed-node count.
     """
-    v = vecs.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")).cache()
+    # localCheckpoint, not .cache(): released by the ContextCleaner on GC
+    # instead of pinning executor storage across calls (round-3 advisor's
+    # leak class, fixed engine-wide this round)
+    v = vecs.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")).localCheckpoint(
+        eager=True
+    )
 
     def with_dist(pairs: DataFrame) -> DataFrame:
         # (node, nbr) -> + true sq_l2 dist. Two hash joins against the vector
@@ -326,11 +331,16 @@ def graph_knn(
     enough hops the walk visits the whole graph -> exact (reference
     invariant 3).
     """
-    und = to_undirected(edges).cache()
-    v = vecs.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")).cache()
+    # localCheckpoint, not .cache(): every hop re-joins these; checkpoint
+    # blocks are GC-released, cached plans are not (round-3 advisor's leak
+    # class, fixed engine-wide this round)
+    und = to_undirected(edges).localCheckpoint(eager=True)
+    v = vecs.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")).localCheckpoint(
+        eager=True
+    )
     q = queries.select(
         F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
-    ).cache()
+    ).localCheckpoint(eager=True)
     # the scorer re-joins the query table EVERY hop: broadcast while |Q| fits
     # (one count on the cached query table), else each hop's lookup becomes a
     # shuffle equi-join on qid — millions of query vectors per serving batch
