@@ -155,46 +155,74 @@ def _plan_radius(remaining: DataFrame, pages_cells: DataFrame, res: int, k: int)
     """
     need = 4 * k
     nx = 2 << res
-    # materialize the base per-cell counts ONCE: every level join below
-    # branches off this table, and without pinning it each branch would
-    # re-aggregate the full corpus (5x 20M-row shuffles — measured 50s of a
-    # 70s query at sf10; ~3s pinned). Rollups are tiny and also pinned.
+    # materialize the base per-cell counts ONCE: every rollup below branches
+    # off this table, and without pinning it each branch would re-aggregate
+    # the full corpus (5x 20M-row shuffles — measured 50s of a 70s query at
+    # sf10; ~3s pinned). Rollups are tiny and stay lazy.
     counts = (
         pages_cells.groupBy("cell")
         .agg(F.count("*").alias("cnt"))
         .localCheckpoint(eager=True)
     )
     levels = [lv for lv in range(res, res - 5, -1) if lv >= 0]
-    out = remaining
-    prev = counts
-    prev_res = res
+    # ONE (lv, cell, cnt) lookup table over every statistics level: round 3
+    # joined the query table against each level separately — five shuffle
+    # joins' worth of fixed cost per call (measured ~half of the 3.4s warm
+    # planning phase at 200 queries). Exploding each query into its <=5
+    # covering cells and equi-joining ONCE moves the same rows in one
+    # exchange; the per-query choice (finest level whose covering cell holds
+    # >= need pages) becomes a min over qualifying candidate radii, valid
+    # because counts nest (parent cnt = sum of children, so qualification is
+    # monotone toward coarser levels — finest qualifying == smallest radius).
+    luts = []
+    prev, prev_res = counts, res
     for lv in levels:
         if lv != prev_res:
-            # rollups read the pinned finest-level counts (tiny), NOT the
-            # corpus — lazy is fine; a checkpoint per level would cost one
-            # driver-synchronized job each (the orchestration constant that
-            # dominates small query batches)
             prev = prev.groupBy(
                 geo.cell_parent(F.col("cell"), lv, prev_res).alias("cell")
             ).agg(F.sum("cnt").alias("cnt"))
             prev_res = lv
-        lvl_counts = prev.withColumnRenamed("cnt", f"cnt_{lv}")
-        out = out.join(
-            lvl_counts,
-            geo.encode_cell(F.col("qlat"), F.col("qlon"), lv) == F.col("cell"),
-            "left",
-        ).drop("cell")
-    radius = None
-    for lv in levels:
-        span = 1 << (res - lv)
-        cond = F.coalesce(F.col(f"cnt_{lv}"), F.lit(0)) >= need
-        r = F.lit(2 * span).cast("long")
-        radius = F.when(cond, r) if radius is None else radius.when(cond, r)
+        luts.append(prev.select(F.lit(lv).alias("lv"), "cell", "cnt"))
+    lut = luts[0]
+    for t in luts[1:]:
+        lut = lut.unionByName(t)
+    extra = [c for c in remaining.columns if c not in ("query_id", "qlat", "qlon")]
+    qx = remaining.select(
+        "query_id",
+        "qlat",
+        "qlon",
+        *extra,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lv).alias("lv"),
+                        geo.encode_cell(F.col("qlat"), F.col("qlon"), lv).alias(
+                            "cell"
+                        ),
+                    )
+                    for lv in levels
+                ]
+            )
+        ).alias("qc"),
+    ).select(
+        "query_id", "qlat", "qlon", *extra,
+        F.col("qc.lv").alias("lv"), F.col("qc.cell").alias("cell"),
+    )
     max_span = 1 << (res - levels[-1])
-    # no stats level dense enough -> ultra-sparse region: latitude-band scan
-    # from the start (rx = nx/2 selects the band path in cell_knn)
-    radius = radius.otherwise(F.lit(4 * max_span).cast("long"))
-    out = out.withColumn("ry", radius).drop(*[f"cnt_{lv}" for lv in levels])
+    r_cand = F.when(
+        F.coalesce(F.col("cnt"), F.lit(0)) >= need,
+        F.expr(f"cast(2 * shiftleft(1, {res} - lv) as long)"),
+    )
+    out = (
+        qx.join(lut, ["lv", "cell"], "left")
+        .groupBy("query_id", "qlat", "qlon", *extra)
+        .agg(F.min(r_cand).alias("_r"))
+        # no stats level dense enough -> ultra-sparse region: latitude-band
+        # scan from the start (rx = nx/2 selects the band path in cell_knn)
+        .withColumn("ry", F.coalesce(F.col("_r"), F.lit(4 * max_span).cast("long")))
+        .drop("_r")
+    )
     return out.withColumn(
         "rx",
         F.when(F.col("ry") <= F.lit(2 * max_span), F.col("ry")).otherwise(
