@@ -97,6 +97,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _pages_geo(s, d), PG.load_knn_queries(s, d), k=10, res=CELL_RES
     )
 
+    def _knn_cell_state(s, d):
+        # index-state serving: pre-encoded corpus + prebuilt per-cell stats
+        # (build_cell_stats) — no per-batch corpus encode/aggregate; must be
+        # bit-identical to the stateless path (same exact-kNN oracle)
+        from countrymaam_spark.operators.knn import build_cell_stats
+
+        g = _pages_geo(s, d).withColumn(
+            "cell", G.encode_cell(F.col("lat"), F.col("lon"), CELL_RES)
+        )
+        stats = build_cell_stats(g, CELL_RES, cell_col="cell").localCheckpoint(
+            eager=True
+        )
+        return cell_knn(
+            g, PG.load_knn_queries(s, d), k=10, res=CELL_RES,
+            cell_col="cell", stats=stats,
+        )
+
+    q["knn_cell_state"] = _knn_cell_state
+
     q["pip_join"] = lambda s, d: point_in_polygon(
         _pages_geo(s, d), PG.load_polygon_edges(s, d), res=6
     )
@@ -570,6 +589,7 @@ def oracle_sql() -> dict[str, str]:
     o["tile_counts"] = tile_counts_sql(pg, ZOOMS)
     o["knn_flat"] = knn
     o["knn_cell_index"] = knn  # the escalation guarantee makes the index exact
+    o["knn_cell_state"] = knn  # state path is bit-identical to stateless
     o["knn_tree_index"] = knn  # full budget (ring=None + search_k >= leaves) => exact
     o["pip_join"] = point_in_polygon_sql(pg, e_rel)
     o["pip_counts"] = f"""

@@ -132,7 +132,27 @@ def main() -> None:
 
     timed("pip_join", lambda: materialize(point_in_polygon(g, edges, res=6)))
     timed("tile_counts", lambda: materialize(tile_counts(g, [4, 8, 12])))
-    timed("knn_cell_index", lambda: materialize(cell_knn(g, queries, k=10, res=7)))
+
+    # cell-index kNN serves from INDEX STATE: the geo snapshot above IS the
+    # encoded corpus table (cell col at res 7), and the per-cell count stats
+    # are built once here (timed as build work, counted in the pipeline
+    # total) — serving never re-encodes or re-aggregates the corpus, the
+    # shape a 10^12-row deployment requires
+    from countrymaam_spark.operators.knn import build_cell_stats
+
+    def _build_stats():
+        build_cell_stats(g, 7, cell_col="cell").write.mode("overwrite").parquet(
+            os.path.join(geo_dir, "cell_stats")
+        )
+
+    timed("cell_stats_build", _build_stats)
+    stats = spark.read.parquet(os.path.join(geo_dir, "cell_stats"))
+    timed(
+        "knn_cell_index",
+        lambda: materialize(
+            cell_knn(g, queries, k=10, res=7, cell_col="cell", stats=stats)
+        ),
+    )
 
     # index build (tree blobs + lineage) into a throwaway snapshot dir
     import shutil
@@ -190,6 +210,7 @@ def main() -> None:
             "geotag_cell_encode",
             "pip_join",
             "tile_counts",
+            "cell_stats_build",
             "knn_cell_index",
             "index_build_trees",
             "knn_tree_index",

@@ -139,7 +139,37 @@ def _ring_guarantee_km(rx_col, ry_col, res: int, qlat_col, nx: int):
     )
 
 
-def _plan_radius(remaining: DataFrame, pages_cells: DataFrame, res: int, k: int) -> DataFrame:
+def build_cell_stats(pages_geo: DataFrame, res: int, cell_col: str | None = None) -> DataFrame:
+    """Per-cell page counts at the index resolution — the cell index's
+    STATISTICS STATE (cell, cnt).
+
+    The Spark analog of the reference's subtree sizes
+    (/root/reference/bsp_tree/bsp_tree.go:22-60): node ranges ARE counts, and
+    they are built once at index-build time, not per query. Build this with
+    the index, persist it next to the encoded corpus, and pass it to
+    ``cell_knn(stats=...)`` — serving then never re-aggregates the corpus.
+    At 10^12 rows the per-batch corpus ``groupBy(cell)`` this replaces is a
+    full-table shuffle per query batch; the stats table is ~|cells| rows and
+    updates incrementally with appends (add per-cell deltas).
+    """
+    cell = F.col(cell_col) if cell_col else geo.encode_cell(
+        F.col("lat"), F.col("lon"), res
+    )
+    return (
+        pages_geo.filter(F.col("lat").isNotNull())
+        .select(cell.alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _plan_radius(
+    remaining: DataFrame,
+    pages_cells: DataFrame,
+    res: int,
+    k: int,
+    stats: DataFrame | None = None,
+) -> DataFrame:
     """Per-query starting ring (rx, ry) from multi-resolution cell-count stats.
 
     The Spark analog of descending the reference's tree by node sizes
@@ -155,15 +185,21 @@ def _plan_radius(remaining: DataFrame, pages_cells: DataFrame, res: int, k: int)
     """
     need = 4 * k
     nx = 2 << res
-    # materialize the base per-cell counts ONCE: every rollup below branches
-    # off this table, and without pinning it each branch would re-aggregate
-    # the full corpus (5x 20M-row shuffles — measured 50s of a 70s query at
-    # sf10; ~3s pinned). Rollups are tiny and stay lazy.
-    counts = (
-        pages_cells.groupBy("cell")
-        .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=True)
-    )
+    if stats is not None:
+        # prebuilt statistics state (build_cell_stats): already a persisted
+        # ~|cells|-row table — the rollup branches below re-scan it cheaply,
+        # and serving never touches the corpus for planning
+        counts = stats
+    else:
+        # materialize the base per-cell counts ONCE: every rollup below
+        # branches off this table, and without pinning it each branch would
+        # re-aggregate the full corpus (5x 20M-row shuffles — measured 50s of
+        # a 70s query at sf10; ~3s pinned). Rollups are tiny and stay lazy.
+        counts = (
+            pages_cells.groupBy("cell")
+            .agg(F.count("*").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
     levels = [lv for lv in range(res, res - 5, -1) if lv >= 0]
     # ONE (lv, cell, cnt) lookup table over every statistics level: round 3
     # joined the query table against each level separately — five shuffle
@@ -240,6 +276,8 @@ def cell_knn(
     max_rounds: int = 4,
     search_k: int | None = None,
     timings: dict | None = None,
+    cell_col: str | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Exact kNN via cell-ring candidate generation + re-rank.
 
@@ -251,6 +289,15 @@ def cell_knn(
     If ``search_k`` is given, a query is also accepted once it has seen
     >= search_k candidates (the reference's budget semantics: approximate,
     recall monotone in search_k).
+
+    Index-state serving (the production shape): pass ``cell_col`` naming a
+    column of ``pages_geo`` already encoded at ``res`` (the persisted,
+    cell-bucketed corpus table) and ``stats`` from :func:`build_cell_stats`
+    — serving then performs NO per-batch corpus encode and NO per-batch
+    corpus aggregation; only the probe equi-joins touch the corpus. Both are
+    opt-in and explicit because a stray ``cell`` column encoded at a
+    different resolution would silently corrupt candidate generation.
+    Results are bit-identical to the stateless path (pytest-pinned).
     """
     import time as _time
 
@@ -262,19 +309,30 @@ def cell_knn(
     nx = 2 << res
     # _widen: an under-partitioned snapshot read would otherwise pin the
     # cache — and every probe join, sort, and window over it — to 1-3 tasks
-    pages_cells = (
-        _widen(pages_geo.filter(F.col("lat").isNotNull()).select("url", "lat", "lon"))
-        .withColumn("cell", geo.encode_cell(F.col("lat"), F.col("lon"), res))
-        .cache()  # scanned once per round; at cluster scale this is a
-        # cell-bucketed persisted table (partition pruning does the same job)
-    )
+    if cell_col is not None:
+        # pre-encoded corpus (index state): no per-batch encode; the cache
+        # only smooths local re-reads across rounds — at cluster scale the
+        # probes hit the persisted cell-bucketed table directly
+        narrow = pages_geo.filter(F.col("lat").isNotNull()).select(
+            "url", "lat", "lon", F.col(cell_col).alias("cell")
+        )
+        pages_cells = _widen(narrow).cache()
+    else:
+        pages_cells = (
+            _widen(
+                pages_geo.filter(F.col("lat").isNotNull()).select("url", "lat", "lon")
+            )
+            .withColumn("cell", geo.encode_cell(F.col("lat"), F.col("lon"), res))
+            .cache()  # scanned once per round; at cluster scale this is a
+            # cell-bucketed persisted table (partition pruning does the same job)
+        )
 
     remaining = queries.select(
         "query_id", F.col("lat").alias("qlat"), F.col("lon").alias("qlon")
     )
     _t = _time.time()
     remaining = (
-        _plan_radius(remaining, pages_cells, res, k)
+        _plan_radius(remaining, pages_cells, res, k, stats=stats)
         .withColumn("ry", F.greatest(F.col("ry"), F.lit(init_radius).cast("long")))
         # tiny table (one row per query); pin it so each round starts from
         # materialized rows instead of re-running the stats joins

@@ -182,6 +182,64 @@ def build_ivf_pipeline(
     }
 
 
+def build_cell_pipeline(
+    spark: SparkSession,
+    pages_geo: DataFrame,
+    out_dir: str,
+    res: int = 7,
+    cell_col: str | None = None,
+) -> dict:
+    """Save/Load for the cell (quad-grid) kNN index: the encoded corpus and
+    its per-cell count statistics persist as Manifest stages, so serving
+    (``cell_knn(cell_col=..., stats=...)`` via ``load_cell_state``) performs
+    NO per-batch corpus encode and NO per-batch corpus aggregation. The
+    stats table is the Spark analog of the reference's subtree sizes
+    (/root/reference/bsp_tree/bsp_tree.go:22-60) — build-time state, not
+    query-time work; at 10^12 rows the corpus ``groupBy(cell)`` this removes
+    from serving is a full-table shuffle per query batch. Appends update the
+    stats incrementally (per-cell count deltas), the same contract as the
+    tree pipeline's per-(parent,salt) rebuilds."""
+    from countrymaam_spark.operators import knn
+
+    manifest = Manifest(out_dir)
+    params = {"res": res, "cell_col": cell_col}
+    from countrymaam_spark.functions import geo
+
+    cell = (
+        F.col(cell_col)
+        if cell_col
+        else geo.encode_cell(F.col("lat"), F.col("lon"), res)
+    )
+    cells_df, skipped_c = run_stage(
+        spark,
+        manifest,
+        "cell_corpus",
+        lambda: pages_geo.filter(F.col("lat").isNotNull()).select(
+            "url", "lat", "lon", cell.alias("cell")
+        ),
+        params=params,
+    )
+    stats_df, skipped_s = run_stage(
+        spark,
+        manifest,
+        "cell_stats",
+        lambda: knn.build_cell_stats(cells_df, res, cell_col="cell"),
+        params=params,
+    )
+    return {
+        "cell_corpus": {"rows": cells_df.count(), "skipped": skipped_c},
+        "cell_stats": {"rows": stats_df.count(), "skipped": skipped_s},
+    }
+
+
+def load_cell_state(spark: SparkSession, out_dir: str):
+    """-> (encoded corpus DataFrame, stats DataFrame) for
+    ``cell_knn(cell_col="cell", stats=stats)``."""
+    cells = spark.read.parquet(os.path.join(out_dir, "cell_corpus"))
+    stats = spark.read.parquet(os.path.join(out_dir, "cell_stats"))
+    return cells, stats
+
+
 def _cents_array(cents_df: DataFrame):
     import numpy as np
 

@@ -111,3 +111,28 @@ def test_flat_knn_plan_shape(spark, geo_small, queries_small):
     )
     assert "BroadcastNestedLoopJoin" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_cell_knn_prebuilt_state_bit_equal(spark, geo_small, queries_small, tmp_path):
+    """Index-state serving (pre-encoded corpus + persisted stats) must return
+    bit-identical results to the stateless path, and the pipeline must skip
+    both stages on resume (same params -> intact snapshots)."""
+    from countrymaam_spark.plans import pipeline as P
+
+    stateless = _key(cell_knn(geo_small, queries_small, k=10, res=6).collect())
+
+    out = str(tmp_path / "cellidx")
+    rep = P.build_cell_pipeline(spark, geo_small, out, res=6)
+    assert not rep["cell_corpus"]["skipped"] and not rep["cell_stats"]["skipped"]
+    cells, stats = P.load_cell_state(spark, out)
+    stateful = _key(
+        cell_knn(cells, queries_small, k=10, res=6, cell_col="cell", stats=stats).collect()
+    )
+    assert stateful == stateless
+
+    # resume: intact snapshots + unchanged params -> both stages skip
+    rep2 = P.build_cell_pipeline(spark, geo_small, out, res=6)
+    assert rep2["cell_corpus"]["skipped"] and rep2["cell_stats"]["skipped"]
+    # param change invalidates BOTH stages together (shared key)
+    rep3 = P.build_cell_pipeline(spark, geo_small, out, res=7)
+    assert not rep3["cell_corpus"]["skipped"] and not rep3["cell_stats"]["skipped"]
