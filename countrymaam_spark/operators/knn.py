@@ -309,22 +309,25 @@ def cell_knn(
     nx = 2 << res
     # _widen: an under-partitioned snapshot read would otherwise pin the
     # cache — and every probe join, sort, and window over it — to 1-3 tasks
+    # localCheckpoint, not .cache(): the pin is per-CALL state — caches stay
+    # in executor storage until an explicit unpersist (which a lazily
+    # returned plan can never safely issue), so repeated serving calls in a
+    # long-lived session accumulate dead copies of the corpus projection;
+    # checkpoint blocks are released by the ContextCleaner on GC. At cluster
+    # scale neither pin exists: probes hit the persisted cell-bucketed table.
     if cell_col is not None:
-        # pre-encoded corpus (index state): no per-batch encode; the cache
-        # only smooths local re-reads across rounds — at cluster scale the
-        # probes hit the persisted cell-bucketed table directly
+        # pre-encoded corpus (index state): no per-batch encode
         narrow = pages_geo.filter(F.col("lat").isNotNull()).select(
             "url", "lat", "lon", F.col(cell_col).alias("cell")
         )
-        pages_cells = _widen(narrow).cache()
+        pages_cells = _widen(narrow).localCheckpoint(eager=True)
     else:
         pages_cells = (
             _widen(
                 pages_geo.filter(F.col("lat").isNotNull()).select("url", "lat", "lon")
             )
             .withColumn("cell", geo.encode_cell(F.col("lat"), F.col("lon"), res))
-            .cache()  # scanned once per round; at cluster scale this is a
-            # cell-bucketed persisted table (partition pruning does the same job)
+            .localCheckpoint(eager=True)
         )
 
     remaining = queries.select(
