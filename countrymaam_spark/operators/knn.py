@@ -210,18 +210,31 @@ def _plan_radius(
     # >= need pages) becomes a min over qualifying candidate radii, valid
     # because counts nest (parent cnt = sum of children, so qualification is
     # monotone toward coarser levels — finest qualifying == smallest radius).
-    luts = []
-    prev, prev_res = counts, res
-    for lv in levels:
-        if lv != prev_res:
-            prev = prev.groupBy(
-                geo.cell_parent(F.col("cell"), lv, prev_res).alias("cell")
-            ).agg(F.sum("cnt").alias("cnt"))
-            prev_res = lv
-        luts.append(prev.select(F.lit(lv).alias("lv"), "cell", "cnt"))
-    lut = luts[0]
-    for t in luts[1:]:
-        lut = lut.unionByName(t)
+    #
+    # The lut itself is built in ONE shuffle too: each finest-level count row
+    # explodes into its <=5 (lv, ancestor) contributions and a single
+    # groupBy sums them. The chained per-level rollups this replaces were 10
+    # tiny aggregation stages — with AQE's sequential stage materialization
+    # that is 10 driver syncs of pure fixed cost per call (~2-3s at 200
+    # queries); same rows, same result, one exchange.
+    lut = (
+        counts.select(
+            "cnt",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(lv).alias("lv"),
+                            geo.cell_parent(F.col("cell"), lv, res).alias("cell"),
+                        )
+                        for lv in levels
+                    ]
+                )
+            ).alias("lc"),
+        )
+        .groupBy(F.col("lc.lv").alias("lv"), F.col("lc.cell").alias("cell"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
     extra = [c for c in remaining.columns if c not in ("query_id", "qlat", "qlon")]
     qx = remaining.select(
         "query_id",
