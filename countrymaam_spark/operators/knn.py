@@ -320,28 +320,34 @@ def cell_knn(
 
     spark = pages_geo.sparkSession
     nx = 2 << res
-    # _widen: an under-partitioned snapshot read would otherwise pin the
-    # cache — and every probe join, sort, and window over it — to 1-3 tasks
-    # localCheckpoint, not .cache(): the pin is per-CALL state — caches stay
-    # in executor storage until an explicit unpersist (which a lazily
-    # returned plan can never safely issue), so repeated serving calls in a
-    # long-lived session accumulate dead copies of the corpus projection;
-    # checkpoint blocks are released by the ContextCleaner on GC. At cluster
-    # scale neither pin exists: probes hit the persisted cell-bucketed table.
     if cell_col is not None:
         # pre-encoded corpus (index state): no per-batch encode
         narrow = pages_geo.filter(F.col("lat").isNotNull()).select(
             "url", "lat", "lon", F.col(cell_col).alias("cell")
         )
-        pages_cells = _widen(narrow).localCheckpoint(eager=True)
     else:
-        pages_cells = (
-            _widen(
-                pages_geo.filter(F.col("lat").isNotNull()).select("url", "lat", "lon")
-            )
+        narrow = (
+            pages_geo.filter(F.col("lat").isNotNull())
+            .select("url", "lat", "lon")
             .withColumn("cell", geo.encode_cell(F.col("lat"), F.col("lon"), res))
-            .localCheckpoint(eager=True)
         )
+    target = spark.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < max(2, target // 2):
+        # under-partitioned snapshot (small/compacted input): widen so the
+        # probe joins, sorts, and windows parallelize, and pin — each round
+        # then reads materialized blocks. localCheckpoint, not .cache(): the
+        # pin is per-CALL state, and caches stay in executor storage until
+        # an explicit unpersist (which a lazily returned plan can never
+        # safely issue) — repeated serving calls in a long-lived session
+        # would accumulate dead corpus copies; checkpoint blocks are
+        # released by the ContextCleaner on GC.
+        pages_cells = narrow.repartition(target).localCheckpoint(eager=True)
+    else:
+        # production-scale scan: serve straight from the (cell-bucketed)
+        # persisted table. Pinning 10^12 rows to executor storage is the
+        # real at-scale failure this gate prevents; per-round re-scans hit
+        # the table with pruned columns instead.
+        pages_cells = narrow
 
     remaining = queries.select(
         "query_id", F.col("lat").alias("qlat"), F.col("lon").alias("qlon")
