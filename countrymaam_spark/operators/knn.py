@@ -163,6 +163,33 @@ def build_cell_stats(pages_geo: DataFrame, res: int, cell_col: str | None = None
     )
 
 
+def update_cell_stats(
+    stats_old: DataFrame, new_pages_geo: DataFrame, res: int, cell_col: str | None = None
+) -> DataFrame:
+    """Merge an append batch into the cell-count statistics state.
+
+    The incremental-maintenance half of :func:`build_cell_stats` — the cell
+    index's MutableIndex.Add (reference: flat-only append,
+    /root/reference/index/flat_index.go:88-90). An Iceberg append of new
+    pages only ever touches per-cell DELTAS: aggregate the batch (|batch|
+    rows, not the corpus), then one outer merge against the ~|cells|-row
+    stats table. Commutative and associative, so any append order yields the
+    same state, and the result is exactly ``build_cell_stats`` over the
+    unioned corpus (pytest-pinned).
+    """
+    delta = build_cell_stats(new_pages_geo, res, cell_col=cell_col)
+    return (
+        stats_old.withColumnRenamed("cnt", "_a")
+        .join(delta.withColumnRenamed("cnt", "_b"), "cell", "full_outer")
+        .select(
+            "cell",
+            (F.coalesce(F.col("_a"), F.lit(0)) + F.coalesce(F.col("_b"), F.lit(0))).alias(
+                "cnt"
+            ),
+        )
+    )
+
+
 def _plan_radius(
     remaining: DataFrame,
     pages_cells: DataFrame,

@@ -136,3 +136,18 @@ def test_cell_knn_prebuilt_state_bit_equal(spark, geo_small, queries_small, tmp_
     # param change invalidates BOTH stages together (shared key)
     rep3 = P.build_cell_pipeline(spark, geo_small, out, res=7)
     assert not rep3["cell_corpus"]["skipped"] and not rep3["cell_stats"]["skipped"]
+
+
+def test_update_cell_stats_equals_rebuild(spark, geo_small):
+    """Appending a batch via per-cell deltas must equal a from-scratch stats
+    build over the unioned corpus, and serving from the merged state must
+    stay exact."""
+    from countrymaam_spark.operators.knn import build_cell_stats, update_cell_stats
+
+    old = geo_small.filter(F.xxhash64("url") % 4 != 0)
+    batch = geo_small.filter(F.xxhash64("url") % 4 == 0)
+    merged = update_cell_stats(build_cell_stats(old, 6), batch, 6)
+    scratch = build_cell_stats(geo_small, 6)
+    got = sorted((r["cell"], r["cnt"]) for r in merged.collect())
+    want = sorted((r["cell"], r["cnt"]) for r in scratch.collect())
+    assert got == want
