@@ -151,3 +151,31 @@ def test_update_cell_stats_equals_rebuild(spark, geo_small):
     got = sorted((r["cell"], r["cnt"]) for r in merged.collect())
     want = sorted((r["cell"], r["cnt"]) for r in scratch.collect())
     assert got == want
+
+
+def test_plan_radius_with_stats_never_scans_corpus(spark, geo_small, queries_small, tmp_path):
+    """With prebuilt stats the radius-planning plan must read ONLY the stats
+    table — a corpus scan here would mean serving re-aggregates the corpus
+    per query batch, the at-scale regression the state path exists to
+    prevent."""
+    from countrymaam_spark.operators.knn import _plan_radius, build_cell_stats
+
+    corpus_dir = str(tmp_path / "corpus")
+    stats_dir = str(tmp_path / "stats")
+    g6 = geo_small.withColumn(
+        "cell", __import__("countrymaam_spark.functions.geo", fromlist=["geo"]).encode_cell(
+            F.col("lat"), F.col("lon"), 6
+        )
+    )
+    g6.write.mode("overwrite").parquet(corpus_dir)
+    build_cell_stats(g6, 6, cell_col="cell").write.mode("overwrite").parquet(stats_dir)
+    cells = spark.read.parquet(corpus_dir)
+    stats = spark.read.parquet(stats_dir)
+    remaining = queries_small.select(
+        "query_id", F.col("lat").alias("qlat"), F.col("lon").alias("qlon")
+    )
+    plan = _plan_radius(
+        remaining, cells, 6, 10, stats=stats
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "stats" in plan
+    assert "corpus" not in plan
