@@ -146,6 +146,10 @@ def main() -> None:
         )
 
     timed("cell_stats_build", _build_stats)
+    if not os.path.exists(os.path.join(geo_dir, "cell_stats")):
+        # stage filtered out by SPARK_GRAFT_STAGES but kNN serving still
+        # needs its state: build untimed
+        _build_stats()
     stats = spark.read.parquet(os.path.join(geo_dir, "cell_stats"))
     timed(
         "knn_cell_index",
