@@ -38,7 +38,10 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
-    from countrymaam_spark.plans.pipeline import build_index_pipeline
+    from countrymaam_spark.plans.pipeline import (
+        build_cell_pipeline,
+        build_index_pipeline,
+    )
     from countrymaam_spark.session import get_spark
     from countrymaam_spark.sources import pages as PG
 
@@ -60,6 +63,11 @@ def main() -> None:
         target_group_rows=args.target_group_rows,
         seed=args.seed,
     )
+    # cell-kNN serving state (encoded corpus + per-cell count stats) from
+    # the already-snapshotted geo stage — same manifest dir, so a re-submit
+    # resumes every stage of both pipelines
+    geo_df = spark.read.parquet(os.path.join(args.out, "geo"))
+    report.update(build_cell_pipeline(spark, geo_df, args.out, res=args.res))
     print(json.dumps(report))
     spark.stop()
 
