@@ -271,3 +271,62 @@ def test_stream_knn_serve_equals_batch(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_stream_cell_knn_serve_from_state(spark, tmp_path):
+    """Geo query stream served per micro-batch from PERSISTED cell-index
+    state (encoded corpus + count stats) — streamed union equals the
+    one-shot batch serve, which itself is exact."""
+    import shutil as _sh
+
+    from countrymaam_spark.operators.geotag import extract_geo
+    from countrymaam_spark.operators.knn import cell_knn
+    from countrymaam_spark.plans import pipeline as PL
+    from countrymaam_spark.sources import pages as pg
+    from countrymaam_spark.streaming import serve as SV
+
+    fx = pg.ensure_fixtures("sf0.001")
+    geo = extract_geo(spark.read.parquet(os.path.join(fx, "pages.parquet"))).select(
+        "url", "lat", "lon"
+    )
+    out = str(tmp_path / "cell_state")
+    PL.build_cell_pipeline(spark, geo, out, res=6)
+    cells, stats = PL.load_cell_state(spark, out)
+    stats = stats.localCheckpoint(eager=True)
+
+    queries = (
+        spark.read.parquet(os.path.join(fx, "knn_queries.parquet"))
+        .filter(F.col("query_id") < 12)
+        .select("query_id", "lat", "lon")
+    )
+    flat_dir = tmp_path / "qflat"
+    flat_dir.mkdir()
+    for i, pred in enumerate((F.col("query_id") < 6, F.col("query_id") >= 6)):
+        tmp = tmp_path / f"qtmp{i}"
+        queries.filter(pred).coalesce(1).write.parquet(str(tmp))
+        for f in sorted(tmp.glob("*.parquet")):
+            _sh.copy(f, flat_dir / f"q{i}.parquet")
+
+    qstream = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat_dir))
+    )
+    sink = str(tmp_path / "served")
+    sq = SV.serve_knn_stream(
+        qstream,
+        lambda batch: cell_knn(cells, batch, k=5, res=6, cell_col="cell", stats=stats),
+        sink_dir=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    SV.await_stream(sq, 300)
+    served = spark.read.parquet(sink)
+    assert served.select("serve_batch_id").distinct().count() == 2
+    got = sorted(
+        (r["query_id"], r["rk"], r["url"]) for r in served.collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rk"], r["url"])
+        for r in cell_knn(cells, queries, k=5, res=6, cell_col="cell", stats=stats).collect()
+    )
+    assert got == want
