@@ -68,6 +68,11 @@ def main() -> None:
     # resumes every stage of both pipelines
     geo_df = spark.read.parquet(os.path.join(args.out, "geo"))
     report.update(build_cell_pipeline(spark, geo_df, args.out, res=args.res))
+    # refresh the counters metrics table with ALL stages (build_index_pipeline
+    # wrote only its own four)
+    spark.createDataFrame(
+        [(k, v["rows"]) for k, v in report.items()], "stage string, rows long"
+    ).write.mode("overwrite").parquet(os.path.join(args.out, "counters"))
     print(json.dumps(report))
     spark.stop()
 
