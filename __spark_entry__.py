@@ -24,7 +24,13 @@ from countrymaam_spark.functions import geo as G
 from countrymaam_spark.functions import text as T
 from countrymaam_spark.operators import ann, dedup
 from countrymaam_spark.operators.geotag import extract_geo, extract_geo_sql
-from countrymaam_spark.operators.knn import cell_knn, flat_knn, flat_knn_sql
+from countrymaam_spark.operators.knn import (
+    cell_knn,
+    flat_knn,
+    flat_knn_sql,
+    radius_join,
+    radius_join_sql,
+)
 from countrymaam_spark.operators.pip import point_in_polygon, point_in_polygon_sql
 from countrymaam_spark.operators.tiles import assign_tiles, assign_tiles_sql, tile_counts, tile_counts_sql
 from countrymaam_spark.sources import pages as PG
@@ -43,6 +49,7 @@ def _await_or_raise(sq, timeout_s: int) -> None:
 _EDGE_CACHE: dict = {}  # (session id, sf_dir) -> checkpointed NN-Descent edges
 ZOOMS = [4, 8, 12]
 CELL_RES = 7
+RADIUS_KM = 100.0  # geo_radius_join within-distance threshold
 PARENT_RES = 4
 
 
@@ -115,6 +122,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["knn_cell_state"] = _knn_cell_state
+
+    # exact within-distance spatial join (range query): ring candidates sized
+    # analytically from the inverted branch-and-bound bound, one probe round
+    q["geo_radius_join"] = lambda s, d: radius_join(
+        _pages_geo(s, d), PG.load_knn_queries(s, d), RADIUS_KM, res=CELL_RES
+    )
 
     q["pip_join"] = lambda s, d: point_in_polygon(
         _pages_geo(s, d), PG.load_polygon_edges(s, d), res=6
@@ -591,6 +604,7 @@ def oracle_sql() -> dict[str, str]:
     o["knn_cell_index"] = knn  # the escalation guarantee makes the index exact
     o["knn_cell_state"] = knn  # state path is bit-identical to stateless
     o["knn_tree_index"] = knn  # full budget (ring=None + search_k >= leaves) => exact
+    o["geo_radius_join"] = radius_join_sql(pg, q_rel, RADIUS_KM)
     o["pip_join"] = point_in_polygon_sql(pg, e_rel)
     o["pip_counts"] = f"""
         SELECT p.poly_id, COUNT(i.url) AS n_pages

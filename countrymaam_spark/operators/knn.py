@@ -659,3 +659,119 @@ def cell_knn(
     for part in settled_parts[1:]:
         out = out.unionByName(part)
     return out
+
+
+def radius_join(
+    pages_geo: DataFrame,
+    queries: DataFrame,
+    radius_km: float,
+    res: int = 7,
+    cell_col: str | None = None,
+    broadcast_limit: int | None = None,
+) -> DataFrame:
+    """Exact within-distance spatial join: every (query, page) pair with
+    ``haversine <= radius_km`` — (query_id, url, dist_km).
+
+    The range-query sibling of :func:`cell_knn` (the reference exposes only
+    kNN, /root/reference/index/bsp_tree_index.go:35-92, but its
+    candidates-then-verify pattern IS the range join once the pruning bound
+    is inverted): instead of escalating rings until the k-th distance beats
+    the ring guarantee, the fixed radius lets the ring be sized ANALYTICALLY
+    per query — pick (rx, ry) so that ``_ring_guarantee_km(rx, ry) >
+    radius_km``, i.e. every point outside the enumerated ring is provably
+    farther than the radius. One probe round, no driver loop:
+
+    - ``ry`` (latitude cells) depends only on the radius: meridian distance
+      alone bounds it.
+    - ``rx`` (longitude cells) widens with |qlat| via the band-edge
+      cosine (the same bound the kNN escalation uses); when the required
+      lon width reaches the full circle (high latitude or huge radius) the
+      ring degrades to the exact full-wrap latitude band.
+
+    Scale shape (identical to one ``cell_knn`` round): the exploded
+    (query, cell) table is the ONLY thing that moves — estimate-gated
+    broadcast, shuffle equi-join past ~1M structs; the corpus is probed by
+    a hash equi-join on ``cell`` (cell-bucketed at cluster scale, never
+    shuffled), then the exact haversine filter keeps pairs within the
+    radius. For planet-sized radii prefer a coarser ``res``: exactness
+    never depends on the resolution (cells only gate candidates), only the
+    enumeration width does.
+
+    Pass ``cell_col`` to serve from a pre-encoded corpus (index state), as
+    with ``cell_knn``.
+    """
+    nx, ny = 2 << res, 1 << res
+    cd = geo.cell_deg(res)
+    radius_deg = radius_km / geo.KM_PER_DEG
+    # lat guarantee is ry*cd*KM_PER_DEG > radius  <=>  ry > radius_deg/cd;
+    # ceil+1 keeps it strict when radius is an exact cell multiple
+    ry = min(int(math.ceil(radius_deg / cd)) + 1, ny)
+
+    if cell_col is not None:
+        narrow = pages_geo.filter(F.col("lat").isNotNull()).select(
+            "url", "lat", "lon", F.col(cell_col).alias("cell")
+        )
+    else:
+        narrow = (
+            pages_geo.filter(F.col("lat").isNotNull())
+            .select("url", "lat", "lon")
+            .withColumn("cell", geo.encode_cell(F.col("lat"), F.col("lon"), res))
+        )
+    pages_cells = _widen(narrow)
+
+    # invert _lon_bound_km for the fixed radius: the bound evaluates
+    # 2R*cmin*sin(rx*cd/2) with cmin the band-edge cosine, so the needed rx
+    # is ceil(2*asin(radius/(2R*cmin))/cd)+1 — full wrap once the argument
+    # leaves asin's domain (cmin -> 0 near the poles, or radius ~ antipodal)
+    cmin = F.greatest(
+        F.cos(
+            F.radians(
+                F.least(F.abs(F.col("qlat")) + F.lit((ry + 1) * cd), F.lit(90.0))
+            )
+        ),
+        F.lit(0.0),
+    )
+    s = F.lit(radius_km / (2.0 * geo.EARTH_RADIUS_KM)) / F.greatest(cmin, F.lit(1e-15))
+    rx_needed = (
+        F.ceil(F.degrees(F.asin(F.least(s, F.lit(1.0))) * 2.0) / F.lit(cd)) + 1
+    ).cast("long")
+    rx_col = F.when(s >= 1.0, F.lit(nx // 2).cast("long")).otherwise(
+        F.least(rx_needed, F.lit(nx // 2).cast("long"))
+    )
+
+    q = queries.select(
+        "query_id",
+        F.col("lat").alias("qlat"),
+        F.col("lon").alias("qlon"),
+    ).withColumn("rx", rx_col)
+    # ONE tiny driver action plans the probe: the exploded-size estimate
+    # (upper bound; ry is a constant, rx already clamped to the wrap width)
+    est = q.agg(
+        F.sum(F.least(F.col("rx") * 2 + 1, F.lit(nx)) * F.lit(2 * ry + 1))
+    ).collect()[0][0]
+    qcell = geo.encode_cell(F.col("qlat"), F.col("qlon"), res)
+    exploded = q.select(
+        "query_id",
+        "qlat",
+        "qlon",
+        F.explode(geo.ring_cells_xy(qcell, res, F.col("rx"), ry)).alias("jcell"),
+    )
+    exploded = gate_broadcast(exploded, int(est or 0), limit=broadcast_limit)
+    # ring cells are array_distinct and urls unique -> pairs unique; no dedup
+    cand = exploded.join(pages_cells, exploded["jcell"] == pages_cells["cell"])
+    dist = geo.haversine_km(F.col("lat"), F.col("lon"), F.col("qlat"), F.col("qlon"))
+    return (
+        cand.withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= F.lit(radius_km))
+        .select("query_id", "url", F.round("dist_km", 6).alias("dist_km"))
+    )
+
+
+def radius_join_sql(pages_rel: str, queries_rel: str, radius_km: float) -> str:
+    """DuckDB oracle: brute-force pair filter, identical haversine formula."""
+    hav = geo.haversine_km_sql("p.lat", "p.lon", "q.lat", "q.lon")
+    return f"""
+        SELECT q.query_id, p.url, ROUND({hav}, 6) AS dist_km
+        FROM {pages_rel} p, {queries_rel} q
+        WHERE p.lat IS NOT NULL AND {hav} <= {radius_km!r}
+    """

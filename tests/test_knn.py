@@ -179,3 +179,88 @@ def test_plan_radius_with_stats_never_scans_corpus(spark, geo_small, queries_sma
     )._jdf.queryExecution().executedPlan().toString()
     assert "stats" in plan
     assert "corpus" not in plan
+
+
+def _brute_radius(geo_df, q_df, radius_km):
+    from countrymaam_spark.functions import geo as G
+
+    pairs = (
+        geo_df.filter(F.col("lat").isNotNull())
+        .crossJoin(
+            q_df.select(
+                "query_id", F.col("lat").alias("qlat"), F.col("lon").alias("qlon")
+            )
+        )
+        .withColumn(
+            "dist_km",
+            G.haversine_km(F.col("lat"), F.col("lon"), F.col("qlat"), F.col("qlon")),
+        )
+        .filter(F.col("dist_km") <= radius_km)
+    )
+    return sorted(
+        (r["query_id"], r["url"]) for r in pairs.select("query_id", "url").collect()
+    )
+
+
+@pytest.mark.parametrize("radius_km,res", [(25.0, 7), (300.0, 6), (2500.0, 4)])
+def test_radius_join_equals_brute(spark, geo_small, queries_small, radius_km, res):
+    """Exactness across regimes: compact rings (25 km), wide rings (300 km),
+    and planet-scale radii at coarse res (2500 km — high-lat queries take the
+    full-wrap band path). The edge-case queries (tail ids) include pole- and
+    dateline-adjacent points."""
+    from countrymaam_spark.operators.knn import radius_join
+
+    got = sorted(
+        (r["query_id"], r["url"])
+        for r in radius_join(geo_small, queries_small, radius_km, res=res)
+        .select("query_id", "url")
+        .collect()
+    )
+    assert got == _brute_radius(geo_small, queries_small, radius_km)
+
+
+def test_radius_join_shuffle_regime_bit_equal(spark, geo_small, queries_small):
+    """Forcing the estimate gate into the shuffle regime (broadcast_limit=0)
+    must not change a single pair — the fallback join is the same relation."""
+    from countrymaam_spark.operators.knn import radius_join
+
+    a = sorted(
+        map(tuple, radius_join(geo_small, queries_small, 200.0, res=6).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            radius_join(
+                geo_small, queries_small, 200.0, res=6, broadcast_limit=0
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+def test_radius_join_plan_is_equi_join(spark, geo_small, queries_small):
+    """The corpus probe must be a hash equi-join on cell in BOTH regimes —
+    never a BroadcastNestedLoopJoin/CartesianProduct (the O(corpus x queries)
+    shape the cell index exists to avoid) — and the estimate gate must
+    actually flip the regime (auto-broadcast disabled so the plan string
+    reflects only the gate's decision, as in test_adaptive_broadcast)."""
+    from tests.test_adaptive_broadcast import no_auto_broadcast
+
+    from countrymaam_spark.operators.knn import radius_join
+
+    with no_auto_broadcast(spark):
+        for limit in (None, 0):
+            plan = (
+                radius_join(
+                    geo_small, queries_small, 200.0, res=6, broadcast_limit=limit
+                )
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "BroadcastNestedLoopJoin" not in plan
+            assert "CartesianProduct" not in plan
+            if limit == 0:
+                assert "BroadcastHashJoin" not in plan
+            else:
+                assert "BroadcastHashJoin" in plan
