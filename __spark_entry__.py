@@ -32,7 +32,14 @@ from countrymaam_spark.operators.knn import (
     radius_join_sql,
 )
 from countrymaam_spark.operators.pip import point_in_polygon, point_in_polygon_sql
-from countrymaam_spark.operators.tiles import assign_tiles, assign_tiles_sql, tile_counts, tile_counts_sql
+from countrymaam_spark.operators.tiles import (
+    assign_tiles,
+    assign_tiles_sql,
+    tile_bounds,
+    tile_bounds_sql,
+    tile_counts,
+    tile_counts_sql,
+)
 from countrymaam_spark.sources import pages as PG
 
 ORACLE_SF = "sf0.01"  # the driver compares at sf=0.01
@@ -96,6 +103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tile_assign"] = lambda s, d: assign_tiles(_pages_geo(s, d), ZOOMS)
     q["tile_counts"] = lambda s, d: tile_counts(_pages_geo(s, d), ZOOMS)
+    # raster -> vector: per-tile counts back to geographic bbox features
+    q["tile_vectorize"] = lambda s, d: tile_bounds(tile_counts(_pages_geo(s, d), ZOOMS))
 
     q["knn_flat"] = lambda s, d: flat_knn(
         _pages_geo(s, d), PG.load_knn_queries(s, d), k=10
@@ -600,6 +609,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["tile_assign"] = assign_tiles_sql(pg, ZOOMS)
     o["tile_counts"] = tile_counts_sql(pg, ZOOMS)
+    o["tile_vectorize"] = tile_bounds_sql(f"({tile_counts_sql(pg, ZOOMS)})")
     o["knn_flat"] = knn
     o["knn_cell_index"] = knn  # the escalation guarantee makes the index exact
     o["knn_cell_state"] = knn  # state path is bit-identical to stateless

@@ -6,7 +6,7 @@ floor so the identical DuckDB oracle floors the same value.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from countrymaam_spark.functions import geo
@@ -108,4 +108,57 @@ def tile_counts_sql(pages_rel: str, zooms: list[int]) -> str:
     return (
         f"SELECT z, xt, yt, COUNT(*) AS n_pages FROM ({assign_tiles_sql(pages_rel, zooms)}) t "
         f"GROUP BY z, xt, yt"
+    )
+
+
+def tile_bounds(tiles: DataFrame) -> DataFrame:
+    """Raster -> vector: append each (z, xt, yt) tile's geographic bounding
+    box (lon_min, lat_min, lon_max, lat_max) — the inverse of
+    :func:`assign_tiles`'s point->tile floor math, completing the
+    raster<->vector pair (a rasterized density grid becomes servable
+    vector features again).
+
+    Inverse Web-Mercator, pure column math (whole-stage codegen; ``z`` is a
+    per-row column, so one pass vectorizes a mixed-zoom raster table):
+    ``lon = xt/2^z*360-180``; ``lat = degrees(atan(sinh(pi*(1-2*yt/2^z))))``
+    with sinh spelled ``(exp(t)-exp(-t))/2`` so the DuckDB oracle
+    (:func:`tile_bounds_sql`) evaluates the byte-identical formula; like the
+    forward path's merc intermediate, results round to 9 dp because Spark's
+    and DuckDB's exp/atan differ in the last ulp. yt grows southward, so the
+    tile's top edge is yt and its bottom edge yt+1.
+    """
+
+    def _lon(t: Column) -> Column:
+        return t / F.pow(F.lit(2.0), F.col("z")) * F.lit(360.0) - F.lit(180.0)
+
+    def _lat(t: Column) -> Column:
+        a = F.lit(3.141592653589793) * (
+            F.lit(1.0) - F.lit(2.0) * t / F.pow(F.lit(2.0), F.col("z"))
+        )
+        return F.degrees(F.atan((F.exp(a) - F.exp(-a)) / F.lit(2.0)))
+
+    return (
+        tiles.withColumn("lon_min", F.round(_lon(F.col("xt")), 9))
+        .withColumn("lon_max", F.round(_lon(F.col("xt") + 1), 9))
+        .withColumn("lat_min", F.round(_lat(F.col("yt") + 1), 9))
+        .withColumn("lat_max", F.round(_lat(F.col("yt")), 9))
+    )
+
+
+def tile_bounds_sql(tiles_rel: str) -> str:
+    """DuckDB oracle: the identical inverse formulas over a tile relation
+    (must expose z, xt, yt; other columns pass through)."""
+
+    def lon(t: str) -> str:
+        return f"(({t}) / POW(2.0, z) * 360.0 - 180.0)"
+
+    def lat(t: str) -> str:
+        a = f"(3.141592653589793 * (1.0 - 2.0 * ({t}) / POW(2.0, z)))"
+        return f"DEGREES(ATAN((EXP({a}) - EXP(-{a})) / 2.0))"
+
+    return (
+        f"SELECT t.*, ROUND({lon('xt')}, 9) AS lon_min, "
+        f"ROUND({lon('xt + 1')}, 9) AS lon_max, "
+        f"ROUND({lat('yt + 1')}, 9) AS lat_min, "
+        f"ROUND({lat('yt')}, 9) AS lat_max FROM {tiles_rel} t"
     )

@@ -104,3 +104,61 @@ def test_pip_no_broadcast_matches_and_smj_plan(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert big == bc and len(bc) > 0
+
+
+def test_tile_bounds_roundtrip_contains_points(spark, geo_small):
+    """raster->vector inverse: every point must fall inside (or on the
+    boundary of) the bbox of the tile assign_tiles mapped it to. Mercator
+    clamping makes polar points land in the edge tiles, whose bboxes still
+    contain them in lon; lat containment is asserted against the clamped
+    latitude."""
+    from countrymaam_spark.functions.geo import MERCATOR_MAX_LAT
+    from countrymaam_spark.operators.tiles import tile_bounds
+
+    z = 6
+    joined = tile_bounds(
+        assign_tiles(geo_small, [z]).join(
+            geo_small.filter(F.col("lat").isNotNull()), "url"
+        )
+    )
+    eps = 1e-6
+    lat_c = F.greatest(
+        F.least(F.col("lat"), F.lit(MERCATOR_MAX_LAT)), F.lit(-MERCATOR_MAX_LAT)
+    )
+    bad = joined.filter(
+        ~(
+            (F.col("lon") >= F.col("lon_min") - eps)
+            & (F.col("lon") <= F.col("lon_max") + eps)
+            & (lat_c >= F.col("lat_min") - eps)
+            & (lat_c <= F.col("lat_max") + eps)
+        )
+    )
+    assert bad.count() == 0
+    # bbox edges are monotone and tile-aligned
+    degen = joined.filter(
+        (F.col("lon_min") >= F.col("lon_max")) | (F.col("lat_min") >= F.col("lat_max"))
+    )
+    assert degen.count() == 0
+
+
+def test_tile_bounds_matches_duckdb(spark, geo_small):
+    """Bit parity of the inverse-Mercator formulas: tile_bounds over the
+    tile_counts raster equals the byte-identical SQL in DuckDB."""
+    from countrymaam_spark.operators.tiles import (
+        tile_bounds,
+        tile_bounds_sql,
+        tile_counts_sql,
+    )
+
+    out = pg.fixture_dir("sf0.001")
+    pages_rel = _PAGES_GEO_SQL.format(p=os.path.join(out, "pages.parquet"))
+    zooms = [4, 8]
+    got = sorted(
+        map(tuple, tile_bounds(tile_counts(geo_small, zooms)).collect())
+    )
+    want = sorted(
+        duckdb.sql(
+            tile_bounds_sql(f"({tile_counts_sql(pages_rel, zooms)})")
+        ).fetchall()
+    )
+    assert got == want
