@@ -264,3 +264,22 @@ def test_radius_join_plan_is_equi_join(spark, geo_small, queries_small):
                 assert "BroadcastHashJoin" not in plan
             else:
                 assert "BroadcastHashJoin" in plan
+
+
+def test_radius_join_prebuilt_cell_state_bit_equal(spark, geo_small, queries_small):
+    """Serving the range join from a pre-encoded corpus (index state) must
+    return bit-identical pairs to the stateless path."""
+    from countrymaam_spark.functions import geo as G
+    from countrymaam_spark.operators.knn import radius_join
+
+    g6 = geo_small.filter(F.col("lat").isNotNull()).withColumn(
+        "c6", G.encode_cell(F.col("lat"), F.col("lon"), 6)
+    )
+    a = sorted(map(tuple, radius_join(geo_small, queries_small, 200.0, res=6).collect()))
+    b = sorted(
+        map(
+            tuple,
+            radius_join(g6, queries_small, 200.0, res=6, cell_col="c6").collect(),
+        )
+    )
+    assert a == b and len(a) > 0
