@@ -25,6 +25,9 @@ from countrymaam_spark.functions import text as T
 from countrymaam_spark.operators import ann, dedup
 from countrymaam_spark.operators.geotag import extract_geo, extract_geo_sql
 from countrymaam_spark.operators.knn import (
+    build_cell_stats,
+    cell_density,
+    cell_density_sql,
     cell_knn,
     flat_knn,
     flat_knn_sql,
@@ -105,6 +108,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tile_counts"] = lambda s, d: tile_counts(_pages_geo(s, d), ZOOMS)
     # raster -> vector: per-tile counts back to geographic bbox features
     q["tile_vectorize"] = lambda s, d: tile_bounds(tile_counts(_pages_geo(s, d), ZOOMS))
+    # box-kernel density surface over the cell-count statistics state
+    q["cell_density"] = lambda s, d: cell_density(
+        build_cell_stats(_pages_geo(s, d), CELL_RES), CELL_RES, radius=1
+    )
 
     q["knn_flat"] = lambda s, d: flat_knn(
         _pages_geo(s, d), PG.load_knn_queries(s, d), k=10
@@ -610,6 +617,7 @@ def oracle_sql() -> dict[str, str]:
     o["tile_assign"] = assign_tiles_sql(pg, ZOOMS)
     o["tile_counts"] = tile_counts_sql(pg, ZOOMS)
     o["tile_vectorize"] = tile_bounds_sql(f"({tile_counts_sql(pg, ZOOMS)})")
+    o["cell_density"] = cell_density_sql(pg, CELL_RES, radius=1)
     o["knn_flat"] = knn
     o["knn_cell_index"] = knn  # the escalation guarantee makes the index exact
     o["knn_cell_state"] = knn  # state path is bit-identical to stateless

@@ -775,3 +775,52 @@ def radius_join_sql(pages_rel: str, queries_rel: str, radius_km: float) -> str:
         FROM {pages_rel} p, {queries_rel} q
         WHERE p.lat IS NOT NULL AND {hav} <= {radius_km!r}
     """
+
+
+def cell_density(stats: DataFrame, res: int, radius: int = 1) -> DataFrame:
+    """Smoothed per-cell density surface from the cell-count statistics
+    state: (cell, density) where density = sum of page counts over the
+    cell's Chebyshev-``radius`` neighborhood (uniform box kernel).
+
+    Raster analytics over INDEX STATE: the input is the ~|cells|-row
+    :func:`build_cell_stats` table, never the corpus — the convolution is a
+    scatter (each count contributes to its (2r+1)^2 neighbors) + one
+    groupBy, O(|cells| * (2r+1)^2) rows through one exchange. Scatter ==
+    gather here because the Chebyshev ring is symmetric (longitude wrap is
+    mod-nx both ways; latitude clamping drops the same out-of-range pairs
+    from either view). Cells whose own count is zero but whose neighbors
+    are populated DO appear — the output is the density surface's support,
+    not the corpus's cell set.
+    """
+    contrib = stats.select(
+        F.explode(geo.ring_cells(F.col("cell"), res, radius)).alias("cell"),
+        F.col("cnt"),
+    )
+    return contrib.groupBy("cell").agg(F.sum("cnt").alias("density"))
+
+
+def cell_density_sql(pages_rel: str, res: int, radius: int = 1) -> str:
+    """DuckDB oracle: identical counts + scatter over an offsets range, with
+    the identical wrap/clamp arithmetic (cell ids decode via the same
+    packing constants). SUM is cast to BIGINT (DuckDB widens to HUGEINT)."""
+    nx, ny = 2 << res, 1 << res
+    cell = geo.encode_cell_sql("lat", "lon", res)
+    return f"""
+        WITH c AS (
+            SELECT {cell} AS cell, COUNT(*) AS cnt
+            FROM {pages_rel} WHERE lat IS NOT NULL GROUP BY 1
+        ),
+        d AS (
+            SELECT cell, cnt,
+                   (cell % {geo._R_SHIFT}) // {geo._X_SHIFT} AS x,
+                   cell % {geo._X_SHIFT} AS y
+            FROM c
+        )
+        SELECT CAST({res} AS BIGINT) * {geo._R_SHIFT}
+               + ((x + dx.r + {nx}) % {nx}) * {geo._X_SHIFT}
+               + (y + dy.r) AS cell,
+               CAST(SUM(cnt) AS BIGINT) AS density
+        FROM d, range(-{radius}, {radius + 1}) dx(r), range(-{radius}, {radius + 1}) dy(r)
+        WHERE y + dy.r >= 0 AND y + dy.r < {ny}
+        GROUP BY 1
+    """

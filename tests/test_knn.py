@@ -283,3 +283,37 @@ def test_radius_join_prebuilt_cell_state_bit_equal(spark, geo_small, queries_sma
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_cell_density_matches_duckdb(spark, geo_small):
+    """Box-kernel density surface over the stats state must equal the DuckDB
+    scatter oracle (same packing constants, same wrap/clamp arithmetic)."""
+    from countrymaam_spark.operators.knn import (
+        build_cell_stats,
+        cell_density,
+        cell_density_sql,
+    )
+
+    out = pg.fixture_dir("sf0.001")
+    pages_p = os.path.join(out, "pages.parquet")
+    pages_rel = (
+        f"(SELECT url, CAST(NULLIF(regexp_extract(text, 'near \\w+ \\((-?[0-9]+\\.[0-9]+), (-?[0-9]+\\.[0-9]+)\\)', 1), '') AS DOUBLE) lat, "
+        f"CAST(NULLIF(regexp_extract(text, 'near \\w+ \\((-?[0-9]+\\.[0-9]+), (-?[0-9]+\\.[0-9]+)\\)', 2), '') AS DOUBLE) lon FROM '{pages_p}')"
+    )
+    for res, radius in [(6, 1), (5, 2)]:
+        got = sorted(
+            (r["cell"], r["density"])
+            for r in cell_density(build_cell_stats(geo_small, res), res, radius).collect()
+        )
+        want = sorted(duckdb.sql(cell_density_sql(pages_rel, res, radius)).fetchall())
+        assert got == want and len(got) > 0
+
+
+def test_cell_density_isolated_cell(spark):
+    """A lone point's density surface is exactly its (2r+1)^2 neighborhood
+    (minus pole-clamped rows), each cell at density 1."""
+    from countrymaam_spark.operators.knn import build_cell_stats, cell_density
+
+    one = spark.createDataFrame([("u", 10.0, 10.0)], "url string, lat double, lon double")
+    rows = cell_density(build_cell_stats(one, 6), 6, radius=1).collect()
+    assert len(rows) == 9 and all(r["density"] == 1 for r in rows)
