@@ -135,3 +135,49 @@ def test_empty_inputs_are_legal(spark):
         [], "poly_id long, lat1 double, lon1 double, lat2 double, lon2 double"
     )
     assert point_in_polygon(corpus, edges, res=5).count() == 0
+
+
+def test_radius_join_complete_on_adversarial_points(spark, pts):
+    """radius_join == brute-force pair filter when the QUERY set is the
+    adversarial batch itself (true poles, antimeridian, cell corners) over
+    the full random corpus — candidate completeness of the analytically
+    sized rings everywhere on the sphere."""
+    from countrymaam_spark.operators.knn import radius_join
+
+    corpus = pts.withColumn(
+        "url", F.concat(F.lit("p"), F.monotonically_increasing_id())
+    ).cache()
+    # 9 adversarial edge points (tail of _points) + every 400th random point
+    n = corpus.count()
+    queries = (
+        corpus.withColumn("rid", F.monotonically_increasing_id())
+        .filter((F.col("rid") >= n - 9) | (F.col("rid") % 400 == 0))
+        .select(F.col("rid").alias("query_id"), "lat", "lon")
+        .cache()
+    )
+    for radius_km, res in [(120.0, 7), (900.0, 5)]:
+        got = sorted(
+            (r["query_id"], r["url"])
+            for r in radius_join(corpus, queries, radius_km, res=res)
+            .select("query_id", "url")
+            .collect()
+        )
+        brute = sorted(
+            (r["query_id"], r["url"])
+            for r in corpus.crossJoin(
+                queries.select(
+                    "query_id",
+                    F.col("lat").alias("qlat"),
+                    F.col("lon").alias("qlon"),
+                )
+            )
+            .filter(
+                geo.haversine_km(
+                    F.col("lat"), F.col("lon"), F.col("qlat"), F.col("qlon")
+                )
+                <= radius_km
+            )
+            .select("query_id", "url")
+            .collect()
+        )
+        assert got == brute, (radius_km, res)
