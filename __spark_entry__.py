@@ -121,20 +121,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     def _knn_cell_state(s, d):
-        # index-state serving: pre-encoded corpus + prebuilt per-cell stats
-        # (build_cell_stats) — no per-batch corpus encode/aggregate; must be
-        # bit-identical to the stateless path (same exact-kNN oracle)
-        from countrymaam_spark.operators.knn import build_cell_stats
+        # index-state serving: pre-encoded corpus + the fully-prebuilt
+        # multi-level planning lut (build_cell_stats -> build_cell_lut) —
+        # no per-batch corpus encode/aggregate AND no per-batch rollup;
+        # must be bit-identical to the stateless path (same exact-kNN oracle)
+        from countrymaam_spark.operators.knn import build_cell_lut, build_cell_stats
 
         g = _pages_geo(s, d).withColumn(
             "cell", G.encode_cell(F.col("lat"), F.col("lon"), CELL_RES)
         )
-        stats = build_cell_stats(g, CELL_RES, cell_col="cell").localCheckpoint(
-            eager=True
-        )
+        lut = build_cell_lut(
+            build_cell_stats(g, CELL_RES, cell_col="cell"), CELL_RES
+        ).localCheckpoint(eager=True)
         return cell_knn(
             g, PG.load_knn_queries(s, d), k=10, res=CELL_RES,
-            cell_col="cell", stats=stats,
+            cell_col="cell", stats=lut,
         )
 
     q["knn_cell_state"] = _knn_cell_state

@@ -138,19 +138,24 @@ def main() -> None:
     # are built once here (timed as build work, counted in the pipeline
     # total) — serving never re-encodes or re-aggregates the corpus, the
     # shape a 10^12-row deployment requires
-    from countrymaam_spark.operators.knn import build_cell_stats
+    from countrymaam_spark.operators.knn import build_cell_lut, build_cell_stats
 
     def _build_stats():
         build_cell_stats(g, 7, cell_col="cell").write.mode("overwrite").parquet(
             os.path.join(geo_dir, "cell_stats")
         )
+        # multi-level planning lut: with it, serving's radius planning is a
+        # single equi-join against state (no per-batch rollup)
+        build_cell_lut(
+            spark.read.parquet(os.path.join(geo_dir, "cell_stats")), 7
+        ).write.mode("overwrite").parquet(os.path.join(geo_dir, "cell_lut"))
 
     timed("cell_stats_build", _build_stats)
-    if not os.path.exists(os.path.join(geo_dir, "cell_stats")):
+    if not os.path.exists(os.path.join(geo_dir, "cell_lut")):
         # stage filtered out by SPARK_GRAFT_STAGES but kNN serving still
         # needs its state: build untimed
         _build_stats()
-    stats = spark.read.parquet(os.path.join(geo_dir, "cell_stats"))
+    stats = spark.read.parquet(os.path.join(geo_dir, "cell_lut"))
     timed(
         "knn_cell_index",
         lambda: materialize(

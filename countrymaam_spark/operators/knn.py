@@ -190,6 +190,50 @@ def update_cell_stats(
     )
 
 
+def _plan_levels(res: int) -> list[int]:
+    """The statistics levels the radius planner consults (finest first)."""
+    return [lv for lv in range(res, res - 5, -1) if lv >= 0]
+
+
+def _rollup_lut(counts: DataFrame, res: int, levels: list[int]) -> DataFrame:
+    """(lv, cell, cnt) over every planning level, built in ONE shuffle: each
+    finest-level count row explodes into its <=5 (lv, ancestor)
+    contributions and a single groupBy sums them."""
+    return (
+        counts.select(
+            "cnt",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(lv).alias("lv"),
+                            geo.cell_parent(F.col("cell"), lv, res).alias("cell"),
+                        )
+                        for lv in levels
+                    ]
+                )
+            ).alias("lc"),
+        )
+        .groupBy(F.col("lc.lv").alias("lv"), F.col("lc.cell").alias("cell"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def build_cell_lut(stats: DataFrame, res: int) -> DataFrame:
+    """Multi-level planning lookup table (lv, cell, cnt) — the FULLY prebuilt
+    form of the radius-planner's statistics state.
+
+    ``build_cell_stats`` removed the per-batch corpus aggregation from
+    serving; the planner still rolled the ~|cells|-row stats table up to its
+    5 coarser levels per query batch (~1-2 s of pure fixed cost warm).
+    Persist THIS table instead (<= 5x|cells| rows, one shuffle to build) and
+    pass it as ``cell_knn(stats=...)`` — the planner detects the ``lv``
+    column and planning becomes a single equi-join against state. Appends
+    maintain it the same way as the stats table: roll up the batch's delta
+    lut and merge per (lv, cell)."""
+    return _rollup_lut(stats, res, _plan_levels(res))
+
+
 def _plan_radius(
     remaining: DataFrame,
     pages_cells: DataFrame,
@@ -212,7 +256,12 @@ def _plan_radius(
     """
     need = 4 * k
     nx = 2 << res
-    if stats is not None:
+    if stats is not None and "lv" in stats.columns:
+        # fully-prebuilt multi-level lut (build_cell_lut): planning is one
+        # equi-join against persisted state — no per-batch rollup at all
+        counts = None
+        lut = stats
+    elif stats is not None:
         # prebuilt statistics state (build_cell_stats): already a persisted
         # ~|cells|-row table — the rollup branches below re-scan it cheaply,
         # and serving never touches the corpus for planning
@@ -227,7 +276,7 @@ def _plan_radius(
             .agg(F.count("*").alias("cnt"))
             .localCheckpoint(eager=True)
         )
-    levels = [lv for lv in range(res, res - 5, -1) if lv >= 0]
+    levels = _plan_levels(res)
     # ONE (lv, cell, cnt) lookup table over every statistics level: round 3
     # joined the query table against each level separately — five shuffle
     # joins' worth of fixed cost per call (measured ~half of the 3.4s warm
@@ -244,24 +293,8 @@ def _plan_radius(
     # tiny aggregation stages — with AQE's sequential stage materialization
     # that is 10 driver syncs of pure fixed cost per call (~2-3s at 200
     # queries); same rows, same result, one exchange.
-    lut = (
-        counts.select(
-            "cnt",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(lv).alias("lv"),
-                            geo.cell_parent(F.col("cell"), lv, res).alias("cell"),
-                        )
-                        for lv in levels
-                    ]
-                )
-            ).alias("lc"),
-        )
-        .groupBy(F.col("lc.lv").alias("lv"), F.col("lc.cell").alias("cell"))
-        .agg(F.sum("cnt").alias("cnt"))
-    )
+    if counts is not None:
+        lut = _rollup_lut(counts, res, levels)
     extra = [c for c in remaining.columns if c not in ("query_id", "qlat", "qlon")]
     qx = remaining.select(
         "query_id",

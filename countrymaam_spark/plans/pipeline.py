@@ -226,16 +226,32 @@ def build_cell_pipeline(
         lambda: knn.build_cell_stats(cells_df, res, cell_col="cell"),
         params=params,
     )
+    # the fully-prebuilt multi-level planning lut (<= 5x|cells| rows): with
+    # it, radius planning is one equi-join against state — no per-batch
+    # rollup stages at all (measured ~1-2 s of fixed cost per warm batch)
+    lut_df, skipped_l = run_stage(
+        spark,
+        manifest,
+        "cell_lut",
+        lambda: knn.build_cell_lut(stats_df, res),
+        params=params,
+    )
     return {
         "cell_corpus": {"rows": cells_df.count(), "skipped": skipped_c},
+        "cell_lut": {"rows": lut_df.count(), "skipped": skipped_l},
         "cell_stats": {"rows": stats_df.count(), "skipped": skipped_s},
     }
 
 
 def load_cell_state(spark: SparkSession, out_dir: str):
-    """-> (encoded corpus DataFrame, stats DataFrame) for
-    ``cell_knn(cell_col="cell", stats=stats)``."""
+    """-> (encoded corpus DataFrame, planning-state DataFrame) for
+    ``cell_knn(cell_col="cell", stats=...)``. Prefers the multi-level lut
+    snapshot (planning = one equi-join, no rollup) and falls back to the
+    per-cell stats table for dirs written before the lut stage existed."""
     cells = spark.read.parquet(os.path.join(out_dir, "cell_corpus"))
+    lut_path = os.path.join(out_dir, "cell_lut")
+    if os.path.exists(lut_path):
+        return cells, spark.read.parquet(lut_path)
     stats = spark.read.parquet(os.path.join(out_dir, "cell_stats"))
     return cells, stats
 

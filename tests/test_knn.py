@@ -124,11 +124,22 @@ def test_cell_knn_prebuilt_state_bit_equal(spark, geo_small, queries_small, tmp_
     out = str(tmp_path / "cellidx")
     rep = P.build_cell_pipeline(spark, geo_small, out, res=6)
     assert not rep["cell_corpus"]["skipped"] and not rep["cell_stats"]["skipped"]
-    cells, stats = P.load_cell_state(spark, out)
+    cells, state = P.load_cell_state(spark, out)
+    # the pipeline now persists the multi-level lut; the loader returns it
+    assert "lv" in state.columns
     stateful = _key(
-        cell_knn(cells, queries_small, k=10, res=6, cell_col="cell", stats=stats).collect()
+        cell_knn(cells, queries_small, k=10, res=6, cell_col="cell", stats=state).collect()
     )
     assert stateful == stateless
+    # serving from the flat per-cell stats table must also be bit-identical
+    import os as _os
+
+    flat_stats = spark.read.parquet(_os.path.join(out, "cell_stats"))
+    assert _key(
+        cell_knn(
+            cells, queries_small, k=10, res=6, cell_col="cell", stats=flat_stats
+        ).collect()
+    ) == stateless
 
     # resume: intact snapshots + unchanged params -> both stages skip
     rep2 = P.build_cell_pipeline(spark, geo_small, out, res=6)
