@@ -234,6 +234,30 @@ def build_cell_lut(stats: DataFrame, res: int) -> DataFrame:
     return _rollup_lut(stats, res, _plan_levels(res))
 
 
+def update_cell_lut(
+    lut_old: DataFrame, new_pages_geo: DataFrame, res: int, cell_col: str | None = None
+) -> DataFrame:
+    """Merge an append batch into the multi-level planning lut.
+
+    Counts are additive at every level, so the delta lut of the batch
+    (|batch distinct cells| x 5 rows) merges with one outer join per
+    (lv, cell) — the same commutative contract as :func:`update_cell_stats`;
+    the result equals ``build_cell_lut`` over the unioned corpus
+    (pytest-pinned)."""
+    delta = build_cell_lut(build_cell_stats(new_pages_geo, res, cell_col=cell_col), res)
+    return (
+        lut_old.withColumnRenamed("cnt", "_a")
+        .join(delta.withColumnRenamed("cnt", "_b"), ["lv", "cell"], "full_outer")
+        .select(
+            "lv",
+            "cell",
+            (F.coalesce(F.col("_a"), F.lit(0)) + F.coalesce(F.col("_b"), F.lit(0))).alias(
+                "cnt"
+            ),
+        )
+    )
+
+
 def _plan_radius(
     remaining: DataFrame,
     pages_cells: DataFrame,

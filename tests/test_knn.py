@@ -328,3 +328,21 @@ def test_cell_density_isolated_cell(spark):
     one = spark.createDataFrame([("u", 10.0, 10.0)], "url string, lat double, lon double")
     rows = cell_density(build_cell_stats(one, 6), 6, radius=1).collect()
     assert len(rows) == 9 and all(r["density"] == 1 for r in rows)
+
+
+def test_update_cell_lut_equals_rebuild(spark, geo_small):
+    """Appending a batch via per-(lv, cell) deltas must equal a from-scratch
+    lut build over the unioned corpus."""
+    from countrymaam_spark.operators.knn import (
+        build_cell_lut,
+        build_cell_stats,
+        update_cell_lut,
+    )
+
+    old = geo_small.filter(F.xxhash64("url") % 4 != 0)
+    batch = geo_small.filter(F.xxhash64("url") % 4 == 0)
+    merged = update_cell_lut(build_cell_lut(build_cell_stats(old, 6), 6), batch, 6)
+    scratch = build_cell_lut(build_cell_stats(geo_small, 6), 6)
+    got = sorted((r["lv"], r["cell"], r["cnt"]) for r in merged.collect())
+    want = sorted((r["lv"], r["cell"], r["cnt"]) for r in scratch.collect())
+    assert got == want
