@@ -163,6 +163,17 @@ def _sample_per_node(edges: DataFrame, cap: int, seed: int, tag: int) -> DataFra
     )
 
 
+def _with_dist(pairs: DataFrame, v: DataFrame) -> DataFrame:
+    """(node, nbr) -> + true sq_l2 dist against vector table ``v`` (vid, vec).
+    Two hash joins; the distance itself is one numpy pass per Arrow batch."""
+    return (
+        pairs.join(v.select(F.col("vid").alias("node"), F.col("vec").alias("_va")), "node")
+        .join(v.select(F.col("vid").alias("nbr"), F.col("vec").alias("_vb")), "nbr")
+        .withColumn("dist", V.sq_l2_batch(F.col("_va"), F.col("_vb")))
+        .drop("_va", "_vb")
+    )
+
+
 def nn_descent(
     vecs: DataFrame,
     k: int = DEFAULT_K,
@@ -172,6 +183,7 @@ def nn_descent(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init_edges: DataFrame | None = None,
 ) -> DataFrame:
     """AKNN graph build -> (node, nbr, dist) with at most k edges per node.
 
@@ -180,6 +192,13 @@ def nn_descent(
     <= max_changes (or max_iter). Per round, all heavy work is one pivot
     self-join + one vectorized distance pass + one window prune; the driver
     sees only the changed-node count.
+
+    ``init_edges`` (node, nbr, dist, is_new) replaces the random init — the
+    warm-start entry used by :func:`nn_descent_append`. Edges flagged
+    ``is_new=0`` are treated as already-joined (they feed the old lists but
+    never re-generate old-old pairs), exactly the loop's own graduation
+    semantics, so a converged snapshot plus fresh random edges for appended
+    nodes resumes the descent instead of restarting it.
     """
     # localCheckpoint, not .cache(): released by the ContextCleaner on GC
     # instead of pinning executor storage across calls (round-3 advisor's
@@ -189,22 +208,15 @@ def nn_descent(
     )
 
     def with_dist(pairs: DataFrame) -> DataFrame:
-        # (node, nbr) -> + true sq_l2 dist. Two hash joins against the vector
-        # table; the distance itself is one numpy pass per Arrow batch.
-        return (
-            pairs.join(v.select(F.col("vid").alias("node"), F.col("vec").alias("_va")), "node")
-            .join(v.select(F.col("vid").alias("nbr"), F.col("vec").alias("_vb")), "nbr")
-            .withColumn("dist", V.sq_l2_batch(F.col("_va"), F.col("_vb")))
-            .drop("_va", "_vb")
-        )
+        return _with_dist(pairs, v)
 
-    init = random_k_regular(vecs, k, seed=seed, id_col=id_col)
-    # flag semantics: is_new=1 -> edge has not yet fed a local join
-    edges = (
-        with_dist(init)
-        .withColumn("is_new", F.lit(1))
-        .localCheckpoint(eager=True)
-    )
+    if init_edges is None:
+        init = random_k_regular(vecs, k, seed=seed, id_col=id_col)
+        # flag semantics: is_new=1 -> edge has not yet fed a local join
+        edges = with_dist(init).withColumn("is_new", F.lit(1))
+    else:
+        edges = init_edges.select("node", "nbr", "dist", "is_new")
+    edges = edges.localCheckpoint(eager=True)
 
     cap = max(1, int(math.ceil(rho * k)))
     for it in range(max_iter):
@@ -289,6 +301,61 @@ def nn_descent(
         if changes <= max_changes:
             break
     return edges.select("node", "nbr", "dist")
+
+
+def nn_descent_append(
+    vecs: DataFrame,
+    edges: DataFrame,
+    new_ids: DataFrame,
+    k: int = DEFAULT_K,
+    rho: float = DEFAULT_RHO,
+    max_iter: int = 6,
+    max_changes: int = 0,
+    seed: int = 43,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental vertex insertion: warm-start NN-Descent from a converged
+    edge snapshot -> updated (node, nbr, dist) covering old AND new nodes.
+
+    The reference's MutableIndex contract is Add-then-rebuild
+    (/root/reference/index/graph_index.go, flat Add flat_index.go:88-90);
+    NN-Descent converges from ANY starting graph (Dong et al. §2.3), so an
+    append needs only: seeded random k-regular init edges for the NEW nodes
+    (drawn over the full id population), the existing converged edges
+    entering as ``is_new=0``, then the standard loop. Old-old pairs are
+    never re-generated (neither side holds a new edge); new nodes acquire
+    true neighbors through local joins and old nodes acquire new neighbors
+    through the capped reverse lists — the same per-round shuffle shapes as
+    a from-scratch build over a FRACTION of the pairs, so append cost scales
+    with the delta's neighborhoods, not the corpus. Equivalence to a full
+    rebuild is by graph quality, not bit-equality (both are converged
+    approximations; pinned against the reference's golden-sum tolerance in
+    tests/test_graph.py).
+
+    ``vecs``: the FULL post-append vector table. ``edges``: the pre-append
+    converged edge table. ``new_ids``: one column with the appended ids.
+    """
+    v = vecs.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).localCheckpoint(eager=True)
+    nid = new_ids.select(F.col(new_ids.columns[0]).alias("node"))
+    init_new = random_k_regular(vecs, k, seed=seed, id_col=id_col).join(
+        nid, "node", "semi"
+    )
+    fresh = _with_dist(init_new, v).withColumn("is_new", F.lit(1))
+    warm = edges.select("node", "nbr", "dist").withColumn("is_new", F.lit(0))
+    return nn_descent(
+        vecs,
+        k=k,
+        rho=rho,
+        max_iter=max_iter,
+        max_changes=max_changes,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        init_edges=warm.unionByName(fresh),
+    )
 
 
 def to_undirected(edges: DataFrame) -> DataFrame:

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from countrymaam_spark.operators import index_build
 from countrymaam_spark.operators.geotag import extract_geo
-from countrymaam_spark.plans.checkpoint import Manifest, run_stage
+from countrymaam_spark.plans.checkpoint import Manifest, content_hash, run_stage
 
 
 def build_index_pipeline(
@@ -180,6 +180,94 @@ def build_ivf_pipeline(
         "ivf_centroids": {"rows": cents_df.count(), "skipped": skipped_c},
         "ivf_lists": {"rows": lists_df.count(), "skipped": skipped_l},
     }
+
+
+def _refresh_stage_entry(
+    spark: SparkSession, manifest: Manifest, name: str
+) -> DataFrame:
+    """Re-read a stage snapshot after an in-place append and refresh its
+    manifest rows/hash, so later resume verification (run_stage's row-count +
+    content-hash checks) accepts the appended table instead of rebuilding —
+    the Iceberg new-snapshot-commit analog on plain parquet."""
+    path = os.path.join(manifest.out_dir, name)
+    out = spark.read.parquet(path)
+    entry = manifest.stages.get(name, {})
+    manifest.stages[name] = {
+        "rows": out.count(),
+        "hash": content_hash(out),
+        "params": entry.get("params", {}),
+    }
+    manifest.save()
+    return out
+
+
+def append_ivf_pipeline(
+    spark: SparkSession,
+    new_corpus: DataFrame,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental append for the IVF family: the coarse quantizer is FROZEN
+    state, so appending vectors is ONE narrow nearest-centroid map over the
+    delta (no k-means re-run, no full-corpus re-assignment — at 10^12 rows a
+    rebuild re-shuffles the whole table; this touches only the new rows) and
+    a parquet append into the ``list_id``-partitioned snapshot, preserving
+    probe-side partition pruning. Bit-equivalent to re-assigning the full
+    corpus against the same centroids (pinned in tests/test_ann.py).
+
+    Centroid drift is the documented trade: a heavily-appended corpus whose
+    distribution shifts should periodically rebuild via
+    ``build_ivf_pipeline`` with fresh params (which invalidates both stages
+    together)."""
+    from countrymaam_spark.operators import ann
+
+    manifest = Manifest(out_dir)
+    cents = _cents_array(spark.read.parquet(os.path.join(out_dir, "ivf_centroids")))
+    delta = ann.ivf_assignments(new_corpus, cents, id_col=id_col, vec_col=vec_col)
+    path = os.path.join(out_dir, "ivf_lists")
+    delta.write.mode("append").partitionBy("list_id").parquet(path)
+    out = _refresh_stage_entry(spark, manifest, "ivf_lists")
+    return {
+        "ivf_lists": {
+            "rows": out.count(),
+            "appended": delta.count(),
+            "skipped": False,
+        }
+    }
+
+
+def append_graph_pipeline(
+    spark: SparkSession,
+    vecs_all: DataFrame,
+    new_ids: DataFrame,
+    out_dir: str,
+    k: int = 15,
+    rho: float = 0.7,
+    max_iter: int = 6,
+    seed: int = 43,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental append for the graph family: warm-start NN-Descent
+    (:func:`countrymaam_spark.operators.graph.nn_descent_append`) from the
+    persisted edge snapshot instead of rebuilding — per-round work scales
+    with the delta's neighborhoods, not the corpus. The updated edge table
+    replaces the snapshot (materialized first: a lazy plan cannot overwrite
+    its own input) and the manifest entry is refreshed so resume
+    verification accepts the appended graph."""
+    from countrymaam_spark.operators.graph import nn_descent_append
+
+    manifest = Manifest(out_dir)
+    path = os.path.join(out_dir, "graph_edges")
+    edges = spark.read.parquet(path)
+    updated = nn_descent_append(
+        vecs_all, edges, new_ids, k=k, rho=rho, max_iter=max_iter, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    ).localCheckpoint(eager=True)
+    updated.write.mode("overwrite").parquet(path)
+    out = _refresh_stage_entry(spark, manifest, "graph_edges")
+    return {"graph_edges": {"rows": out.count(), "skipped": False}}
 
 
 def build_cell_pipeline(

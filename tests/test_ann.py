@@ -265,3 +265,56 @@ def test_ivf_snapshot_partition_pruning(spark, corpus, queries, tmp_path):
         lists_df, cents, queries, k=5, n_probe=2, prune_lists=False
     )
     assert _key(served.collect()) == _key(unpruned.collect())
+
+
+def test_ivf_append_pipeline_equals_full_reassign(spark, corpus, queries, tmp_path):
+    """Incremental IVF append: the quantizer is frozen, so appending must be
+    bit-equivalent to re-assigning the FULL corpus against the same
+    centroids — one narrow map over the delta plus a parquet append into the
+    list_id-partitioned snapshot (no k-means re-run, no corpus re-shuffle).
+    Serving from the appended state at full probe is exact, the partition
+    layout survives, and a subsequent build re-run resumes the appended
+    table (manifest rows + hash refreshed)."""
+    import os
+
+    from countrymaam_spark.plans import pipeline as PL
+
+    out = str(tmp_path / "ivf_app")
+    old = corpus.filter(F.col("vec_id") % 5 != 0)
+    new = corpus.filter(F.col("vec_id") % 5 == 0)
+    PL.build_ivf_pipeline(spark, old, out, n_lists=8, seed=1)
+    rep = PL.append_ivf_pipeline(spark, new, out)
+    assert rep["ivf_lists"]["appended"] == new.count()
+    assert rep["ivf_lists"]["rows"] == corpus.count()
+
+    lists_df, cents = PL.load_ivf(spark, out)
+    # bit-equivalence: appended assignment table == assign-all with the same
+    # frozen centroids
+    got = sorted(
+        (r["cid"], r["list_id"]) for r in lists_df.select("cid", "list_id").collect()
+    )
+    want = sorted(
+        (r["cid"], r["list_id"])
+        for r in ann.ivf_assignments(corpus, cents).select("cid", "list_id").collect()
+    )
+    assert got == want
+    # the append preserved directory partitioning (probe pruning intact)
+    part_dirs = [
+        d for d in os.listdir(os.path.join(out, "ivf_lists")) if d.startswith("list_id=")
+    ]
+    assert len(part_dirs) >= 1 and all("=" in d for d in part_dirs)
+    # serving from appended state at full probe == brute force over ALL rows
+    served = {
+        (r["query_id"], r["vec_id"])
+        for r in ann.ivf_knn_from_state(lists_df, cents, queries, k=5, n_probe=8).collect()
+    }
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in ann.brute_knn(corpus, queries, k=5).collect()
+    }
+    assert served == exact
+    # resume: a build re-run with the original params accepts the appended
+    # snapshot (refreshed manifest) instead of rebuilding
+    rep2 = PL.build_ivf_pipeline(spark, old, out, n_lists=8, seed=1)
+    assert rep2["ivf_lists"]["skipped"] and rep2["ivf_centroids"]["skipped"]
+    assert rep2["ivf_lists"]["rows"] == corpus.count()

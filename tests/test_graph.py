@@ -308,3 +308,74 @@ def test_hash_positions_buckets_scale_and_stay_permutation(spark):
         .groupBy("b").count().agg(F.max("count")).collect()[0][0]
     )
     assert widths <= 6 * (100_000 // 4096 + 1)
+
+
+def test_nn_descent_append_converges_like_rebuild(spark):
+    """Incremental vertex insertion (warm-start NN-Descent): build on the
+    first 160 reference vectors, append the last 40, and the UPDATED graph
+    must meet the same quality bar as a from-scratch build over all 200 —
+    within 2% of the exact kNN-graph sum (the from-scratch bar is 1%;
+    reference golden tolerance is ±1% around a value ~10% above exact), with
+    exactly k unique neighbors per node for ALL 200 nodes and the new nodes
+    reachable as neighbors of old nodes (reverse-list linking)."""
+    arr = _load_vec_csv()
+    vecs = _vec_df(spark, arr).cache()
+    old_vecs = vecs.filter(F.col("vec_id") < 160)
+    new_ids = vecs.filter(F.col("vec_id") >= 160).select("vec_id")
+    base = G.nn_descent(old_vecs, k=10, rho=0.8, max_iter=12, seed=42)
+    rows = G.nn_descent_append(
+        vecs, base, new_ids, k=10, rho=0.8, max_iter=8, seed=43
+    ).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["node"], set()).add(r["nbr"])
+    assert all(len(s) == 10 for s in per.values()) and len(per) == 200
+    # old nodes link BACK to appended nodes (not just forward)
+    assert any(
+        nbr >= 160 for node, s in per.items() if node < 160 for nbr in s
+    )
+    ss = _sum_neighbor_dist(arr, rows)
+    d2 = ((arr[:, None, :] - arr[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    exact = sum(np.sqrt(np.sort(d2[i])[:10]).sum() for i in range(len(arr)))
+    assert exact <= ss <= 1.02 * exact
+    # serving: queries AT the appended vectors find their true neighbors
+    q = vecs.filter(F.col("vec_id") >= 192).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact_q = set(
+        map(tuple, ann.brute_knn(vecs, q, k=5).select("query_id", "rk", "vec_id").collect())
+    )
+    edges_df = spark.createDataFrame(rows)
+    got = set(map(tuple, G.graph_knn(
+        vecs, edges_df, q, k=5, entries_num=10, beam=16, max_hops=5
+    ).select("query_id", "rk", "vec_id").collect()))
+    assert got == exact_q
+
+
+def test_graph_append_pipeline_refreshes_snapshot(spark, tmp_path):
+    """append_graph_pipeline: warm-start from the persisted snapshot, the
+    snapshot is replaced in place, the manifest entry is refreshed (rows +
+    content hash), and a subsequent build re-run RESUMES the appended graph
+    instead of rebuilding (the Iceberg append-snapshot analog)."""
+    from countrymaam_spark.plans import pipeline as PL
+
+    arr = _load_vec_csv()
+    vecs = _vec_df(spark, arr).cache()
+    old_vecs = vecs.filter(F.col("vec_id") < 160)
+    out = str(tmp_path / "gappend")
+    PL.build_graph_pipeline(spark, old_vecs, out, k=10, rho=0.8, max_iter=12, seed=42)
+    rep = PL.append_graph_pipeline(
+        spark, vecs, vecs.filter(F.col("vec_id") >= 160).select("vec_id"), out,
+        k=10, rho=0.8, max_iter=8, seed=43,
+    )
+    assert rep["graph_edges"]["rows"] == 200 * 10
+    loaded = PL.load_graph_edges(spark, out)
+    assert loaded.select("node").distinct().count() == 200
+    # resume with the ORIGINAL build params skips — the appended snapshot
+    # survives (rows + hash verify against the refreshed manifest entry)
+    rep2 = PL.build_graph_pipeline(
+        spark, old_vecs, out, k=10, rho=0.8, max_iter=12, seed=42
+    )
+    assert rep2["graph_edges"]["skipped"]
+    assert rep2["graph_edges"]["rows"] == 200 * 10
