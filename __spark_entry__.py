@@ -305,6 +305,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embed_knn_graph"] = _graph_knn
     q["embed_knn_composite"] = _composite_knn
 
+    def _graph_knn_append(s: SparkSession, d: str) -> DataFrame:
+        from countrymaam_spark.operators import graph as GR
+
+        # incremental-insertion path: converge on 4/5 of the corpus, warm-
+        # start append the held-out 1/5 (nn_descent_append), serve at the
+        # same exact budget as embed_knn_graph -> the brute oracle applies;
+        # a wrong append (unlinked new nodes / degraded graph) breaks parity
+        emb = _emb(s, d)
+        base = GR.nn_descent(
+            emb.filter(F.col("vec_id") % 5 != 0), k=15, rho=0.7, max_iter=10, seed=42
+        )
+        edges = GR.nn_descent_append(
+            emb, base, emb.filter(F.col("vec_id") % 5 == 0).select("vec_id"),
+            k=15, rho=0.7, max_iter=8, seed=43,
+        )
+        return GR.graph_knn(
+            emb, edges, _emb_queries(s, d), k=5, entries_num=10, beam=24, max_hops=6
+        )
+
+    q["embed_knn_graph_append"] = _graph_knn_append
+
+    def _ivf_knn_append(s: SparkSession, d: str) -> DataFrame:
+        # incremental IVF append (quantizer frozen on the original 4/5,
+        # delta assigned with the same centroids); full probe -> exact ->
+        # brute oracle. Disk-backed flavor is pinned in tests/test_ann.py.
+        emb = _emb(s, d)
+        old = emb.filter(F.col("vec_id") % 5 != 0)
+        cents = ann._kmeans_centroids(old, "embedding", 16, 2048, 8, 42)
+        lists = ann.ivf_assignments(old, cents).unionByName(
+            ann.ivf_assignments(emb.filter(F.col("vec_id") % 5 == 0), cents)
+        )
+        return ann.ivf_knn_from_state(lists, cents, _emb_queries(s, d), k=5, n_probe=16)
+
+    q["embed_knn_ivf_append"] = _ivf_knn_append
+
     # exact=True: oracle-parity all-pairs config (the function default is the
     # LSH scale path; see embed_near_pairs_lsh for the banded plan under oracle)
     q["embed_near_pairs"] = lambda s, d: ann.cosine_near_pairs(_emb(s, d), tau=0.5, exact=True)
@@ -679,6 +714,9 @@ def oracle_sql() -> dict[str, str]:
     # graph walk budgets verified exact on the fixture -> exact oracle
     o["embed_knn_graph"] = ann.brute_knn_sql("embeddings", emb_q, k=5)
     o["embed_knn_composite"] = ann.brute_knn_sql("embeddings", emb_q, k=5)
+    # append paths serve exactly at these budgets -> the same brute oracle
+    o["embed_knn_graph_append"] = ann.brute_knn_sql("embeddings", emb_q, k=5)
+    o["embed_knn_ivf_append"] = ann.brute_knn_sql("embeddings", emb_q, k=5)
     o["embed_near_pairs"] = ann.cosine_near_pairs_sql("embeddings", tau=0.5)
     o["embed_near_pairs_lsh"] = ann.cosine_near_pairs_sql("embeddings", tau=0.5)
 
