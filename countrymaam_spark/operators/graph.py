@@ -184,6 +184,7 @@ def nn_descent(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init_edges: DataFrame | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """AKNN graph build -> (node, nbr, dist) with at most k edges per node.
 
@@ -257,6 +258,13 @@ def nn_descent(
             )
             .dropDuplicates(["u1", "u2"])
         )
+        if stats is not None:
+            # bench-only accounting (one extra count action per round): the
+            # number of candidate pairs through the distance kernel — the
+            # hardware-independent cost signal append-vs-rebuild is judged on
+            pairs = pairs.localCheckpoint(eager=True)
+            stats["pairs_scored"] = stats.get("pairs_scored", 0) + pairs.count()
+            stats["rounds"] = stats.get("rounds", 0) + 1
         scored = with_dist(
             pairs.select(F.col("u1").alias("node"), F.col("u2").alias("nbr"))
         )
@@ -314,6 +322,7 @@ def nn_descent_append(
     seed: int = 43,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Incremental vertex insertion: warm-start NN-Descent from a converged
     edge snapshot -> updated (node, nbr, dist) covering old AND new nodes.
@@ -355,6 +364,7 @@ def nn_descent_append(
         id_col=id_col,
         vec_col=vec_col,
         init_edges=warm.unionByName(fresh),
+        stats=stats,
     )
 
 

@@ -330,3 +330,102 @@ def test_stream_cell_knn_serve_from_state(spark, tmp_path):
         for r in cell_knn(cells, queries, k=5, res=6, cell_col="cell", stats=stats).collect()
     )
     assert got == want
+
+
+def test_maintain_cell_state_stream_equals_batch_build(spark, tmp_path):
+    """Write-side streaming maintenance: ingest the pages fixture as three
+    drops; the streamed cell_corpus must equal the batch-encoded corpus (no
+    duplicates — per-batch idempotent partitions), the streamed cell_lut
+    must EXACTLY equal build_cell_lut over everything ingested (update-mode
+    counts are exactly-once through the state store), a restart on the same
+    checkpoint must add nothing, and cell_knn served from the streamed state
+    must match the flat exact oracle."""
+    import pyarrow.parquet as pq
+
+    from countrymaam_spark.operators.knn import (
+        build_cell_lut,
+        build_cell_stats,
+        cell_knn,
+        flat_knn,
+    )
+    from countrymaam_spark.streaming import maintain
+
+    out = pg.ensure_fixtures("sf0.001")
+    t = pq.read_table(os.path.join(out, "pages.parquet"))
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    pq.write_table(t.slice(0, 700), str(drops / "d1.parquet"))
+    pq.write_table(t.slice(700, 700), str(drops / "d2.parquet"))
+    pq.write_table(t.slice(1400), str(drops / "d3.parquet"))
+
+    state = str(tmp_path / "state")
+    batch_all = spark.read.parquet(str(drops))
+    schema = batch_all.schema
+
+    def run_once():
+        stream = ingest.stream_pages_from_dir(spark, str(drops), schema)
+        g = ingest.geotag_stream(stream, res=7)
+        q1 = maintain.maintain_cell_corpus_stream(
+            g, state, str(tmp_path / "ck_corpus")
+        )
+        q2 = maintain.maintain_cell_lut_stream(
+            g, state, str(tmp_path / "ck_lut"), res=7
+        )
+        assert q1.awaitTermination(180) and q2.awaitTermination(180)
+
+    run_once()
+    geo_batch = (
+        extract_geo(batch_all)
+        .filter(F.col("lat").isNotNull())
+        .withColumn("cell", geo.encode_cell(F.col("lat"), F.col("lon"), 7))
+    )
+    got_corpus = sorted(
+        (r["url"], r["cell"])
+        for r in spark.read.parquet(os.path.join(state, "cell_corpus")).collect()
+    )
+    want_corpus = sorted(
+        (r["url"], r["cell"]) for r in geo_batch.select("url", "cell").collect()
+    )
+    assert got_corpus == want_corpus
+    want_lut = sorted(
+        (r["lv"], r["cell"], r["cnt"])
+        for r in build_cell_lut(build_cell_stats(geo_batch, 7, cell_col="cell"), 7).collect()
+    )
+    got_lut = sorted(
+        (r["lv"], r["cell"], r["cnt"])
+        for r in spark.read.parquet(os.path.join(state, "cell_lut")).collect()
+    )
+    assert got_lut == want_lut
+
+    # restart on the same checkpoints: no new data -> state unchanged
+    run_once()
+    again = sorted(
+        (r["lv"], r["cell"], r["cnt"])
+        for r in spark.read.parquet(os.path.join(state, "cell_lut")).collect()
+    )
+    assert again == want_lut
+    assert (
+        spark.read.parquet(os.path.join(state, "cell_corpus")).count()
+        == len(want_corpus)
+    )
+
+    # serving straight from the streamed state == exact flat oracle
+    from countrymaam_spark.plans.pipeline import load_cell_state
+
+    cells, lut = load_cell_state(spark, state)
+    q = pg.load_knn_queries(spark, "/root/testdata/sf0.001").limit(20)
+    got = sorted(
+        map(
+            tuple,
+            cell_knn(cells, q, k=5, res=7, cell_col="cell", stats=lut)
+            .select("query_id", "rk", "url")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            flat_knn(geo_batch, q, k=5).select("query_id", "rk", "url").collect(),
+        )
+    )
+    assert got == want
