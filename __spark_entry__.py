@@ -34,7 +34,11 @@ from countrymaam_spark.operators.knn import (
     radius_join,
     radius_join_sql,
 )
-from countrymaam_spark.operators.pip import point_in_polygon, point_in_polygon_sql
+from countrymaam_spark.operators.pip import (
+    point_in_polygon,
+    point_in_polygon_compact,
+    point_in_polygon_sql,
+)
 from countrymaam_spark.operators.tiles import (
     assign_tiles,
     assign_tiles_sql,
@@ -148,6 +152,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pip_join"] = lambda s, d: point_in_polygon(
         _pages_geo(s, d), PG.load_polygon_edges(s, d), res=6
+    )
+    # same join through the H3-style COMPACT cover (complete sibling blocks
+    # collapsed to parents; pages probe one cell per level) — identical rows,
+    # orders-of-magnitude smaller cover table for country-sized polygons
+    q["pip_join_compact"] = lambda s, d: point_in_polygon_compact(
+        _pages_geo(s, d), PG.load_polygon_edges(s, d), res=6, min_res=3
     )
     q["pip_counts"] = lambda s, d: (
         PG.load_polygon_edges(s, d)
@@ -660,6 +670,7 @@ def oracle_sql() -> dict[str, str]:
     o["knn_tree_index"] = knn  # full budget (ring=None + search_k >= leaves) => exact
     o["geo_radius_join"] = radius_join_sql(pg, q_rel, RADIUS_KM)
     o["pip_join"] = point_in_polygon_sql(pg, e_rel)
+    o["pip_join_compact"] = point_in_polygon_sql(pg, e_rel)  # same exact rows
     o["pip_counts"] = f"""
         SELECT p.poly_id, COUNT(i.url) AS n_pages
         FROM (SELECT DISTINCT poly_id FROM {e_rel}) p

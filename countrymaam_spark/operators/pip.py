@@ -78,6 +78,15 @@ def point_in_polygon(
         cover = F.broadcast(cover)
         e = F.broadcast(e)
     cand = pages_cells.join(cover, "cell").select("poly_id", "url", "lat", "lon")
+    return _verify_ray_cast(cand, e)
+
+
+def _verify_ray_cast(cand: DataFrame, e: DataFrame) -> DataFrame:
+    """Exact stage: ray-cast crossing parity over (candidate x polygon edge).
+
+    ``cand`` must hold each (poly_id, url) pair AT MOST ONCE — a duplicated
+    candidate doubles its crossing count and flips the parity test.
+    """
     pairs = cand.join(e, "poly_id")
     crosses = (
         (F.col("lat1") > F.col("lat")) != (F.col("lat2") > F.col("lat"))
@@ -94,6 +103,126 @@ def point_in_polygon(
         .filter(F.col("crossings") % 2 == 1)
         .select("poly_id", "url")
     )
+
+
+def compact_cover(cover: DataFrame, res: int, min_res: int = 0) -> DataFrame:
+    """H3-style ``compact``: replace every complete 2x2 sibling block in a
+    cover set by its parent cell, recursively up to ``min_res``.
+
+    Input rows are (poly_id, cell) with every cell at resolution ``res`` and
+    DISTINCT per polygon (``_cover_cells`` enumerates a bbox rectangle, so
+    this holds by construction). Output cells live at mixed resolutions in
+    [min_res, res]; per polygon they are *disjoint* (no output cell is an
+    ancestor of another) and their res-level descendants reproduce the input
+    set exactly — so a multi-level candidate join against the compact cover
+    sees each (page, polygon) pair exactly once.
+
+    Scale: every step aggregates the COVER table only (|cells| rows, never
+    the corpus). For a large polygon the compact cover is O(perimeter)
+    fine cells + O(area / coarse_cell^2) coarse cells instead of the full
+    O(area / fine_cell^2) rectangle — the reduction that keeps country-sized
+    polygon sets inside the broadcast regime. The level loop is a fixed
+    ``res - min_res`` driver iterations over a lazily-composed plan (no
+    action per step); mirrors the reference's coarse-to-fine BSP node
+    collapsing (/root/reference/bsp_tree/bsp_tree.go:22-60) as set algebra.
+    """
+    if min_res > res:
+        raise ValueError("min_res must be <= res")
+    # per-level frames keep every DataFrame referenced O(1) times; the naive
+    # out = rest U kept U promoted recursion re-embeds the whole prior plan
+    # 3x per level (3^depth plan blow-up). Each level's parented table is
+    # pinned (localCheckpoint, GC-released — repo convention for tiny
+    # build-time tables) so the two consumers (promoted / kept) share one
+    # materialization and the final union's plan is flat.
+    done: list[DataFrame] = []
+    cur = cover.select("poly_id", "cell")
+    for child_res in range(res, min_res, -1):
+        parented = cur.withColumn(
+            "parent", geo.cell_parent(F.col("cell"), child_res - 1, child_res)
+        ).localCheckpoint(eager=True)
+        promoted = (
+            parented.groupBy("poly_id", "parent")
+            .count()
+            .filter(F.col("count") == 4)
+            .select("poly_id", F.col("parent").alias("cell"))
+        )
+        kept = parented.join(
+            promoted.select("poly_id", F.col("cell").alias("parent")),
+            ["poly_id", "parent"],
+            "left_anti",
+        ).select("poly_id", "cell")
+        done.append(kept)
+        cur = promoted
+    out = cur
+    for frame in done:
+        out = out.unionByName(frame)
+    return out
+
+
+def uncompact_cover(compact: DataFrame, res: int) -> DataFrame:
+    """Inverse of :func:`compact_cover`: expand every cell to its full set of
+    ``res``-level descendants. Expression-only (sequence + explode)."""
+    with_span = compact.withColumn(
+        "_span",
+        F.expr(
+            f"cast(shiftleft(1, {res} - cast(cell div {2**53} as int)) as long)"
+        ),
+    )
+    span = F.col("_span")
+    x0, y0 = geo.cell_x(F.col("cell")) * span, geo.cell_y(F.col("cell")) * span
+    base = F.lit(res) * F.lit(2**53)
+    return (
+        with_span.select(
+            "poly_id",
+            F.explode(F.sequence(x0, x0 + span - 1)).alias("cx"),
+            y0.alias("y0"),
+            span.alias("span"),
+        )
+        .select(
+            "poly_id",
+            "cx",
+            F.explode(F.sequence(F.col("y0"), F.col("y0") + F.col("span") - 1)).alias("cy"),
+        )
+        .select("poly_id", (base + F.col("cx") * F.lit(2**26) + F.col("cy")).alias("cell"))
+    )
+
+
+def point_in_polygon_compact(
+    pages_geo: DataFrame, edges: DataFrame, res: int = 6, min_res: int = 3,
+    broadcast_polygons: bool = True,
+) -> DataFrame:
+    """:func:`point_in_polygon` with the coarse stage joined against the
+    COMPACT cover: pages encode one cell per level in [min_res, res] (an
+    array of ``res - min_res + 1`` longs, exploded JVM-side) and equi-join
+    the mixed-resolution cover on the packed cell id (the id encodes its
+    resolution, so one join covers every level).
+
+    Same candidate set as the full-res cover — each page hits exactly one
+    of {cell, its ancestors} per polygon (compact disjointness) — so results
+    are identical; what changes is the cover's size (broadcast bytes /
+    shuffle rows), which is the binding constant for country-scale polygon
+    tables. The page side carries #levels rows per page through the join;
+    with min_res chosen ~3 levels up that is a 4x row fan-out against a
+    cover shrunk by orders of magnitude on large polygons.
+    """
+    pages_cells = (
+        pages_geo.filter(F.col("lat").isNotNull())
+        .select("url", "lat", "lon")
+        .select(
+            "url", "lat", "lon",
+            F.explode(F.array(*[
+                geo.encode_cell(F.col("lat"), F.col("lon"), r)
+                for r in range(min_res, res + 1)
+            ])).alias("cell"),
+        )
+    )
+    cover = compact_cover(_cover_cells(edges, res), res, min_res)
+    e = edges.select("poly_id", "lat1", "lon1", "lat2", "lon2")
+    if broadcast_polygons:
+        cover = F.broadcast(cover)
+        e = F.broadcast(e)
+    cand = pages_cells.join(cover, "cell").select("poly_id", "url", "lat", "lon")
+    return _verify_ray_cast(cand, e)
 
 
 def point_in_polygon_sql(pages_rel: str, edges_rel: str) -> str:

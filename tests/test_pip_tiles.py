@@ -162,3 +162,53 @@ def test_tile_bounds_matches_duckdb(spark, geo_small):
         ).fetchall()
     )
     assert got == want
+
+
+def test_compact_cover_roundtrip_and_disjoint(spark):
+    """uncompact(compact(S)) == S, and no compact cell is an ancestor of
+    another within a polygon (the exactly-once candidate guarantee)."""
+    from countrymaam_spark.operators.pip import _cover_cells, compact_cover, uncompact_cover
+    from countrymaam_spark.functions import geo
+
+    out = pg.fixture_dir("sf0.001")
+    edges = spark.read.parquet(os.path.join(out, "polygon_edges.parquet"))
+    cover = _cover_cells(edges, 6)
+    comp = compact_cover(cover, 6, 3)
+    orig = {tuple(r) for r in cover.collect()}
+    back = {tuple(r) for r in uncompact_cover(comp, 6).collect()}
+    assert back == orig
+    assert comp.count() < cover.count()  # rectangles must compact
+    # disjointness: expanding each compact cell to res-6 descendants must
+    # produce no duplicates per polygon
+    expanded = uncompact_cover(comp, 6)
+    dups = (
+        expanded.groupBy("poly_id", "cell").count().filter(F.col("count") > 1).count()
+    )
+    assert dups == 0
+    # every compact cell's res stays within [min_res, res]
+    res_bounds = comp.select(
+        F.min(geo.cell_res(F.col("cell"))).alias("lo"),
+        F.max(geo.cell_res(F.col("cell"))).alias("hi"),
+    ).first()
+    assert 3 <= res_bounds["lo"] and res_bounds["hi"] <= 6
+
+
+def test_pip_compact_matches_standard(spark, geo_small):
+    from countrymaam_spark.operators.pip import point_in_polygon_compact
+
+    out = pg.fixture_dir("sf0.001")
+    edges = spark.read.parquet(os.path.join(out, "polygon_edges.parquet"))
+    a = {(r["poly_id"], r["url"]) for r in point_in_polygon(geo_small, edges, res=6).collect()}
+    b = {
+        (r["poly_id"], r["url"])
+        for r in point_in_polygon_compact(geo_small, edges, res=6, min_res=3).collect()
+    }
+    assert a == b and len(a) > 0
+    # shuffle path (broadcast off) agrees too
+    c = {
+        (r["poly_id"], r["url"])
+        for r in point_in_polygon_compact(
+            geo_small, edges, res=6, min_res=3, broadcast_polygons=False
+        ).collect()
+    }
+    assert a == c
