@@ -34,6 +34,7 @@ from countrymaam_spark.operators.knn import (
     radius_join,
     radius_join_sql,
 )
+from countrymaam_spark.operators.nearest import nearest_polygon, nearest_polygon_sql
 from countrymaam_spark.operators.pip import (
     point_in_polygon,
     point_in_polygon_compact,
@@ -158,6 +159,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # orders-of-magnitude smaller cover table for country-sized polygons
     q["pip_join_compact"] = lambda s, d: point_in_polygon_compact(
         _pages_geo(s, d), PG.load_polygon_edges(s, d), res=6, min_res=3
+    )
+    # reverse-geocode flavor: k nearest polygons per query point by boundary
+    # distance (sound great-circle bbox bound prunes, exact segment re-rank)
+    q["nearest_region"] = lambda s, d: nearest_polygon(
+        PG.load_knn_queries(s, d), PG.load_polygon_edges(s, d), k=3
     )
     q["pip_counts"] = lambda s, d: (
         PG.load_polygon_edges(s, d)
@@ -671,6 +677,7 @@ def oracle_sql() -> dict[str, str]:
     o["geo_radius_join"] = radius_join_sql(pg, q_rel, RADIUS_KM)
     o["pip_join"] = point_in_polygon_sql(pg, e_rel)
     o["pip_join_compact"] = point_in_polygon_sql(pg, e_rel)  # same exact rows
+    o["nearest_region"] = nearest_polygon_sql(q_rel, e_rel, k=3)
     o["pip_counts"] = f"""
         SELECT p.poly_id, COUNT(i.url) AS n_pages
         FROM (SELECT DISTINCT poly_id FROM {e_rel}) p

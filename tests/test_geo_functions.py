@@ -95,3 +95,84 @@ def test_haversine_matches_duckdb(spark):
     for (a, b, c, d), g in zip(pts, got):
         w = duckdb.sql(f"SELECT {sql} FROM (SELECT {a} a, {b} b, {c} c, {d} d)").fetchone()[0]
         assert g == pytest.approx(w, rel=1e-12)
+
+
+def test_point_segment_dist_matches_duckdb(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (
+            float(rng.uniform(-85, 85)), float(rng.uniform(-180, 180)),
+            float(rng.uniform(-85, 85)), float(rng.uniform(-180, 180)),
+            float(rng.uniform(-85, 85)), float(rng.uniform(-180, 180)),
+        )
+        for _ in range(50)
+    ] + [(10.0, 20.0, 30.0, 40.0, 30.0, 40.0)]  # degenerate zero-length edge
+    df = spark.createDataFrame(
+        rows, "plat double, plon double, lat1 double, lon1 double, lat2 double, lon2 double"
+    )
+    got = [
+        r["v"]
+        for r in df.select(
+            geo.point_segment_dist_km(
+                F.col("plat"), F.col("plon"),
+                F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"),
+            ).alias("v")
+        ).collect()
+    ]
+    sql = geo.point_segment_dist_km_sql("plat", "plon", "lat1", "lon1", "lat2", "lon2")
+    for (plat, plon, a, b, c, d), g in zip(rows, got):
+        w = duckdb.sql(
+            f"SELECT {sql} FROM (SELECT CAST({plat} AS DOUBLE) plat, "
+            f"CAST({plon} AS DOUBLE) plon, CAST({a} AS DOUBLE) lat1, "
+            f"CAST({b} AS DOUBLE) lon1, CAST({c} AS DOUBLE) lat2, "
+            f"CAST({d} AS DOUBLE) lon2)"
+        ).fetchone()[0]
+        assert g == pytest.approx(w, rel=1e-12)
+
+
+def test_bbox_min_dist_is_sound_lower_bound(spark):
+    """lb(point, rect) <= haversine(point, q) for every q sampled in the
+    rect — including adversarial near-antipodal / polar configurations."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    cases = []
+    for _ in range(60):
+        lat_lo = rng.uniform(-88, 86)
+        lat_hi = lat_lo + rng.uniform(0.01, min(20, 88 - lat_lo))
+        lon_lo = rng.uniform(-180, 170)
+        lon_hi = lon_lo + rng.uniform(0.01, 10)
+        cases.append(
+            (rng.uniform(-89, 89), rng.uniform(-180, 180), lat_lo, lat_hi, lon_lo, lon_hi)
+        )
+    # adversarial: huge longitude gap + high-latitude rects (where the
+    # naive clamp-point bound is NOT sound)
+    cases += [
+        (0.0, 0.0, 50.0, 55.0, 168.0, 172.0),
+        (60.0, 0.0, -80.0, -75.0, 178.0, 179.0),
+        (-30.0, -170.0, 70.0, 85.0, 5.0, 9.0),
+    ]
+    df = spark.createDataFrame(
+        [tuple(map(float, c)) for c in cases],
+        "plat double, plon double, lat_lo double, lat_hi double, lon_lo double, lon_hi double",
+    )
+    lbs = [
+        r["v"]
+        for r in df.select(
+            geo.bbox_min_dist_km(
+                F.col("plat"), F.col("plon"),
+                F.col("lat_lo"), F.col("lat_hi"), F.col("lon_lo"), F.col("lon_hi"),
+            ).alias("v")
+        ).collect()
+    ]
+    R = geo.EARTH_RADIUS_KM
+    for (plat, plon, lat_lo, lat_hi, lon_lo, lon_hi), lb in zip(cases, lbs):
+        qlat = np.linspace(lat_lo, lat_hi, 25)[:, None]
+        qlon = np.linspace(lon_lo, lon_hi, 25)[None, :]
+        p1, l1 = np.radians(plat), np.radians(plon)
+        p2, l2 = np.radians(qlat), np.radians(qlon)
+        a = np.sin((p2 - p1) / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin((l2 - l1) / 2) ** 2
+        d = 2 * R * np.arcsin(np.sqrt(np.minimum(a, 1.0)))
+        assert lb <= d.min() + 1e-6, (plat, plon, lat_lo, lat_hi, lon_lo, lon_hi, lb, d.min())
