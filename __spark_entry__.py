@@ -39,6 +39,8 @@ from countrymaam_spark.operators.pip import (
     point_in_polygon,
     point_in_polygon_compact,
     point_in_polygon_sql,
+    polygon_stats,
+    polygon_stats_sql,
 )
 from countrymaam_spark.operators.tiles import (
     assign_tiles,
@@ -160,6 +162,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pip_join_compact"] = lambda s, d: point_in_polygon_compact(
         _pages_geo(s, d), PG.load_polygon_edges(s, d), res=6, min_res=3
     )
+    # vector measures per polygon (perimeter / shoelace area / centroid);
+    # fixed-point BIGINT sums make the float aggregation order-independent
+    q["polygon_stats"] = lambda s, d: polygon_stats(PG.load_polygon_edges(s, d))
     # reverse-geocode flavor: k nearest polygons per query point by boundary
     # distance (sound great-circle bbox bound prunes, exact segment re-rank)
     q["nearest_region"] = lambda s, d: nearest_polygon(
@@ -678,6 +683,7 @@ def oracle_sql() -> dict[str, str]:
     o["pip_join"] = point_in_polygon_sql(pg, e_rel)
     o["pip_join_compact"] = point_in_polygon_sql(pg, e_rel)  # same exact rows
     o["nearest_region"] = nearest_polygon_sql(q_rel, e_rel, k=3)
+    o["polygon_stats"] = polygon_stats_sql(e_rel)
     o["pip_counts"] = f"""
         SELECT p.poly_id, COUNT(i.url) AS n_pages
         FROM (SELECT DISTINCT poly_id FROM {e_rel}) p

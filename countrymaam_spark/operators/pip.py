@@ -252,3 +252,76 @@ def polygon_page_counts(pages_geo: DataFrame, edges: DataFrame, res: int = 6) ->
         .groupBy("poly_id")
         .agg(F.count("url").alias("n_pages"))
     )
+
+
+_SCALE = 1_000_000  # 6-dp fixed-point: order-independent integer sums
+
+
+def polygon_stats(edges: DataFrame) -> DataFrame:
+    """Per-polygon vector measures: (poly_id, n_edges, perimeter_km,
+    area_km2, centroid_lat, centroid_lon).
+
+    - perimeter = sum of great-circle edge lengths;
+    - area = planar shoelace in an equirectangular projection anchored at
+      the polygon's mean vertex latitude (cos-lat scaled) — the standard
+      small-polygon approximation, closed form in both engines;
+    - centroid = vertex mean (each edge contributes its start vertex, so a
+      closed ring counts every vertex exactly once).
+
+    Float sums are ORDER-DEPENDENT and Spark's partial aggregation order
+    differs from DuckDB's, so every SUM here goes through 6-dp fixed-point
+    BIGINT (exact integer addition is commutative) and divides back at the
+    end — bit-identical across engines by construction.
+    """
+    hav = geo.haversine_km(
+        F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")
+    )
+    cross = F.col("lon1") * F.col("lat2") - F.col("lon2") * F.col("lat1")
+    fp = lambda c: F.round(c * _SCALE).cast("long")  # noqa: E731
+    agg = edges.groupBy("poly_id").agg(
+        F.count("*").alias("n_edges"),
+        F.sum(fp(hav)).alias("_per"),
+        F.sum(fp(cross)).alias("_cross"),
+        F.sum(fp(F.col("lat1"))).alias("_slat"),
+        F.sum(fp(F.col("lon1"))).alias("_slon"),
+    )
+    ml_rad = F.radians(F.col("_slat") / F.col("n_edges") / _SCALE)
+    area = (
+        F.cos(ml_rad)
+        * F.lit(geo.KM_PER_DEG * geo.KM_PER_DEG / 2.0)
+        * F.abs(F.col("_cross"))
+        / _SCALE
+    )
+    return agg.select(
+        "poly_id",
+        "n_edges",
+        F.round(F.col("_per") / _SCALE, 6).alias("perimeter_km"),
+        F.round(area, 6).alias("area_km2"),
+        F.round(F.col("_slat") / F.col("n_edges") / _SCALE, 6).alias("centroid_lat"),
+        F.round(F.col("_slon") / F.col("n_edges") / _SCALE, 6).alias("centroid_lon"),
+    )
+
+
+def polygon_stats_sql(edges_rel: str) -> str:
+    """The identical fixed-point formulas for the DuckDB oracle."""
+    hav = geo.haversine_km_sql("lat1", "lon1", "lat2", "lon2")
+    fp = lambda x: f"CAST(ROUND(({x}) * {_SCALE}) AS BIGINT)"  # noqa: E731
+    k2 = repr(geo.KM_PER_DEG * geo.KM_PER_DEG / 2.0)
+    return f"""
+        SELECT poly_id, n_edges,
+               ROUND(_per / {_SCALE}.0, 6) AS perimeter_km,
+               ROUND(COS(RADIANS(_slat / n_edges / {_SCALE}.0)) * {k2}
+                     * ABS(_cross) / {_SCALE}.0, 6) AS area_km2,
+               ROUND(_slat / n_edges / {_SCALE}.0, 6) AS centroid_lat,
+               ROUND(_slon / n_edges / {_SCALE}.0, 6) AS centroid_lon
+        FROM (
+            SELECT poly_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_edges,
+                   SUM({fp(hav)}) AS _per,
+                   SUM({fp('lon1 * lat2 - lon2 * lat1')}) AS _cross,
+                   SUM({fp('lat1')}) AS _slat,
+                   SUM({fp('lon1')}) AS _slon
+            FROM {edges_rel}
+            GROUP BY poly_id
+        ) a
+    """

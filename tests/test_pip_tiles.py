@@ -212,3 +212,16 @@ def test_pip_compact_matches_standard(spark, geo_small):
         ).collect()
     }
     assert a == c
+
+
+def test_polygon_stats_matches_oracle(spark):
+    from countrymaam_spark.operators.pip import polygon_stats, polygon_stats_sql
+
+    out = pg.fixture_dir("sf0.001")
+    rel = os.path.join(out, "polygon_edges.parquet")
+    edges = spark.read.parquet(rel)
+    got = sorted(map(tuple, polygon_stats(edges).collect()))
+    want = sorted(map(tuple, duckdb.sql(polygon_stats_sql(f"'{rel}'")).fetchall()))
+    assert got == want
+    # sanity: closed rings have positive perimeter and area
+    assert all(r[2] > 0 and r[3] > 0 for r in got)
