@@ -45,6 +45,8 @@ from countrymaam_spark.operators.pip import (
 from countrymaam_spark.operators.tiles import (
     assign_tiles,
     assign_tiles_sql,
+    quadkey_counts,
+    quadkey_counts_sql,
     tile_bounds,
     tile_bounds_sql,
     tile_counts,
@@ -115,6 +117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tile_counts"] = lambda s, d: tile_counts(_pages_geo(s, d), ZOOMS)
     # raster -> vector: per-tile counts back to geographic bbox features
     q["tile_vectorize"] = lambda s, d: tile_bounds(tile_counts(_pages_geo(s, d), ZOOMS))
+    # Bing-style quadkey addressing: parent tile == string prefix (prefix
+    # predicates give hierarchical tile pruning; rollup pinned in pytest)
+    q["tile_quadkeys"] = lambda s, d: quadkey_counts(_pages_geo(s, d), 8)
     # box-kernel density surface over the cell-count statistics state
     q["cell_density"] = lambda s, d: cell_density(
         build_cell_stats(_pages_geo(s, d), CELL_RES), CELL_RES, radius=1
@@ -674,6 +679,7 @@ def oracle_sql() -> dict[str, str]:
     o["tile_assign"] = assign_tiles_sql(pg, ZOOMS)
     o["tile_counts"] = tile_counts_sql(pg, ZOOMS)
     o["tile_vectorize"] = tile_bounds_sql(f"({tile_counts_sql(pg, ZOOMS)})")
+    o["tile_quadkeys"] = quadkey_counts_sql(pg, 8)
     o["cell_density"] = cell_density_sql(pg, CELL_RES, radius=1)
     o["knn_flat"] = knn
     o["knn_cell_index"] = knn  # the escalation guarantee makes the index exact

@@ -273,3 +273,31 @@ def bbox_min_dist_km(
     ).otherwise(F.greatest(cos_theta(lat_lo), cos_theta(lat_hi)))
     best = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), best))
     return F.lit(EARTH_RADIUS_KM) * F.acos(best)
+
+
+def quadkey(xt: Column, yt: Column, z: int) -> Column:
+    """Bing-style quadkey string for tile (xt, yt) at zoom ``z``: one base-4
+    digit per level, MSB first (digit = x_bit + 2*y_bit). A tile's parent is
+    its quadkey PREFIX — string-prefix predicates give hierarchical tile
+    pruning for free. Unrolled per-level column math (codegen-able)."""
+    if z <= 0:
+        raise ValueError("z must be >= 1")
+    digits = [
+        (
+            F.shiftright(xt, k).bitwiseAND(F.lit(1))
+            + F.lit(2) * F.shiftright(yt, k).bitwiseAND(F.lit(1))
+        ).cast("string")
+        for k in range(z - 1, -1, -1)
+    ]
+    return F.concat(*digits)
+
+
+def quadkey_sql(xt: str, yt: str, z: int) -> str:
+    """The identical quadkey construction as SQL (DuckDB oracle)."""
+    if z <= 0:
+        raise ValueError("z must be >= 1")
+    digits = [
+        f"CAST(((({xt}) >> {k}) & 1) + 2 * ((({yt}) >> {k}) & 1) AS VARCHAR)"
+        for k in range(z - 1, -1, -1)
+    ]
+    return "(" + " || ".join(digits) + ")"

@@ -162,3 +162,28 @@ def tile_bounds_sql(tiles_rel: str) -> str:
         f"ROUND({lat('yt + 1')}, 9) AS lat_min, "
         f"ROUND({lat('yt')}, 9) AS lat_max FROM {tiles_rel} t"
     )
+
+
+def quadkey_counts(pages_geo: DataFrame, z: int) -> DataFrame:
+    """Per-tile page counts keyed by Bing-style quadkey at zoom ``z`` —
+    the tile-server addressing scheme where a parent tile is a string
+    PREFIX of its children. One corpus aggregation; coarser zooms roll up
+    from this table with ``substring(quadkey, 1, z')`` (no corpus re-scan),
+    and a viewport fetch is a ``startswith`` prefix predicate.
+    """
+    xt, yt = _tile_cols(z)
+    return (
+        pages_geo.filter(F.col("lat").isNotNull())
+        .select(geo.quadkey(xt, yt, z).alias("quadkey"))
+        .groupBy("quadkey")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+def quadkey_counts_sql(pages_rel: str, z: int) -> str:
+    xt, yt = _tile_sql(z, "lat", "lon")
+    qk = geo.quadkey_sql(xt, yt, z)
+    return (
+        f"SELECT {qk} AS quadkey, CAST(COUNT(*) AS BIGINT) AS n_pages "
+        f"FROM {pages_rel} WHERE lat IS NOT NULL GROUP BY 1"
+    )

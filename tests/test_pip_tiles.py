@@ -225,3 +225,28 @@ def test_polygon_stats_matches_oracle(spark):
     assert got == want
     # sanity: closed rings have positive perimeter and area
     assert all(r[2] > 0 and r[3] > 0 for r in got)
+
+
+def test_quadkey_counts_oracle_and_prefix_rollup(spark, geo_small):
+    from countrymaam_spark.operators.tiles import quadkey_counts, quadkey_counts_sql
+
+    out = pg.fixture_dir("sf0.001")
+    p = os.path.join(out, "pages.parquet")
+    got = sorted(map(tuple, quadkey_counts(geo_small, 8).collect()))
+    want = sorted(
+        duckdb.sql(quadkey_counts_sql(_PAGES_GEO_SQL.format(p=p), 8)).fetchall()
+    )
+    assert got == want
+    # parent tiles are string prefixes: rolling z=8 keys up by 6-char prefix
+    # must reproduce the z=6 table exactly
+    fine = quadkey_counts(geo_small, 8)
+    rolled = sorted(
+        map(
+            tuple,
+            fine.groupBy(F.substring("quadkey", 1, 6).alias("quadkey"))
+            .agg(F.sum("n_pages").alias("n_pages"))
+            .collect(),
+        )
+    )
+    coarse = sorted(map(tuple, quadkey_counts(geo_small, 6).collect()))
+    assert rolled == coarse
