@@ -35,6 +35,7 @@ from countrymaam_spark.operators.knn import (
     radius_join_sql,
 )
 from countrymaam_spark.operators.nearest import nearest_polygon, nearest_polygon_sql
+from countrymaam_spark.operators.overlay import polygon_overlaps, polygon_overlaps_sql
 from countrymaam_spark.operators.pip import (
     point_in_polygon,
     point_in_polygon_compact,
@@ -170,6 +171,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # vector measures per polygon (perimeter / shoelace area / centroid);
     # fixed-point BIGINT sums make the float aggregation order-independent
     q["polygon_stats"] = lambda s, d: polygon_stats(PG.load_polygon_edges(s, d))
+    # vector overlay: which polygon pairs intersect, and how (cover-cell
+    # candidates -> orientation-test crossing + parity containment)
+    q["polygon_overlaps"] = lambda s, d: polygon_overlaps(
+        PG.load_polygon_edges(s, d), res=5
+    )
     # reverse-geocode flavor: k nearest polygons per query point by boundary
     # distance (sound great-circle bbox bound prunes, exact segment re-rank)
     q["nearest_region"] = lambda s, d: nearest_polygon(
@@ -690,6 +696,7 @@ def oracle_sql() -> dict[str, str]:
     o["pip_join_compact"] = point_in_polygon_sql(pg, e_rel)  # same exact rows
     o["nearest_region"] = nearest_polygon_sql(q_rel, e_rel, k=3)
     o["polygon_stats"] = polygon_stats_sql(e_rel)
+    o["polygon_overlaps"] = polygon_overlaps_sql(e_rel)
     o["pip_counts"] = f"""
         SELECT p.poly_id, COUNT(i.url) AS n_pages
         FROM (SELECT DISTINCT poly_id FROM {e_rel}) p
