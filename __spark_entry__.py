@@ -48,6 +48,10 @@ from countrymaam_spark.operators.tiles import (
     assign_tiles_sql,
     quadkey_counts,
     quadkey_counts_sql,
+    tile_domains,
+    tile_domains_sql,
+    viewport_join,
+    viewport_join_sql,
     tile_bounds,
     tile_bounds_sql,
     tile_counts,
@@ -121,6 +125,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Bing-style quadkey addressing: parent tile == string prefix (prefix
     # predicates give hierarchical tile pruning; rollup pinned in pytest)
     q["tile_quadkeys"] = lambda s, d: quadkey_counts(_pages_geo(s, d), 8)
+    # per-tile EXACT distinct-domain diversity (crawl-curation signal)
+    q["tile_domains"] = lambda s, d: tile_domains(_pages_geo(s, d), 6)
+
+    # batch viewport range join: rectangles derived deterministically from
+    # the query fixture; range predicates become a cover-cell hash equi-join
+    def _viewports(s, d):
+        return PG.load_knn_queries(s, d).select(
+            F.col("query_id").alias("view_id"),
+            (F.col("lat") - 1.5).alias("lat_lo"),
+            (F.col("lat") + 1.5).alias("lat_hi"),
+            (F.col("lon") - 2.0).alias("lon_lo"),
+            (F.col("lon") + 2.0).alias("lon_hi"),
+        )
+
+    q["viewport_join"] = lambda s, d: viewport_join(
+        _pages_geo(s, d), _viewports(s, d), res=6
+    )
     # box-kernel density surface over the cell-count statistics state
     q["cell_density"] = lambda s, d: cell_density(
         build_cell_stats(_pages_geo(s, d), CELL_RES), CELL_RES, radius=1
@@ -686,6 +707,12 @@ def oracle_sql() -> dict[str, str]:
     o["tile_counts"] = tile_counts_sql(pg, ZOOMS)
     o["tile_vectorize"] = tile_bounds_sql(f"({tile_counts_sql(pg, ZOOMS)})")
     o["tile_quadkeys"] = quadkey_counts_sql(pg, 8)
+    o["tile_domains"] = tile_domains_sql(pg, 6)
+    vp_rel = (
+        f"(SELECT query_id AS view_id, lat - 1.5 AS lat_lo, lat + 1.5 AS lat_hi, "
+        f"lon - 2.0 AS lon_lo, lon + 2.0 AS lon_hi FROM {q_rel})"
+    )
+    o["viewport_join"] = viewport_join_sql(pg, vp_rel)
     o["cell_density"] = cell_density_sql(pg, CELL_RES, radius=1)
     o["knn_flat"] = knn
     o["knn_cell_index"] = knn  # the escalation guarantee makes the index exact

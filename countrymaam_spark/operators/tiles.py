@@ -187,3 +187,97 @@ def quadkey_counts_sql(pages_rel: str, z: int) -> str:
         f"SELECT {qk} AS quadkey, CAST(COUNT(*) AS BIGINT) AS n_pages "
         f"FROM {pages_rel} WHERE lat IS NOT NULL GROUP BY 1"
     )
+
+
+def viewport_join(pages_geo: DataFrame, viewports: DataFrame, res: int = 6) -> DataFrame:
+    """Batch viewport (bbox range) join: -> (view_id, url, lat, lon) for
+    every page inside each viewport rectangle.
+
+    A range join expressed as a hash EQUI-join: each viewport explodes to
+    its cover cells at ``res`` (the `_cover_cells` rectangle enumeration),
+    pages probe on their encoded cell, and an exact BETWEEN filter trims
+    boundary cells. The viewport side is a dim table (broadcast); the
+    corpus never shuffles and a cell-clustered table prunes row groups on
+    the cell ranges — the BI-dashboard serving shape at 10^12 rows (a
+    BroadcastNestedLoopJoin over the raw range predicates is the plan this
+    avoids). Viewports must not cross the antimeridian (split upstream,
+    like polygons).
+    """
+    nx, ny = 2 << res, 1 << res
+    step = F.lit(geo.cell_deg(res))
+    x_lo = F.greatest(F.floor((F.col("lon_lo") + 180.0) / step).cast("long"), F.lit(0))
+    x_hi = F.least(F.floor((F.col("lon_hi") + 180.0) / step).cast("long"), F.lit(nx - 1))
+    y_lo = F.greatest(F.floor((F.col("lat_lo") + 90.0) / step).cast("long"), F.lit(0))
+    y_hi = F.least(F.floor((F.col("lat_hi") + 90.0) / step).cast("long"), F.lit(ny - 1))
+    base = F.lit(res) * F.lit(2**53)
+    cover = (
+        viewports.select(
+            "view_id", "lat_lo", "lat_hi", "lon_lo", "lon_hi",
+            F.explode(F.sequence(x_lo, x_hi)).alias("cx"),
+            y_lo.alias("y_lo"), y_hi.alias("y_hi"),
+        )
+        .select(
+            "view_id", "lat_lo", "lat_hi", "lon_lo", "lon_hi", "cx",
+            F.explode(F.sequence(F.col("y_lo"), F.col("y_hi"))).alias("cy"),
+        )
+        .select(
+            "view_id", "lat_lo", "lat_hi", "lon_lo", "lon_hi",
+            (base + F.col("cx") * F.lit(2**26) + F.col("cy")).alias("cell"),
+        )
+    )
+    pages_cells = (
+        pages_geo.filter(F.col("lat").isNotNull())
+        .select("url", "lat", "lon")
+        .withColumn("cell", geo.encode_cell(F.col("lat"), F.col("lon"), res))
+    )
+    return (
+        pages_cells.join(F.broadcast(cover), "cell")
+        .filter(
+            F.col("lat").between(F.col("lat_lo"), F.col("lat_hi"))
+            & F.col("lon").between(F.col("lon_lo"), F.col("lon_hi"))
+        )
+        .select("view_id", "url", "lat", "lon")
+    )
+
+
+def viewport_join_sql(pages_rel: str, viewports_rel: str) -> str:
+    """DuckDB oracle: the raw range-predicate join."""
+    return f"""
+        SELECT v.view_id, p.url, p.lat, p.lon
+        FROM {pages_rel} p, {viewports_rel} v
+        WHERE p.lat IS NOT NULL
+          AND p.lat BETWEEN v.lat_lo AND v.lat_hi
+          AND p.lon BETWEEN v.lon_lo AND v.lon_hi
+    """
+
+
+def tile_domains(pages_geo: DataFrame, z: int) -> DataFrame:
+    """Per-tile EXACT distinct-domain counts at zoom ``z`` — the
+    diversity measure a crawl-curation pipeline reads next to raw page
+    counts (one domain carpet-bombing a city tile vs genuine coverage).
+    Exact distinct is two partial-aggregated hash exchanges; swap in
+    approx_count_distinct for a one-pass sketch at extreme cardinality.
+    """
+    xt, yt = _tile_cols(z)
+    dom = F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)
+    return (
+        pages_geo.filter(F.col("lat").isNotNull())
+        .select(xt.alias("xt"), yt.alias("yt"), dom.alias("domain"))
+        .groupBy("xt", "yt")
+        .agg(F.countDistinct("domain").alias("n_domains"))
+        .select(F.lit(z).cast("int").alias("z"), "xt", "yt", "n_domains")
+    )
+
+
+def tile_domains_sql(pages_rel: str, z: int) -> str:
+    xt, yt = _tile_sql(z, "lat", "lon")
+    return f"""
+        SELECT CAST({z} AS INTEGER) AS z, xt, yt,
+               CAST(COUNT(DISTINCT domain) AS BIGINT) AS n_domains
+        FROM (
+            SELECT {xt} AS xt, {yt} AS yt,
+                   regexp_extract(url, '^https?://([^/]+)', 1) AS domain
+            FROM {pages_rel} WHERE lat IS NOT NULL
+        ) t
+        GROUP BY xt, yt
+    """

@@ -250,3 +250,47 @@ def test_quadkey_counts_oracle_and_prefix_rollup(spark, geo_small):
     )
     coarse = sorted(map(tuple, quadkey_counts(geo_small, 6).collect()))
     assert rolled == coarse
+
+
+def test_viewport_join_matches_brute_predicates(spark, geo_small):
+    from countrymaam_spark.operators.tiles import viewport_join
+
+    views = spark.createDataFrame(
+        [
+            (0, -10.0, 10.0, -20.0, 20.0),
+            (1, 40.0, 55.0, -5.0, 25.0),
+            (2, 80.0, 89.0, -180.0, 180.0),  # polar band
+            (3, 0.0, 0.5, 100.0, 100.5),     # tiny sub-cell viewport
+        ],
+        "view_id long, lat_lo double, lat_hi double, lon_lo double, lon_hi double",
+    )
+    got = sorted(map(tuple, viewport_join(geo_small, views, res=6).collect()))
+    brute = sorted(
+        map(
+            tuple,
+            geo_small.filter(F.col("lat").isNotNull())
+            .crossJoin(views)
+            .filter(
+                F.col("lat").between(F.col("lat_lo"), F.col("lat_hi"))
+                & F.col("lon").between(F.col("lon_lo"), F.col("lon_hi"))
+            )
+            .select("view_id", "url", "lat", "lon")
+            .collect(),
+        )
+    )
+    assert got == brute and len(got) > 0
+
+
+def test_tile_domains_matches_oracle(spark, geo_small):
+    from countrymaam_spark.operators.tiles import tile_domains, tile_domains_sql
+
+    out = pg.fixture_dir("sf0.001")
+    p = os.path.join(out, "pages.parquet")
+    got = sorted(map(tuple, tile_domains(geo_small, 6).collect()))
+    want = sorted(duckdb.sql(tile_domains_sql(_PAGES_GEO_SQL.format(p=p), 6)).fetchall())
+    assert got == want
+    # diversity <= volume: n_domains can never exceed the tile's page count
+    from countrymaam_spark.operators.tiles import tile_counts
+
+    counts = {(r["z"], r["xt"], r["yt"]): r["n_pages"] for r in tile_counts(geo_small, [6]).collect()}
+    assert all(n <= counts[(z, x, y)] for z, x, y, n in got)
