@@ -38,6 +38,7 @@ from countrymaam_spark.operators.nearest import nearest_polygon, nearest_polygon
 from countrymaam_spark.operators.overlay import polygon_overlaps, polygon_overlaps_sql
 from countrymaam_spark.operators.pip import (
     point_in_polygon,
+    point_in_polygon_arrays,
     point_in_polygon_compact,
     point_in_polygon_sql,
     polygon_stats,
@@ -188,6 +189,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # orders-of-magnitude smaller cover table for country-sized polygons
     q["pip_join_compact"] = lambda s, d: point_in_polygon_compact(
         _pages_geo(s, d), PG.load_polygon_edges(s, d), res=6, min_res=3
+    )
+    # exact stage as a higher-order expression over per-polygon edge arrays:
+    # the verify has NO exchange at all (and is the streaming-legal form)
+    q["pip_join_arrays"] = lambda s, d: point_in_polygon_arrays(
+        _pages_geo(s, d), PG.load_polygon_edges(s, d), res=6
     )
     # vector measures per polygon (perimeter / shoelace area / centroid);
     # fixed-point BIGINT sums make the float aggregation order-independent
@@ -552,6 +558,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_cell_rollup"] = _stream_rollup
 
+    def _stream_pip(s: SparkSession, d: str) -> DataFrame:
+        """Streaming point-in-polygon rollup: a STREAM-static join (polygon
+        cover cells + per-polygon edges arrays broadcast static; the
+        ray-cast parity is a higher-order expression, so the plan's only
+        stateful operator is the final watermarked window count). One drop
+        in complete mode == the batch windowed GROUP BY the oracle runs."""
+        import shutil
+        import tempfile
+
+        from countrymaam_spark.streaming import ingest
+
+        sf = PG.sf_name_from_dir(d)
+        src = _fixture(sf, "pages.parquet")
+        schema = s.read.parquet(src).schema
+        edges = PG.load_polygon_edges(s, d)
+        drop_dir = tempfile.mkdtemp(prefix="cm_pip_drop_")
+        try:
+            try:
+                os.link(src, os.path.join(drop_dir, "drop1.parquet"))
+            except OSError:
+                shutil.copy(src, os.path.join(drop_dir, "drop1.parquet"))
+            stream = ingest.stream_pages_from_dir(s, drop_dir, schema)
+            _STREAM_N[0] += 1
+            name = f"stream_pip_sink_{_STREAM_N[0]}"
+            sq = ingest.run_to_memory_sink(
+                ingest.stream_pip_counts(
+                    ingest.geotag_stream(stream, res=6), edges, res=6
+                ),
+                name,
+                mode="complete",
+            )
+            _await_or_raise(sq, 600)
+            out = s.table(name).select(
+                F.unix_timestamp(F.col("window_start")).cast("long").alias("ws"),
+                "poly_id",
+                "n_pages",
+            ).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(drop_dir, ignore_errors=True)
+        return out
+
+    q["stream_pip_rollup"] = _stream_pip
+
     def _stream_sessionize(s: SparkSession, d: str) -> DataFrame:
         """Stateful streaming driver entry (applyInPandasWithState): the
         events table replayed through a file-source stream into the
@@ -721,6 +770,7 @@ def oracle_sql() -> dict[str, str]:
     o["geo_radius_join"] = radius_join_sql(pg, q_rel, RADIUS_KM)
     o["pip_join"] = point_in_polygon_sql(pg, e_rel)
     o["pip_join_compact"] = point_in_polygon_sql(pg, e_rel)  # same exact rows
+    o["pip_join_arrays"] = point_in_polygon_sql(pg, e_rel)  # same exact rows
     o["nearest_region"] = nearest_polygon_sql(q_rel, e_rel, k=3)
     o["polygon_stats"] = polygon_stats_sql(e_rel)
     o["polygon_overlaps"] = polygon_overlaps_sql(e_rel)
@@ -851,6 +901,16 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_pages
         FROM {_pages_geo_rel(ORACLE_SF)}
         WHERE lat IS NOT NULL
+        GROUP BY 1, 2
+    """
+    # streaming PIP rollup: day windows align to the 1970 epoch; contained
+    # pages from the SAME brute-force ray-cast oracle, window-counted
+    o["stream_pip_rollup"] = f"""
+        SELECT CAST(floor(epoch(p.warc_ts) / 86400.0) * 86400 AS BIGINT) AS ws,
+               i.poly_id,
+               COUNT(*) AS n_pages
+        FROM ({point_in_polygon_sql(pg, e_rel)}) i
+        JOIN {pg} p ON i.url = p.url
         GROUP BY 1, 2
     """
     # stateful streaming sessionizer: one drop => final state == the batch

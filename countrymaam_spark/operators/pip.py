@@ -325,3 +325,70 @@ def polygon_stats_sql(edges_rel: str) -> str:
             GROUP BY poly_id
         ) a
     """
+
+
+def _edges_arrays(edges: DataFrame) -> DataFrame:
+    """(poly_id, edges_arr) — each polygon's edge list as one array column."""
+    return edges.groupBy("poly_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("lat1").alias("lat1"), F.col("lon1").alias("lon1"),
+                F.col("lat2").alias("lat2"), F.col("lon2").alias("lon2"),
+            )
+        ).alias("edges_arr")
+    )
+
+
+def point_in_polygon_arrays(
+    pages_geo: DataFrame, edges: DataFrame, res: int = 6
+) -> DataFrame:
+    """:func:`point_in_polygon` with the exact stage as a HIGHER-ORDER
+    expression instead of an aggregation: each polygon's edges are packed
+    into one array column (broadcast, built once), and the crossing parity
+    is ``F.aggregate`` over that array — evaluated per candidate row inside
+    the join task.
+
+    Plan consequence: the verify stage has NO exchange at all. The standard
+    path expands candidates x edges and reduces through a
+    groupBy(poly_id, url) shuffle (partial agg collapses it map-side, but
+    the final exchange still moves ~|candidates| rows); here the page scan
+    flows through two broadcast joins and a filter, nothing else — and the
+    parity being a pure expression is what makes PIP legal inside a
+    STREAM-static join (no stateful aggregation spent on the verify, see
+    streaming/ingest.stream_pip_counts).
+
+    Results are identical to :func:`point_in_polygon` (same formula, same
+    half-open boundary rule; equality pinned in pytest).
+    """
+    pages_cells = (
+        pages_geo.filter(F.col("lat").isNotNull())
+        .select("url", "lat", "lon")
+        .withColumn("cell", geo.encode_cell(F.col("lat"), F.col("lon"), res))
+    )
+    cand = pages_cells.join(F.broadcast(_cover_cells(edges, res)), "cell")
+    withe = cand.join(F.broadcast(_edges_arrays(edges)), "poly_id")
+    # size(filter(...)), NOT aggregate(...): with an ArrowEvalPython stage
+    # (the geotag UDF) in the lineage, Spark 4.1's optimizer mis-binds the
+    # 3-arg aggregate HOF's outer references during python-UDF extraction
+    # ([INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND lat] evaluated against the
+    # broadcast side); the 2-arg filter HOF binds correctly
+    crossings = F.size(F.filter(F.col("edges_arr"), _crossing_pred))
+    return (
+        withe.select("poly_id", "url", crossings.alias("_crossings"))
+        .filter(F.col("_crossings") % 2 == 1)
+        .select("poly_id", "url")
+    )
+
+
+def _crossing_pred(e):
+    """Ray-cast crossing predicate for one edges-array element against the
+    row's (lat, lon) point columns — shared by batch and streaming."""
+    return (
+        (e["lat1"] > F.col("lat")) != (e["lat2"] > F.col("lat"))
+    ) & (
+        F.col("lon")
+        < (e["lon2"] - e["lon1"])
+        * (F.col("lat") - e["lat1"])
+        / (e["lat2"] - e["lat1"])
+        + e["lon1"]
+    )

@@ -73,3 +73,47 @@ def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "append"):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_pip_counts(
+    geo_stream: DataFrame,
+    edges: DataFrame,
+    res: int = 6,
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming point-in-polygon rollup: pages arriving on the stream are
+    tagged with their containing polygon and counted per (event-time
+    window, polygon).
+
+    The containment test is STREAM-STATIC: the polygon cover cells and the
+    per-polygon edges-ARRAY table are static broadcast sides, and the
+    ray-cast parity is a higher-order expression
+    (operators/pip.point_in_polygon_arrays) — stateless, so the single
+    stateful operator in the plan is the final watermarked window count
+    (Structured Streaming's one-stateful-agg sweet spot).
+    """
+    from countrymaam_spark.operators.pip import (
+        _cover_cells,
+        _crossing_pred,
+        _edges_arrays,
+    )
+
+    cand = geo_stream.join(F.broadcast(_cover_cells(edges, res)), "cell")
+    withe = cand.join(F.broadcast(_edges_arrays(edges)), "poly_id")
+    # size(filter(...)) form — see point_in_polygon_arrays for why the
+    # aggregate HOF cannot sit downstream of the geotag UDF
+    crossings = F.size(F.filter(F.col("edges_arr"), _crossing_pred))
+    inside = withe.select(
+        "warc_ts", "poly_id", crossings.alias("_crossings")
+    ).filter(F.col("_crossings") % 2 == 1)
+    return (
+        inside.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "poly_id")
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "poly_id",
+            "n_pages",
+        )
+    )

@@ -294,3 +294,31 @@ def test_tile_domains_matches_oracle(spark, geo_small):
 
     counts = {(r["z"], r["xt"], r["yt"]): r["n_pages"] for r in tile_counts(geo_small, [6]).collect()}
     assert all(n <= counts[(z, x, y)] for z, x, y, n in got)
+
+
+def test_pip_arrays_matches_standard(spark, geo_small):
+    """Higher-order-expression verify == aggregation verify; and the plan
+    has no exchange after the candidate join (whole verify is expressions)."""
+    from countrymaam_spark.operators.pip import point_in_polygon_arrays
+
+    out = pg.fixture_dir("sf0.001")
+    edges = spark.read.parquet(os.path.join(out, "polygon_edges.parquet"))
+    a = {(r["poly_id"], r["url"]) for r in point_in_polygon(geo_small, edges, res=6).collect()}
+    b = {
+        (r["poly_id"], r["url"])
+        for r in point_in_polygon_arrays(geo_small, edges, res=6).collect()
+    }
+    assert a == b and len(a) > 0
+    plan = (
+        point_in_polygon_arrays(geo_small, edges, res=6)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the corpus path has NO exchange: every shuffle in the plan is a
+    # dim-table build keyed on poly_id (cover bbox agg / edges collect_list);
+    # in particular the standard path's verify shuffle — keyed on the
+    # candidate (poly_id, url) — must be gone
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    assert all("poly_id" in ln and "url" not in ln for ln in shuffles), shuffles

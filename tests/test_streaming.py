@@ -429,3 +429,34 @@ def test_maintain_cell_state_stream_equals_batch_build(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_stream_pip_counts_equal_batch(spark, drop_dir):
+    """Stream-static PIP over TWO drops == the batch windowed rollup
+    (multi-batch: the static broadcast sides serve both micro-batches)."""
+    from countrymaam_spark.operators.pip import point_in_polygon
+
+    out = pg.ensure_fixtures("sf0.001")
+    edges = spark.read.parquet(os.path.join(out, "polygon_edges.parquet"))
+    batch = spark.read.parquet(drop_dir)
+    schema = batch.schema
+    stream = ingest.stream_pages_from_dir(spark, drop_dir, schema)
+    rolled = ingest.stream_pip_counts(
+        ingest.geotag_stream(stream, res=6), edges, res=6
+    )
+    q = ingest.run_to_memory_sink(rolled, "pip_counts_test", mode="complete")
+    assert q.awaitTermination(240)
+    got = {
+        (r["window_start"], r["poly_id"], r["n_pages"])
+        for r in spark.table("pip_counts_test").collect()
+    }
+    inside = point_in_polygon(extract_geo(batch), edges, res=6)
+    want = {
+        (r["ws"], r["poly_id"], r["n"])
+        for r in inside.join(batch.select("url", "warc_ts"), "url")
+        .groupBy(F.window("warc_ts", "1 day").alias("w"), "poly_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "poly_id", "n")
+        .collect()
+    }
+    assert got == want and len(got) > 0
