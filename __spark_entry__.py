@@ -51,6 +51,8 @@ from countrymaam_spark.operators.tiles import (
     quadkey_counts_sql,
     tile_domains,
     tile_domains_sql,
+    tile_top_pages,
+    tile_top_pages_sql,
     viewport_join,
     viewport_join_sql,
     tile_bounds,
@@ -128,6 +130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tile_quadkeys"] = lambda s, d: quadkey_counts(_pages_geo(s, d), 8)
     # per-tile EXACT distinct-domain diversity (crawl-curation signal)
     q["tile_domains"] = lambda s, d: tile_domains(_pages_geo(s, d), 6)
+    # per-tile top-k rollup (WindowGroupLimit: ~k rows per tile shuffle)
+    q["tile_top_pages"] = lambda s, d: tile_top_pages(_pages_geo(s, d), 6, k=3)
 
     # batch viewport range join: rectangles derived deterministically from
     # the query fixture; range predicates become a cover-cell hash equi-join
@@ -757,6 +761,7 @@ def oracle_sql() -> dict[str, str]:
     o["tile_vectorize"] = tile_bounds_sql(f"({tile_counts_sql(pg, ZOOMS)})")
     o["tile_quadkeys"] = quadkey_counts_sql(pg, 8)
     o["tile_domains"] = tile_domains_sql(pg, 6)
+    o["tile_top_pages"] = tile_top_pages_sql(pg, 6, k=3)
     vp_rel = (
         f"(SELECT query_id AS view_id, lat - 1.5 AS lat_lo, lat + 1.5 AS lat_hi, "
         f"lon - 2.0 AS lon_lo, lon + 2.0 AS lon_hi FROM {q_rel})"

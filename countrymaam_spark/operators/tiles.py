@@ -281,3 +281,53 @@ def tile_domains_sql(pages_rel: str, z: int) -> str:
         ) t
         GROUP BY xt, yt
     """
+
+
+def tile_top_pages(pages: DataFrame, z: int, k: int = 3) -> DataFrame:
+    """Per-tile top-``k`` pages by text length (the tile-server "featured
+    results" rollup): (z, xt, yt, rk, url).
+
+    One window rank per tile — Spark plans it as WindowGroupLimit (partial
+    top-k before the exchange, final after), so only ~k rows per tile cross
+    the shuffle, not the corpus. Deterministic tie-break (len DESC, url ASC)
+    keeps engine and oracle rankings identical.
+    """
+    from pyspark.sql import Window
+
+    xt, yt = _tile_cols(z)
+    ranked = (
+        pages.filter(F.col("lat").isNotNull())
+        .select(
+            xt.alias("xt"), yt.alias("yt"), "url",
+            F.length("text").alias("_len"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("xt", "yt").orderBy(
+                    F.col("_len").desc(), F.col("url").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") <= k)
+    )
+    return ranked.select(F.lit(z).cast("int").alias("z"), "xt", "yt", "rk", "url")
+
+
+def tile_top_pages_sql(pages_rel: str, z: int, k: int = 3) -> str:
+    xt, yt = _tile_sql(z, "lat", "lon")
+    return f"""
+        SELECT CAST({z} AS INTEGER) AS z, xt, yt, rk, url
+        FROM (
+            SELECT xt, yt, url,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY xt, yt
+                       ORDER BY LENGTH(text) DESC, url ASC
+                   ) AS rk
+            FROM (
+                SELECT {xt} AS xt, {yt} AS yt, url, text
+                FROM {pages_rel} WHERE lat IS NOT NULL
+            ) t
+        ) r
+        WHERE rk <= {k}
+    """

@@ -26,6 +26,11 @@ _PAGES_GEO_SQL = (
     "CAST(NULLIF(regexp_extract(text, 'near \\w+ \\((-?[0-9]+\\.[0-9]+), (-?[0-9]+\\.[0-9]+)\\)', 2), '') AS DOUBLE) lon FROM '{p}')"
 )
 
+_PAGES_GEO_TEXT_SQL = (
+    "(SELECT url, text, CAST(NULLIF(regexp_extract(text, 'near \\w+ \\((-?[0-9]+\\.[0-9]+), (-?[0-9]+\\.[0-9]+)\\)', 1), '') AS DOUBLE) lat, "
+    "CAST(NULLIF(regexp_extract(text, 'near \\w+ \\((-?[0-9]+\\.[0-9]+), (-?[0-9]+\\.[0-9]+)\\)', 2), '') AS DOUBLE) lon FROM '{p}')"
+)
+
 
 def test_pip_matches_oracle(spark, geo_small):
     out = pg.fixture_dir("sf0.001")
@@ -322,3 +327,18 @@ def test_pip_arrays_matches_standard(spark, geo_small):
         if "Exchange" in ln and "BroadcastExchange" not in ln
     ]
     assert all("poly_id" in ln and "url" not in ln for ln in shuffles), shuffles
+
+
+def test_tile_top_pages_oracle_and_plan(spark):
+    from countrymaam_spark.operators.tiles import tile_top_pages, tile_top_pages_sql
+
+    out = pg.fixture_dir("sf0.001")
+    p = os.path.join(out, "pages.parquet")
+    pages = extract_geo(spark.read.parquet(p))
+    got = sorted(map(tuple, tile_top_pages(pages, 6, k=3).collect()))
+    want = sorted(
+        duckdb.sql(tile_top_pages_sql(_PAGES_GEO_TEXT_SQL.format(p=p), 6, k=3)).fetchall()
+    )
+    assert got == want and len(got) > 0
+    plan = tile_top_pages(pages, 6, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # partial top-k before the exchange
