@@ -331,3 +331,28 @@ def tile_top_pages_sql(pages_rel: str, z: int, k: int = 3) -> str:
         ) r
         WHERE rk <= {k}
     """
+
+
+def update_quadkey_counts(
+    counts_old: DataFrame, new_pages_geo: DataFrame, z: int
+) -> DataFrame:
+    """Merge an append batch into the quadkey tile-count state — the
+    incremental-maintenance half of :func:`quadkey_counts` (same shape as
+    the cell index's ``update_cell_stats``): aggregate the BATCH only
+    (|batch| rows, never the corpus), one outer merge against the
+    ~|tiles|-row state. Commutative/associative, so any append order equals
+    ``quadkey_counts`` over the unioned corpus (pytest-pinned). Coarser
+    zooms keep rolling up from this table by quadkey prefix, so ONE
+    maintained table serves every zoom level.
+    """
+    delta = quadkey_counts(new_pages_geo, z)
+    return (
+        counts_old.withColumnRenamed("n_pages", "_a")
+        .join(delta.withColumnRenamed("n_pages", "_b"), "quadkey", "full_outer")
+        .select(
+            "quadkey",
+            (
+                F.coalesce(F.col("_a"), F.lit(0)) + F.coalesce(F.col("_b"), F.lit(0))
+            ).alias("n_pages"),
+        )
+    )

@@ -342,3 +342,22 @@ def test_tile_top_pages_oracle_and_plan(spark):
     assert got == want and len(got) > 0
     plan = tile_top_pages(pages, 6, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan  # partial top-k before the exchange
+
+
+def test_update_quadkey_counts_equals_rebuild(spark, geo_small):
+    """delta merge over an append == from-scratch rebuild over the union,
+    for any split point (commutative merge)."""
+    from countrymaam_spark.operators.tiles import quadkey_counts, update_quadkey_counts
+
+    old = geo_small.filter(F.col("url") < "https://site0100")
+    new = geo_small.filter(~(F.col("url") < "https://site0100"))
+    merged = sorted(
+        map(tuple, update_quadkey_counts(quadkey_counts(old, 8), new, 8).collect())
+    )
+    rebuilt = sorted(map(tuple, quadkey_counts(geo_small, 8).collect()))
+    assert merged == rebuilt
+    # and the reverse append order gives the same state
+    rev = sorted(
+        map(tuple, update_quadkey_counts(quadkey_counts(new, 8), old, 8).collect())
+    )
+    assert rev == rebuilt
