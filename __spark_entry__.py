@@ -34,7 +34,11 @@ from countrymaam_spark.operators.knn import (
     radius_join,
     radius_join_sql,
 )
-from countrymaam_spark.operators.nearest import nearest_polygon, nearest_polygon_sql
+from countrymaam_spark.operators.nearest import (
+    nearest_polygon,
+    nearest_polygon_cells,
+    nearest_polygon_sql,
+)
 from countrymaam_spark.operators.overlay import polygon_overlaps, polygon_overlaps_sql
 from countrymaam_spark.operators.pip import (
     point_in_polygon,
@@ -210,6 +214,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # reverse-geocode flavor: k nearest polygons per query point by boundary
     # distance (sound great-circle bbox bound prunes, exact segment re-rank)
     q["nearest_region"] = lambda s, d: nearest_polygon(
+        PG.load_knn_queries(s, d), PG.load_polygon_edges(s, d), k=3
+    )
+    # same join through the cover-cell ring path (no broadcast cross join —
+    # the plan for polygon sets too large to be a dim table)
+    q["nearest_region_cells"] = lambda s, d: nearest_polygon_cells(
         PG.load_knn_queries(s, d), PG.load_polygon_edges(s, d), k=3
     )
     q["pip_counts"] = lambda s, d: (
@@ -777,6 +786,7 @@ def oracle_sql() -> dict[str, str]:
     o["pip_join_compact"] = point_in_polygon_sql(pg, e_rel)  # same exact rows
     o["pip_join_arrays"] = point_in_polygon_sql(pg, e_rel)  # same exact rows
     o["nearest_region"] = nearest_polygon_sql(q_rel, e_rel, k=3)
+    o["nearest_region_cells"] = nearest_polygon_sql(q_rel, e_rel, k=3)  # same rows
     o["polygon_stats"] = polygon_stats_sql(e_rel)
     o["polygon_overlaps"] = polygon_overlaps_sql(e_rel)
     o["pip_counts"] = f"""

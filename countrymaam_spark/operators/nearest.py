@@ -157,3 +157,144 @@ def nearest_polygon_sql(queries_rel: str, edges_rel: str, k: int = 1) -> str:
         ) r
         WHERE rk <= {k}
     """
+
+
+def nearest_polygon_cells(
+    queries: DataFrame,
+    edges: DataFrame,
+    k: int = 1,
+    res: int = 5,
+    init_radius: int = 2,
+    max_rounds: int = 6,
+    broadcast_limit: int | None = None,
+) -> DataFrame:
+    """:func:`nearest_polygon` for polygon sets too large to broadcast-cross:
+    every stage is a hash EQUI-join against the polygon COVER-CELL table
+    (the plan has no BroadcastNestedLoopJoin — pytest-pinned).
+
+    1. **Seed.** Ring-probe the cover around each query cell, escalating the
+       radius (x4 per driver round, the cell_knn pattern) until every query
+       has >= k distinct candidate polygons; unresolved queries after
+       ``max_rounds`` fall back to the full-wrap latitude band (still an
+       equi-join).
+    2. **Bound.** Exact boundary distance to the seed polygons; the k-th
+       smallest per query is a sound upper bound ``ub`` on the true k-th
+       nearest distance.
+    3. **Complete.** Any polygon with boundary distance <= ub has a cover
+       cell containing a boundary point within ub of the query, and a ring
+       sized analytically for radius ub (radius_join's inverted pruning
+       bound, per-row) enumerates every cell containing any point within
+       ub — so the ring-probe candidate set provably contains the true
+       top-k. Exact re-rank + window top-k finishes.
+
+    Results are identical to :func:`nearest_polygon` (equality pinned in
+    pytest at k=1 and k=3).
+    """
+    import math
+
+    from countrymaam_spark.operators.adaptive import gate_broadcast
+    from countrymaam_spark.operators.pip import _cover_cells
+
+    nx, ny = 2 << res, 1 << res
+    cd = geo.cell_deg(res)
+    cover = _cover_cells(edges, res).localCheckpoint(eager=True)
+    e = F.broadcast(edges.select("poly_id", "lat1", "lon1", "lat2", "lon2"))
+    n_polys = cover.select("poly_id").distinct().count()
+    target = min(k, n_polys)
+
+    q = queries.select(
+        "query_id", F.col("lat").alias("qlat"), F.col("lon").alias("qlon")
+    ).localCheckpoint(eager=True)
+    qcell = geo.encode_cell(F.col("qlat"), F.col("qlon"), res)
+
+    def probe(pend: DataFrame, rx, ry) -> DataFrame:
+        """(query, poly) distinct pairs whose cover cells meet the ring."""
+        exploded = pend.select(
+            "query_id", "qlat", "qlon",
+            F.explode(geo.ring_cells_xy(qcell, res, rx, ry)).alias("cell"),
+        )
+        return (
+            exploded.join(cover, "cell")
+            .select("query_id", "qlat", "qlon", "poly_id")
+            .distinct()
+        )
+
+    # 1. seed escalation (driver loop; per-round state is O(|pending|))
+    pending = q
+    seeds = None
+    r = init_radius
+    for _ in range(max_rounds):
+        if pending.isEmpty():
+            break
+        found = probe(pending, min(r, nx // 2), min(r, ny)).localCheckpoint(
+            eager=True
+        )
+        enough = (
+            found.groupBy("query_id")
+            .agg(F.countDistinct("poly_id").alias("_n"))
+            .filter(F.col("_n") >= target)
+            .select("query_id")
+        )
+        done = found.join(enough, "query_id", "left_semi")
+        seeds = done if seeds is None else seeds.unionByName(done)
+        pending = pending.join(enough, "query_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        r *= 4
+    if not pending.isEmpty():
+        # full-wrap band: every polygon with a cover cell anywhere is seen
+        allp = probe(pending, nx // 2, ny)
+        seeds = allp if seeds is None else seeds.unionByName(allp)
+
+    # 2. exact distance to seeds; k-th smallest per query = ub
+    seed_d = _exact_pair_dist(seeds, e)
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc())
+    ub = (
+        seed_d.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == target)
+        .select("query_id", (F.col("dist") + F.lit(1e-6)).alias("ub"))
+    )
+
+    # 3. completion ring sized for ub (radius_join's analytic inversion,
+    #    per-row): every cell containing any point within ub is enumerated
+    qc = q.join(ub, "query_id")
+    ry_col = F.least(
+        (F.ceil(F.col("ub") / F.lit(geo.KM_PER_DEG * cd)) + 1).cast("long"),
+        F.lit(ny).cast("long"),
+    )
+    cmin = F.greatest(
+        F.cos(
+            F.radians(
+                F.least(
+                    F.abs(F.col("qlat")) + (ry_col + 1).cast("double") * F.lit(cd),
+                    F.lit(90.0),
+                )
+            )
+        ),
+        F.lit(0.0),
+    )
+    s = (F.col("ub") / F.lit(2.0 * geo.EARTH_RADIUS_KM)) / F.greatest(
+        cmin, F.lit(1e-15)
+    )
+    rx_needed = (
+        F.ceil(F.degrees(F.asin(F.least(s, F.lit(1.0))) * 2.0) / F.lit(cd)) + 1
+    ).cast("long")
+    rx_col = F.when(s >= 1.0, F.lit(nx // 2).cast("long")).otherwise(
+        F.least(rx_needed, F.lit(nx // 2).cast("long"))
+    )
+    est = qc.agg(
+        F.sum(F.least(rx_col * 2 + 1, F.lit(nx)) * (ry_col * 2 + 1))
+    ).collect()[0][0]
+    exploded = qc.select(
+        "query_id", "qlat", "qlon",
+        F.explode(geo.ring_cells_xy(qcell, res, rx_col, ry_col)).alias("cell"),
+    )
+    exploded = gate_broadcast(exploded, int(est or 0), limit=broadcast_limit)
+    cand = (
+        exploded.join(cover, "cell")
+        .select("query_id", "qlat", "qlon", "poly_id")
+        .distinct()
+    )
+
+    # 4. exact re-rank
+    return _topk(_exact_pair_dist(cand, e), k)

@@ -64,3 +64,45 @@ def test_nearest_polygon_prune_actually_prunes(spark):
     ub = _exact_pair_dist(seed, e).select("query_id", F.col("dist").alias("ub"))
     kept = pairs.join(ub, "query_id").filter(F.col("lb") <= F.col("ub") + 1e-6).count()
     assert kept < full / 2  # scattered fixture polygons: most pairs pruned
+
+
+def test_nearest_cells_equals_brute_and_no_bnlj(spark):
+    """Equi-join scale path == brute force on the fixture AND on a dense
+    500-polygon set with polar queries; plan has no nested-loop join."""
+    import numpy as np
+
+    from countrymaam_spark.operators.nearest import nearest_polygon_cells
+
+    pg.ensure_fixtures("sf0.001")
+    edges = spark.read.parquet(_fixture("polygon_edges.parquet"))
+    queries = spark.read.parquet(_fixture("knn_queries.parquet"))
+    for k in (1, 3):
+        a = sorted(map(tuple, nearest_polygon(queries, edges, k=k, prune=False).collect()))
+        b = sorted(map(tuple, nearest_polygon_cells(queries, edges, k=k).collect()))
+        assert a == b
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for pid in range(300):
+        la = float(rng.uniform(-55, 55)); lo = float(rng.uniform(-165, 165))
+        s = float(rng.uniform(1.0, 6.0))
+        corners = [(la, lo), (la, lo + s), (la + s, lo + s), (la + s, lo)]
+        for j in range(4):
+            (a1, o1), (a2, o2) = corners[j], corners[(j + 1) % 4]
+            rows.append((pid, j, a1, o1, a2, o2))
+    e2 = spark.createDataFrame(
+        rows, "poly_id long, seq int, lat1 double, lon1 double, lat2 double, lon2 double"
+    )
+    q2 = spark.createDataFrame(
+        [(i, float(la), float(lo))
+         for i, (la, lo) in enumerate(zip(rng.uniform(-88, 88, 120),
+                                          rng.uniform(-180, 180, 120)))],
+        "query_id long, lat double, lon double",
+    )
+    a = sorted(map(tuple, nearest_polygon(q2, e2, k=2, prune=False).collect()))
+    df = nearest_polygon_cells(q2, e2, k=2)
+    b = sorted(map(tuple, df.collect()))
+    assert a == b
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
