@@ -205,6 +205,13 @@ def nearest_polygon_cells(
     q = queries.select(
         "query_id", F.col("lat").alias("qlat"), F.col("lon").alias("qlon")
     ).localCheckpoint(eager=True)
+    if target == 0 or q.isEmpty():
+        # no polygons (or no queries): zero rows, the brute path's semantics
+        return _topk(
+            q.select("query_id", "qlat", "qlon", F.lit(0).alias("poly_id"),
+                     F.lit(0.0).alias("dist")).limit(0),
+            k,
+        )
     qcell = geo.encode_cell(F.col("qlat"), F.col("qlon"), res)
 
     def probe(pend: DataFrame, rx, ry) -> DataFrame:

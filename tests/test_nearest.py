@@ -106,3 +106,25 @@ def test_nearest_cells_equals_brute_and_no_bnlj(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_nearest_empty_inputs_are_legal(spark):
+    from countrymaam_spark.operators.nearest import nearest_polygon_cells
+
+    no_q = spark.createDataFrame([], "query_id long, lat double, lon double")
+    one_q = spark.createDataFrame([(0, 10.0, 20.0)], "query_id long, lat double, lon double")
+    no_e = spark.createDataFrame(
+        [], "poly_id long, seq int, lat1 double, lon1 double, lat2 double, lon2 double"
+    )
+    some_e = spark.createDataFrame(
+        [(5, 0, 0.0, 0.0, 0.0, 1.0), (5, 1, 0.0, 1.0, 1.0, 1.0),
+         (5, 2, 1.0, 1.0, 0.0, 0.0)],
+        "poly_id long, seq int, lat1 double, lon1 double, lat2 double, lon2 double",
+    )
+    assert nearest_polygon(no_q, some_e, k=3).count() == 0
+    assert nearest_polygon_cells(no_q, some_e, k=3).count() == 0
+    assert nearest_polygon(one_q, no_e, k=3).count() == 0
+    assert nearest_polygon_cells(one_q, no_e, k=3).count() == 0
+    # fewer polygons than k: 1 polygon serving k=3 returns 1 row
+    assert nearest_polygon(one_q, some_e, k=3).count() == 1
+    assert nearest_polygon_cells(one_q, some_e, k=3).count() == 1
