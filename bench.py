@@ -155,6 +155,15 @@ def main() -> None:
     timed("nearest_region", lambda: materialize(nearest_polygon(queries, edges, k=3)))
     timed("polygon_overlaps", lambda: materialize(polygon_overlaps(edges, res=5)))
 
+    from countrymaam_spark.operators.tiles import tile_domains, tile_top_pages
+
+    timed("tile_domains", lambda: materialize(tile_domains(g, 6)))
+    # top-k needs the text column: scans the wide pages table (honest cost)
+    timed(
+        "tile_top_pages",
+        lambda: materialize(tile_top_pages(extract_geo(pages), 6, k=3)),
+    )
+
     # cell-index kNN serves from INDEX STATE: the geo snapshot above IS the
     # encoded corpus table (cell col at res 7), and the per-cell count stats
     # are built once here (timed as build work, counted in the pipeline
