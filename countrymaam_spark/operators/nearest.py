@@ -50,13 +50,15 @@ def _poly_bboxes(edges: DataFrame) -> DataFrame:
 
 def _exact_pair_dist(pairs: DataFrame, edges: DataFrame) -> DataFrame:
     """(query_id, qlat, qlon, poly_id) -> + dist (min over the poly's edges,
-    unrounded double — rounding happens once at the output)."""
+    unrounded double — rounding happens once at the output). The caller
+    decides the edge table's join strategy (gate_broadcast / F.broadcast) —
+    no unconditional broadcast here."""
     seg = geo.point_segment_dist_km(
         F.col("qlat"), F.col("qlon"),
         F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"),
     )
     return (
-        pairs.join(F.broadcast(edges), "poly_id")
+        pairs.join(edges, "poly_id")
         .groupBy("query_id", "qlat", "qlon", "poly_id")
         .agg(F.min(seg).alias("dist"))
     )
@@ -85,7 +87,10 @@ def nearest_polygon(
     q = queries.select(
         "query_id", F.col("lat").alias("qlat"), F.col("lon").alias("qlon")
     )
-    e = edges.select("poly_id", "lat1", "lon1", "lat2", "lon2")
+    # this is the documented DIM-TABLE path (the bbox cross join below is
+    # only sane for a broadcastable polygon set; nearest_polygon_cells is
+    # the non-dim plan), so the edge table broadcasts unconditionally here
+    e = F.broadcast(edges.select("poly_id", "lat1", "lon1", "lat2", "lon2"))
     if not prune:
         all_pairs = q.join(F.broadcast(e.select("poly_id").distinct()), how="cross")
         return _topk(_exact_pair_dist(all_pairs, e), k)
@@ -198,7 +203,12 @@ def nearest_polygon_cells(
     nx, ny = 2 << res, 1 << res
     cd = geo.cell_deg(res)
     cover = _cover_cells(edges, res).localCheckpoint(eager=True)
-    e = F.broadcast(edges.select("poly_id", "lat1", "lon1", "lat2", "lon2"))
+    # estimate-gated: a non-dim polygon set's edge table joins as a shuffle
+    e = gate_broadcast(
+        edges.select("poly_id", "lat1", "lon1", "lat2", "lon2"),
+        edges.count(),
+        broadcast_limit,
+    )
     n_polys = cover.select("poly_id").distinct().count()
     target = min(k, n_polys)
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from countrymaam_spark.operators.adaptive import gate_broadcast
 from countrymaam_spark.operators.pip import _cover_cells
 
 
@@ -38,14 +39,19 @@ def _first_vertices(edges: DataFrame) -> DataFrame:
     )
 
 
-def _parity_inside(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+def _parity_inside(
+    vertices: DataFrame, edges: DataFrame, n_edges: int,
+) -> DataFrame:
     """(poly_v, poly_e) -> inside flag: is poly_v's test vertex inside
     poly_e's ring? ``vertices`` must carry (poly_v, poly_e, vlat, vlon)."""
     pairs = vertices.join(
-        F.broadcast(edges.select(
-            F.col("poly_id").alias("poly_e"),
-            "lat1", "lon1", "lat2", "lon2",
-        )),
+        gate_broadcast(
+            edges.select(
+                F.col("poly_id").alias("poly_e"),
+                "lat1", "lon1", "lat2", "lon2",
+            ),
+            n_edges,
+        ),
         "poly_e",
     )
     crosses = (
@@ -65,6 +71,9 @@ def _parity_inside(vertices: DataFrame, edges: DataFrame) -> DataFrame:
 
 def polygon_overlaps(edges: DataFrame, res: int = 5) -> DataFrame:
     """-> (poly_a, poly_b, relation) for every intersecting polygon pair."""
+    # one count plans the edge-join strategy: estimate-gated broadcast,
+    # shuffled hash join past the struct limit (repo-wide gate discipline)
+    n_edges = edges.count()
     cover = _cover_cells(edges, res)
     cand = (
         cover.alias("ca")
@@ -100,8 +109,8 @@ def polygon_overlaps(edges: DataFrame, res: int = 5) -> DataFrame:
     ) * (F.col("b2x") - F.col("a1x"))
     proper = (d1 * d2 < 0) & (d3 * d4 < 0)
     crossed = (
-        cand.join(F.broadcast(ea), "poly_a")
-        .join(F.broadcast(eb), "poly_b")
+        cand.join(gate_broadcast(ea, n_edges), "poly_a")
+        .join(gate_broadcast(eb, n_edges), "poly_b")
         .groupBy("poly_a", "poly_b")
         .agg(F.max(proper.cast("int")).alias("crosses"))
     )
@@ -115,6 +124,7 @@ def polygon_overlaps(edges: DataFrame, res: int = 5) -> DataFrame:
             "vlat", "vlon",
         ),
         edges,
+        n_edges,
     ).select(
         F.col("poly_v").alias("poly_a"),
         F.col("poly_e").alias("poly_b"),
@@ -129,6 +139,7 @@ def polygon_overlaps(edges: DataFrame, res: int = 5) -> DataFrame:
             "vlat", "vlon",
         ),
         edges,
+        n_edges,
     ).select(
         F.col("poly_v").alias("poly_b"),
         F.col("poly_e").alias("poly_a"),
