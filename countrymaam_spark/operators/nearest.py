@@ -195,8 +195,6 @@ def nearest_polygon_cells(
     Results are identical to :func:`nearest_polygon` (equality pinned in
     pytest at k=1 and k=3).
     """
-    import math
-
     from countrymaam_spark.operators.adaptive import gate_broadcast
     from countrymaam_spark.operators.pip import _cover_cells
 
