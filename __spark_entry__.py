@@ -35,6 +35,8 @@ from countrymaam_spark.operators.knn import (
     radius_join_sql,
 )
 from countrymaam_spark.operators.nearest import (
+    corridor_join,
+    corridor_join_sql,
     nearest_polygon,
     nearest_polygon_cells,
     nearest_polygon_sql,
@@ -220,6 +222,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the plan for polygon sets too large to be a dim table)
     q["nearest_region_cells"] = lambda s, d: nearest_polygon_cells(
         PG.load_knn_queries(s, d), PG.load_polygon_edges(s, d), k=3
+    )
+    # corridor (buffer) join: pages within 150 km of a boundary polyline —
+    # expanded per-edge covers, exact segment-distance filter
+    q["geo_corridor_join"] = lambda s, d: corridor_join(
+        _pages_geo(s, d), PG.load_polygon_edges(s, d), 150.0, res=6
     )
     q["pip_counts"] = lambda s, d: (
         PG.load_polygon_edges(s, d)
@@ -787,6 +794,7 @@ def oracle_sql() -> dict[str, str]:
     o["pip_join_arrays"] = point_in_polygon_sql(pg, e_rel)  # same exact rows
     o["nearest_region"] = nearest_polygon_sql(q_rel, e_rel, k=3)
     o["nearest_region_cells"] = nearest_polygon_sql(q_rel, e_rel, k=3)  # same rows
+    o["geo_corridor_join"] = corridor_join_sql(pg, e_rel, 150.0)
     o["polygon_stats"] = polygon_stats_sql(e_rel)
     o["polygon_overlaps"] = polygon_overlaps_sql(e_rel)
     o["pip_counts"] = f"""

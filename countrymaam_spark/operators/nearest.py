@@ -313,3 +313,115 @@ def nearest_polygon_cells(
 
     # 4. exact re-rank
     return _topk(_exact_pair_dist(cand, e), k)
+
+
+def corridor_join(
+    pages_geo: DataFrame,
+    routes: DataFrame,
+    radius_km: float,
+    res: int = 6,
+    broadcast_limit: int | None = None,
+) -> DataFrame:
+    """Corridor (buffer) join: every page within ``radius_km`` of a route's
+    polyline -> (route_id, url, dist_km) with dist = min point-to-segment
+    distance over the route's edges.
+
+    Candidates: each edge's bbox EXPANDED by the radius (latitude margin =
+    radius in degrees; longitude margin scaled by the band-edge cosine at
+    the farthest reachable latitude, degrading to the full wrap near the
+    poles — the same sound bound radius_join inverts) is bbox-filled into
+    cover cells; pages equi-join on their cell. Exact: the shared
+    point-to-segment kernel filters to the true corridor. Every join is a
+    hash equi-join; the route cover is estimate-gated for broadcast.
+
+    ``routes`` shares the polygon-edge schema (route_id|poly_id, seq,
+    lat1, lon1, lat2, lon2) — a closed ring is just a closed route, so the
+    same operator answers "pages near this boundary".
+    """
+    id_col = "route_id" if "route_id" in routes.columns else "poly_id"
+    e = routes.select(
+        F.col(id_col).alias("route_id"), "lat1", "lon1", "lat2", "lon2"
+    )
+    nx, ny = 2 << res, 1 << res
+    cd = geo.cell_deg(res)
+    r_deg = radius_km / geo.KM_PER_DEG
+
+    lat_lo = F.least(F.col("lat1"), F.col("lat2")) - F.lit(r_deg)
+    lat_hi = F.greatest(F.col("lat1"), F.col("lat2")) + F.lit(r_deg)
+    # band-edge cosine at the farthest reachable |lat|; near-pole -> wrap
+    reach = F.least(
+        F.greatest(F.abs(lat_lo), F.abs(lat_hi)), F.lit(89.999)
+    )
+    cosb = F.cos(F.radians(reach))
+    lon_margin = F.lit(r_deg) / F.greatest(cosb, F.lit(1e-9))
+    full_wrap = lon_margin >= F.lit(180.0)
+    lon_lo = F.when(full_wrap, F.lit(-180.0)).otherwise(
+        F.least(F.col("lon1"), F.col("lon2")) - lon_margin
+    )
+    lon_hi = F.when(full_wrap, F.lit(180.0)).otherwise(
+        F.greatest(F.col("lon1"), F.col("lon2")) + lon_margin
+    )
+    step = F.lit(cd)
+    x_lo = F.greatest(F.floor((lon_lo + 180.0) / step).cast("long"), F.lit(0))
+    x_hi = F.least(F.floor((lon_hi + 180.0) / step).cast("long"), F.lit(nx - 1))
+    y_lo = F.greatest(F.floor((lat_lo + 90.0) / step).cast("long"), F.lit(0))
+    y_hi = F.least(F.floor((lat_hi + 90.0) / step).cast("long"), F.lit(ny - 1))
+    base = F.lit(res) * F.lit(2**53)
+    cover = (
+        e.select(
+            "route_id",
+            F.explode(F.sequence(x_lo, x_hi)).alias("cx"),
+            y_lo.alias("y_lo"),
+            y_hi.alias("y_hi"),
+        )
+        .select(
+            "route_id", "cx",
+            F.explode(F.sequence(F.col("y_lo"), F.col("y_hi"))).alias("cy"),
+        )
+        .select(
+            "route_id",
+            (base + F.col("cx") * F.lit(2**26) + F.col("cy")).alias("cell"),
+        )
+        .distinct()
+    )
+    n_cover = cover.count()
+    from countrymaam_spark.operators.adaptive import gate_broadcast
+
+    pages_cells = (
+        pages_geo.filter(F.col("lat").isNotNull())
+        .select("url", "lat", "lon")
+        .withColumn("cell", geo.encode_cell(F.col("lat"), F.col("lon"), res))
+    )
+    cand = pages_cells.join(gate_broadcast(cover, n_cover, broadcast_limit), "cell").select(
+        "route_id", "url", F.col("lat").alias("qlat"), F.col("lon").alias("qlon")
+    ).distinct()
+    seg = geo.point_segment_dist_km(
+        F.col("qlat"), F.col("qlon"),
+        F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"),
+    )
+    scored = (
+        cand.join(gate_broadcast(e, routes.count(), broadcast_limit), "route_id")
+        .groupBy("route_id", "url")
+        .agg(F.min(seg).alias("dist"))
+    )
+    return (
+        scored.filter(F.col("dist") <= F.lit(radius_km))
+        .select("route_id", "url", F.round("dist", 6).alias("dist_km"))
+    )
+
+
+def corridor_join_sql(pages_rel: str, routes_rel: str, radius_km: float) -> str:
+    """DuckDB oracle: brute min-over-edges within-distance filter."""
+    seg = geo.point_segment_dist_km_sql(
+        "p.lat", "p.lon", "e.lat1", "e.lon1", "e.lat2", "e.lon2"
+    )
+    return f"""
+        SELECT route_id, url, ROUND(dist, 6) AS dist_km
+        FROM (
+            SELECT e.poly_id AS route_id, p.url, MIN({seg}) AS dist
+            FROM {pages_rel} p, {routes_rel} e
+            WHERE p.lat IS NOT NULL
+            GROUP BY e.poly_id, p.url
+        ) d
+        WHERE dist <= {radius_km!r}
+    """

@@ -128,3 +128,53 @@ def test_nearest_empty_inputs_are_legal(spark):
     # fewer polygons than k: 1 polygon serving k=3 returns 1 row
     assert nearest_polygon(one_q, some_e, k=3).count() == 1
     assert nearest_polygon_cells(one_q, some_e, k=3).count() == 1
+
+
+def test_corridor_join_matches_oracle_and_brute(spark):
+    from countrymaam_spark.operators.geotag import extract_geo, extract_geo_sql
+    from countrymaam_spark.operators.nearest import corridor_join, corridor_join_sql
+    from countrymaam_spark.functions import geo as G
+
+    out = pg.ensure_fixtures("sf0.001")
+    pages = spark.read.parquet(os.path.join(out, "pages.parquet"))
+    g = extract_geo(pages)
+    edges = spark.read.parquet(_fixture("polygon_edges.parquet"))
+    got = sorted(map(tuple, corridor_join(g, edges, 150.0, res=6).collect()))
+    pg_rel = "(" + extract_geo_sql(f"'{os.path.join(out, 'pages.parquet')}'") + ")"
+    want = sorted(
+        map(
+            tuple,
+            duckdb.sql(
+                corridor_join_sql(pg_rel, f"'{_fixture('polygon_edges.parquet')}'", 150.0)
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 0
+    # resolution invariance: cells only gate candidates, never the result
+    coarse = sorted(map(tuple, corridor_join(g, edges, 150.0, res=4).collect()))
+    assert coarse == got
+    # near-polar corridor: candidate completeness where the lon margin
+    # degrades to the full wrap
+    polar_route = spark.createDataFrame(
+        [(99, 0, 88.5, -150.0, 88.7, 120.0)],
+        "poly_id long, seq int, lat1 double, lon1 double, lat2 double, lon2 double",
+    )
+    pts = spark.createDataFrame(
+        [("a", 89.0, 10.0), ("b", 88.0, -60.0), ("c", 70.0, 10.0)],
+        "url string, lat double, lon double",
+    )
+    from pyspark.sql import functions as FF
+
+    seg = G.point_segment_dist_km(
+        FF.col("lat"), FF.col("lon"),
+        FF.lit(88.5), FF.lit(-150.0), FF.lit(88.7), FF.lit(120.0),
+    )
+    brute = {
+        (99, r["url"])
+        for r in pts.withColumn("d", seg).filter(FF.col("d") <= 300.0).collect()
+    }
+    fast = {
+        (r["route_id"], r["url"])
+        for r in corridor_join(pts, polar_route, 300.0, res=6).collect()
+    }
+    assert fast == brute and len(brute) > 0
