@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 from countrymaam_spark.functions import geo as G
 from countrymaam_spark.functions import text as T
 from countrymaam_spark.operators import ann, dedup
-from countrymaam_spark.operators.geotag import extract_geo, extract_geo_sql
+from countrymaam_spark.operators.geotag import (
+    domain_spread,
+    domain_spread_sql,
+    extract_geo,
+    extract_geo_sql,
+)
 from countrymaam_spark.operators.knn import (
     build_cell_stats,
     cell_density,
@@ -31,6 +36,8 @@ from countrymaam_spark.operators.knn import (
     cell_knn,
     flat_knn,
     flat_knn_sql,
+    geo_near_pairs,
+    geo_near_pairs_sql,
     radius_join,
     radius_join_sql,
 )
@@ -83,6 +90,7 @@ _EDGE_CACHE: dict = {}  # (session id, sf_dir) -> checkpointed NN-Descent edges
 ZOOMS = [4, 8, 12]
 CELL_RES = 7
 RADIUS_KM = 100.0  # geo_radius_join within-distance threshold
+NEAR_PAIRS_KM = 1.0  # geo_near_pairs self-join threshold (clustered fixture)
 PARENT_RES = 4
 
 
@@ -190,6 +198,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["geo_radius_join"] = lambda s, d: radius_join(
         _pages_geo(s, d), PG.load_knn_queries(s, d), RADIUS_KM, res=CELL_RES
     )
+    # geographic SELF-join: co-located page pairs (the spatial sibling of
+    # simhash_near_pairs). res=13 sizes cells (~1.4 km) to the 1 km radius
+    q["geo_near_pairs"] = lambda s, d: geo_near_pairs(
+        _pages_geo(s, d), NEAR_PAIRS_KM, res=13
+    )
+    # per-domain spatial dispersion (local business vs planet-wide mirror)
+    q["domain_spread"] = lambda s, d: domain_spread(_pages_geo(s, d))
 
     q["pip_join"] = lambda s, d: point_in_polygon(
         _pages_geo(s, d), PG.load_polygon_edges(s, d), res=6
@@ -789,6 +804,8 @@ def oracle_sql() -> dict[str, str]:
     o["knn_cell_state"] = knn  # state path is bit-identical to stateless
     o["knn_tree_index"] = knn  # full budget (ring=None + search_k >= leaves) => exact
     o["geo_radius_join"] = radius_join_sql(pg, q_rel, RADIUS_KM)
+    o["geo_near_pairs"] = geo_near_pairs_sql(pg, NEAR_PAIRS_KM)
+    o["domain_spread"] = domain_spread_sql(pg)
     o["pip_join"] = point_in_polygon_sql(pg, e_rel)
     o["pip_join_compact"] = point_in_polygon_sql(pg, e_rel)  # same exact rows
     o["pip_join_arrays"] = point_in_polygon_sql(pg, e_rel)  # same exact rows

@@ -86,3 +86,84 @@ def extract_geo_sql(pages_rel: str) -> str:
                CAST(NULLIF(regexp_extract(text, '{GEO_RE}', 2), '') AS DOUBLE) AS lon
         FROM {pages_rel}
     """
+
+
+def domain_spread(pages_geo: DataFrame, min_pages: int = 2) -> DataFrame:
+    """Per-domain spatial dispersion: (domain, n_pages, clat, clon,
+    spread_km) where (clat, clon) is the arithmetic lat/lon centroid of the
+    domain's geotagged pages and spread_km the mean haversine distance from
+    the centroid (radius of gyration, L1 flavor).
+
+    The webtext-side "is this host a local business or a planet-wide
+    aggregator" feature: a city newspaper spreads ~10 km, a scraped-listings
+    mirror spreads ~10^3 km. Two passes over the corpus: one partial-agg
+    shuffle on domain builds the |domains|-row centroid dim, which joins
+    back estimate-gated (broadcast while it fits) for the second mean.
+    The arithmetic centroid is the documented simplification: it is NOT
+    dateline-safe (a domain straddling +/-180 centers near 0), matching the
+    oracle formula exactly; spread ordering — the consumer signal — is
+    unaffected for the dominant same-region case.
+
+    Determinism: both means use exact decimal summation over coordinates
+    quantized at 1e-6 deg (~0.1 m; the geotag extraction emits 5-dp values,
+    so the quantization is lossless here). A plain double ``avg`` is
+    summation-order-dependent, and 5-dp inputs make ``sum/n`` land EXACTLY
+    on 6-dp rounding boundaries (2/1200 domains flipped vs the oracle at
+    sf0.001) — order-independent sums plus an unrounded IEEE division make
+    the output bit-identical regardless of partitioning.
+    """
+    from countrymaam_spark.functions import geo
+    from countrymaam_spark.operators.adaptive import gate_broadcast
+
+    dom = F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)
+    pg = pages_geo.filter(F.col("lat").isNotNull()).select(
+        dom.alias("domain"), "lat", "lon"
+    )
+    n = F.count(F.lit(1))
+    cent = pg.groupBy("domain").agg(
+        n.alias("n_pages"),
+        (F.sum(F.col("lat").cast("decimal(20,6)")).cast("double") / n).alias("clat"),
+        (F.sum(F.col("lon").cast("decimal(20,6)")).cast("double") / n).alias("clon"),
+    ).filter(F.col("n_pages") >= int(min_pages))
+    n_dom = cent.count()
+    d = geo.haversine_km(F.col("lat"), F.col("lon"), F.col("clat"), F.col("clon"))
+    d6 = F.round(d, 6).cast("decimal(20,6)")
+    return (
+        pg.join(gate_broadcast(cent, n_dom), "domain")
+        .groupBy("domain")
+        .agg(
+            F.first("n_pages").alias("n_pages"),
+            F.first("clat").alias("clat"),
+            F.first("clon").alias("clon"),
+            (F.sum(d6).cast("double") / F.count(F.lit(1))).alias("spread_km"),
+        )
+    )
+
+
+def domain_spread_sql(pages_rel: str, min_pages: int = 2) -> str:
+    """DuckDB oracle: identical two-pass formula, same exact-decimal sums."""
+    from countrymaam_spark.functions import geo
+
+    hav = geo.haversine_km_sql("p.lat", "p.lon", "c.clat", "c.clon")
+    return f"""
+        WITH g AS (
+            SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+                   lat, lon
+            FROM {pages_rel} WHERE lat IS NOT NULL
+        ),
+        c AS (
+            SELECT domain, COUNT(*) AS n_pages,
+                   CAST(SUM(CAST(lat AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS clat,
+                   CAST(SUM(CAST(lon AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS clon
+            FROM g GROUP BY domain
+            HAVING COUNT(*) >= {min_pages}
+        )
+        SELECT p.domain,
+               CAST(ANY_VALUE(c.n_pages) AS BIGINT) AS n_pages,
+               ANY_VALUE(c.clat) AS clat,
+               ANY_VALUE(c.clon) AS clon,
+               CAST(SUM(CAST(ROUND({hav}, 6) AS DECIMAL(20,6))) AS DOUBLE)
+                   / COUNT(*) AS spread_km
+        FROM g p JOIN c USING (domain)
+        GROUP BY p.domain
+    """

@@ -834,6 +834,70 @@ def radius_join_sql(pages_rel: str, queries_rel: str, radius_km: float) -> str:
     """
 
 
+def geo_near_pairs(
+    pages_geo: DataFrame,
+    radius_km: float,
+    res: int = 7,
+    cell_col: str | None = None,
+    broadcast_limit: int | None = None,
+) -> DataFrame:
+    """Geographic self-join: every unordered page pair within ``radius_km``
+    -> (url_a, url_b, dist_km), ``url_a < url_b``.
+
+    The self-join sibling of :func:`radius_join` (the page-page analogue of
+    the reference's candidates-then-verify pattern): co-located pages from
+    different hosts are the geo signal for scraped/mirrored local-business
+    and event content, the spatial counterpart of ``simhash_near_pairs``.
+
+    Composed over ``radius_join`` with the corpus on BOTH sides: the probe
+    side explodes each page's analytically-sized ring (one probe round —
+    the fixed radius sizes (rx, ry) so the ring guarantee exceeds it, see
+    ``radius_join``), the build side is probed by a hash equi-join on
+    ``cell``. Each ordered pair is generated at most once (ring cells are
+    distinct, home cells unique per url), so the unordered pair survives
+    the ``url_a < url_b`` trim exactly once — no distinct/dedup shuffle.
+
+    Scale shape: the exploded table is |corpus| x |ring| rows — past the
+    gate it is a plain shuffle equi-join, both sides cell-partitioned; at
+    cluster scale a cell-bucketed corpus makes it co-located. Full rings
+    from both endpoints do 2x the candidate work of a half-space emission;
+    the trade is zero wrap/pole corner cases (the half-space tie-breaks at
+    dx == nx/2 and inside the polar full-wrap band need their own dedup,
+    exactly the rows where a miss is silent).
+    """
+    both = pages_geo.filter(F.col("lat").isNotNull())
+    qs = both.select(F.col("url").alias("query_id"), "lat", "lon")
+    pairs = radius_join(
+        both, qs, radius_km, res=res, cell_col=cell_col,
+        broadcast_limit=broadcast_limit,
+    )
+    return pairs.filter(F.col("query_id") < F.col("url")).select(
+        F.col("query_id").alias("url_a"),
+        F.col("url").alias("url_b"),
+        "dist_km",
+    )
+
+
+def geo_near_pairs_sql(pages_rel: str, radius_km: float) -> str:
+    """DuckDB oracle: brute self-join, identical haversine + trim.
+
+    The latitude band is a SOUND prune, not an approximation: haversine's
+    ``a >= sin^2(dlat/2)`` and asin is monotone, so any pair within
+    ``radius_km`` has ``|dlat| <= radius_km / KM_PER_DEG``. It only turns the
+    O(n^2) scan into a range (IE) join the oracle can afford; the surviving
+    predicate is the identical full haversine.
+    """
+    hav = geo.haversine_km_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    band = radius_km / geo.KM_PER_DEG
+    return f"""
+        SELECT a.url AS url_a, b.url AS url_b, ROUND({hav}, 6) AS dist_km
+        FROM {pages_rel} a, {pages_rel} b
+        WHERE a.lat IS NOT NULL AND b.lat IS NOT NULL
+          AND b.lat BETWEEN a.lat - {band!r} AND a.lat + {band!r}
+          AND a.url < b.url AND {hav} <= {radius_km!r}
+    """
+
+
 def cell_density(stats: DataFrame, res: int, radius: int = 1) -> DataFrame:
     """Smoothed per-cell density surface from the cell-count statistics
     state: (cell, density) where density = sum of page counts over the

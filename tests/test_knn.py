@@ -346,3 +346,52 @@ def test_update_cell_lut_equals_rebuild(spark, geo_small):
     got = sorted((r["lv"], r["cell"], r["cnt"]) for r in merged.collect())
     want = sorted((r["lv"], r["cell"], r["cnt"]) for r in scratch.collect())
     assert got == want
+
+
+def test_geo_near_pairs_equals_brute(spark, geo_small):
+    """Self-join exactness: every unordered pair within radius appears exactly
+    once (url_a < url_b), matching the brute DuckDB oracle bit-for-bit on
+    dist_km. 10 km on the clustered sf0.001 fixture exercises multi-cell
+    rings at res=12."""
+    import duckdb as _dd
+
+    from countrymaam_spark.operators.geotag import extract_geo_sql
+    from countrymaam_spark.operators.knn import geo_near_pairs, geo_near_pairs_sql
+
+    out = pg.fixture_dir("sf0.001")
+    rel = "(" + extract_geo_sql(f"'{os.path.join(out, 'pages.parquet')}'") + ")"
+    got = sorted(
+        map(tuple, geo_near_pairs(geo_small, 10.0, res=12).collect())
+    )
+    want = sorted(map(tuple, _dd.sql(geo_near_pairs_sql(rel, 10.0)).fetchall()))
+    assert got == want and len(got) > 0
+
+
+def test_geo_near_pairs_unordered_once(spark, geo_small):
+    """Each unordered pair is emitted exactly once and strictly ordered —
+    no distinct/dedup shuffle hides a double emission."""
+    from countrymaam_spark.operators.knn import geo_near_pairs
+
+    p = geo_near_pairs(geo_small, 10.0, res=12)
+    n = p.count()
+    assert p.select("url_a", "url_b").distinct().count() == n
+    assert p.filter(F.col("url_a") >= F.col("url_b")).count() == 0
+
+
+def test_geo_near_pairs_plan_no_nested_loop(spark, geo_small):
+    """Both gate regimes must probe via a hash equi-join on cell (the repo
+    invariant: no BroadcastNestedLoopJoin/CartesianProduct on any path)."""
+    from tests.test_adaptive_broadcast import no_auto_broadcast
+
+    from countrymaam_spark.operators.knn import geo_near_pairs
+
+    with no_auto_broadcast(spark):
+        for limit in (None, 0):
+            plan = (
+                geo_near_pairs(geo_small, 10.0, res=12, broadcast_limit=limit)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "BroadcastNestedLoopJoin" not in plan
+            assert "CartesianProduct" not in plan

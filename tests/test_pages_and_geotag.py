@@ -77,3 +77,29 @@ def test_extract_geo_null_text_is_null_safe(spark):
     assert rows["u1"]["text_sha"] is None
     assert rows["u1"]["lat"] is None and rows["u1"]["lon"] is None
     assert rows["u2"]["lat"] == 59.91 and rows["u2"]["text_sha"] is not None
+
+
+def test_domain_spread_matches_duckdb_oracle(spark):
+    """Per-domain centroid + mean haversine dispersion, bit-exact vs the
+    DuckDB oracle (exact-decimal sums on both sides)."""
+    from countrymaam_spark.operators.geotag import domain_spread, domain_spread_sql
+
+    out = pg.ensure_fixtures("sf0.001")
+    p = os.path.join(out, "pages.parquet")
+    g = extract_geo(spark.read.parquet(p))
+    got = sorted(map(tuple, domain_spread(g).collect()))
+    rel = "(" + extract_geo_sql(repr(p)) + ")"
+    want = sorted(map(tuple, duckdb.sql(domain_spread_sql(rel)).fetchall()))
+    assert got == want and len(got) > 0
+
+
+def test_domain_spread_partition_invariant(spark):
+    """The decimal summation makes the output independent of partitioning —
+    a plain double avg() would flip 6-dp roundings with summation order."""
+    from countrymaam_spark.operators.geotag import domain_spread
+
+    out = pg.ensure_fixtures("sf0.001")
+    g = extract_geo(spark.read.parquet(os.path.join(out, "pages.parquet")))
+    a = sorted(map(tuple, domain_spread(g.coalesce(1)).collect()))
+    b = sorted(map(tuple, domain_spread(g.repartition(17, "url")).collect()))
+    assert a == b
