@@ -361,6 +361,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embed_knn_u8_ivf"] = lambda s, d: ann.ivf_knn_u8(
         _emb(s, d), _emb_queries(s, d), k=5, n_lists=16, n_probe=16
     )
+    # --- product-quantization family (m-byte codes + ADC scan + re-rank) ---
+    # refine >= corpus passes every id through the exact re-rank -> exact
+    # (reference invariant 3), so the brute oracle applies while the PLAN
+    # stays the mapInPandas code scan + candidate re-rank. Lossy budgets are
+    # recall-tested in tests/test_pq.py and published in RECALL.md.
+    def _pq_knn(s: SparkSession, d: str) -> DataFrame:
+        from countrymaam_spark.operators import pq as PQ
+
+        return PQ.pq_knn(_emb(s, d), _emb_queries(s, d), k=5, m=8, refine=10**9)
+
+    q["embed_knn_pq"] = _pq_knn
+
+    def _ivfpq_knn(s: SparkSession, d: str) -> DataFrame:
+        from countrymaam_spark.operators import pq as PQ
+
+        # full probe + full refine -> exact; the plan keeps the list-pruned
+        # probe join + ADC + re-rank shape
+        return PQ.ivf_pq_knn(
+            _emb(s, d), _emb_queries(s, d), k=5, n_lists=16, n_probe=16,
+            m=8, refine=10**9,
+        )
+
+    q["embed_knn_ivfpq"] = _ivfpq_knn
+
     # --- graph index family (NN-Descent / AKNN / composite) ---
     def _graph_edges(s: SparkSession, d: str) -> DataFrame:
         from countrymaam_spark.operators import graph as GR
@@ -865,6 +889,9 @@ def oracle_sql() -> dict[str, str]:
     o["embed_knn_u8"] = ann.brute_knn_u8_sql("embeddings", emb_q, k=5)
     o["embed_knn_ivf"] = ann.brute_knn_sql("embeddings", emb_q, k=5)
     o["embed_knn_u8_ivf"] = ann.brute_knn_u8_sql("embeddings", emb_q, k=5)
+    # PQ family: refine >= corpus -> exact re-rank -> the same brute oracle
+    o["embed_knn_pq"] = ann.brute_knn_sql("embeddings", emb_q, k=5)
+    o["embed_knn_ivfpq"] = ann.brute_knn_sql("embeddings", emb_q, k=5)
     # graph walk budgets verified exact on the fixture -> exact oracle
     o["embed_knn_graph"] = ann.brute_knn_sql("embeddings", emb_q, k=5)
     o["embed_knn_composite"] = ann.brute_knn_sql("embeddings", emb_q, k=5)

@@ -23,8 +23,9 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 
 from countrymaam_spark.operators import ann, graph, index_build, knn
+from countrymaam_spark.operators import pq as pq_ops
 
-EMBED_KINDS = ("flat", "flat_u8", "rplsh", "ivf", "ivf_u8", "aknn", "rpaknn")
+EMBED_KINDS = ("flat", "flat_u8", "rplsh", "ivf", "ivf_u8", "pq", "ivfpq", "aknn", "rpaknn")
 GEO_KINDS = ("cell", "kd", "rkd", "rp", "rrp")
 # the reference CLI's exact names accepted verbatim
 # (/root/reference/cmd/countrymaam/main.go:29-78)
@@ -61,6 +62,10 @@ class IndexConfig:
     # ivf knobs
     n_lists: int = 16
     n_probe: int = 4
+    # pq knobs (pq / ivfpq)
+    pq_m: int = 8
+    pq_ksub: int = 256
+    refine: int = 50
     seed: int = 42
     extra: dict = field(default_factory=dict)
 
@@ -97,6 +102,17 @@ class AnnIndex:
             return ann.ivf_knn(
                 self.corpus, queries, k=k,
                 n_lists=cfg.n_lists, n_probe=cfg.n_probe, seed=cfg.seed,
+            )
+        if cfg.kind == "pq":
+            return pq_ops.pq_knn(
+                self.corpus, queries, k=k,
+                m=cfg.pq_m, ksub=cfg.pq_ksub, refine=cfg.refine, seed=cfg.seed,
+            )
+        if cfg.kind == "ivfpq":
+            return pq_ops.ivf_pq_knn(
+                self.corpus, queries, k=k,
+                n_lists=cfg.n_lists, n_probe=cfg.n_probe,
+                m=cfg.pq_m, ksub=cfg.pq_ksub, refine=cfg.refine, seed=cfg.seed,
             )
         if cfg.kind == "ivf_u8":
             return ann.ivf_knn_u8(

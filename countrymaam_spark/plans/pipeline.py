@@ -182,6 +182,96 @@ def build_ivf_pipeline(
     }
 
 
+def build_pq_pipeline(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    m: int = 8,
+    ksub: int = 256,
+    sample_n: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Save/Load for the PQ family: the per-subspace codebooks and the
+    m-byte code table persist as Manifest stages (one shared params key —
+    changing m/ksub/seed invalidates books AND codes together, the same
+    staleness contract as build_ivf_pipeline). At 10^12 vectors the code
+    table IS the serving state (m bytes/vector); the raw vector table is
+    only read again by the exact re-rank."""
+    from countrymaam_spark.operators import pq
+
+    manifest = Manifest(out_dir)
+    params = {
+        "m": m, "ksub": ksub, "sample_n": sample_n, "iters": iters,
+        "seed": seed, "id_col": id_col, "vec_col": vec_col,
+    }
+    books_holder: dict = {}
+
+    def _build_books():
+        books_holder["books"] = pq.train_pq(
+            corpus, vec_col, m=m, ksub=ksub, sample_n=sample_n, iters=iters, seed=seed
+        )
+        return pq.books_to_df(spark, books_holder["books"])
+
+    books_df, skipped_b = run_stage(
+        spark, manifest, "pq_books", _build_books, params=params
+    )
+    books = books_holder.get("books")
+    if books is None:  # resumed from snapshot
+        books = pq.books_from_df(books_df)
+    codes_df, skipped_c = run_stage(
+        spark,
+        manifest,
+        "pq_codes",
+        lambda: pq.pq_codes(corpus, books, id_col=id_col, vec_col=vec_col),
+        params=params,
+    )
+    return {
+        "pq_books": {"rows": books_df.count(), "skipped": skipped_b},
+        "pq_codes": {"rows": codes_df.count(), "skipped": skipped_c},
+    }
+
+
+def load_pq(spark: SparkSession, out_dir: str):
+    """-> (code DataFrame, codebook ndarray) for pq_knn_from_state."""
+    from countrymaam_spark.operators import pq
+
+    books = pq.books_from_df(spark.read.parquet(os.path.join(out_dir, "pq_books")))
+    codes_df = spark.read.parquet(os.path.join(out_dir, "pq_codes"))
+    return codes_df, books
+
+
+def append_pq_pipeline(
+    spark: SparkSession,
+    new_corpus: DataFrame,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental append for the PQ family: codebooks are FROZEN state, so
+    appending vectors is one narrow encode map over the delta plus a parquet
+    append — no retraining, no full-corpus re-encode (the IVF-append
+    contract; codebook drift under distribution shift is the same documented
+    trade, fixed by a fresh build_pq_pipeline)."""
+    from countrymaam_spark.operators import pq
+
+    manifest = Manifest(out_dir)
+    books = pq.books_from_df(spark.read.parquet(os.path.join(out_dir, "pq_books")))
+    delta = pq.pq_codes(new_corpus, books, id_col=id_col, vec_col=vec_col)
+    path = os.path.join(out_dir, "pq_codes")
+    delta.write.mode("append").parquet(path)
+    out = _refresh_stage_entry(spark, manifest, "pq_codes")
+    return {
+        "pq_codes": {
+            "rows": out.count(),
+            "appended": delta.count(),
+            "skipped": False,
+        }
+    }
+
+
 def _refresh_stage_entry(
     spark: SparkSession, manifest: Manifest, name: str
 ) -> DataFrame:

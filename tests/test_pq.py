@@ -1,0 +1,163 @@
+"""Product-quantization family: full-refine exactness vs the brute oracle
+(reference invariant: budget >= corpus => exact,
+/root/reference/countrymaam_test.go:212), lossy-budget recall, state
+persistence round-trip, frozen-codebook append, and the scan-plan shape."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from countrymaam_spark.operators import ann, pq
+from countrymaam_spark.plans import pipeline as P
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.read.parquet(EMB).cache()
+
+
+@pytest.fixture(scope="module")
+def queries(spark, corpus):
+    return (
+        corpus.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        .cache()
+    )
+
+
+def _full(rows):
+    return sorted((r["query_id"], r["rk"], r["vec_id"], r["dist"]) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def brute(corpus, queries):
+    return _full(ann.brute_knn(corpus, queries, k=5).collect())
+
+
+def test_pq_full_refine_is_exact_scan_path(spark, corpus, queries, brute):
+    """refine >= corpus: the ADC scan passes every id to the exact re-rank,
+    so the output is bit-identical to brute force (same fold, same rounding,
+    same tie order) — and hence to the driver's DuckDB oracle."""
+    got = _full(pq.pq_knn(corpus, queries, k=5, m=8, refine=10**9).collect())
+    assert got == brute
+    sql = ann.brute_knn_sql(f"'{EMB}'", f"(SELECT * FROM '{EMB}' WHERE vec_id < 8)", k=5)
+    want = sorted(tuple(t) for t in duckdb.sql(sql).fetchall())
+    assert got == want
+
+
+def test_pq_pair_path_matches_scan_path(spark, corpus, queries, brute):
+    """max_scan_queries=0 forces the broadcast-gated pair join (the big-Q
+    fallback): same asymmetric distance, same exact result at full refine."""
+    got = _full(
+        pq.pq_knn(corpus, queries, k=5, m=8, refine=10**9, max_scan_queries=0).collect()
+    )
+    assert got == brute
+
+
+def test_ivf_pq_full_budget_is_exact(spark, corpus, queries, brute):
+    got = _full(
+        pq.ivf_pq_knn(
+            corpus, queries, k=5, n_lists=8, n_probe=8, m=8, refine=10**9
+        ).collect()
+    )
+    assert got == brute
+
+
+def test_pq_recall_monotone_in_refine(spark, corpus, queries, brute):
+    b = {(q, v) for q, _, v, _ in brute}
+
+    def recall(refine):
+        got = pq.pq_knn(corpus, queries, k=5, m=8, refine=refine).collect()
+        g = {(r["query_id"], r["vec_id"]) for r in got}
+        return len(b & g) / len(b)
+
+    r5, r20, r200 = recall(5), recall(20), recall(200)
+    assert r5 <= r20 + 1e-9 and r20 <= r200 + 1e-9
+    assert r20 >= 0.6  # measured 0.95 on this fixture; generous floor
+    assert r200 == 1.0  # 200 candidates on a 500-vector corpus
+
+
+def test_encode_deterministic_and_m_bytes(spark, corpus):
+    books = pq.train_pq(corpus, m=8, sample_n=256, seed=7)
+    a = pq.pq_codes(corpus, books).orderBy("cid").collect()
+    b = pq.pq_codes(corpus, books).orderBy("cid").collect()
+    assert [r["code"] for r in a] == [r["code"] for r in b]
+    assert all(len(r["code"]) == 8 for r in a)
+
+
+def test_decode_reconstruction_is_close(spark, corpus):
+    """The reconstruction must be a contraction toward the input: mean
+    squared reconstruction error well under the corpus's own variance
+    (otherwise the codes carry no signal and ADC degenerates to noise)."""
+    books = pq.train_pq(corpus, m=8, sample_n=512, seed=7)
+    rows = (
+        corpus.select(
+            "embedding",
+            pq.pq_decode(pq.pq_encode(F.col("embedding"), books), books).alias("rec"),
+        )
+        .limit(100)
+        .collect()
+    )
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    rec = np.array([r["rec"] for r in rows], dtype=np.float64)
+    mse = ((x - rec) ** 2).mean()
+    var = x.var(axis=0).mean()
+    assert mse < 0.5 * var
+
+
+def test_pq_pipeline_roundtrip_resume_and_invalidation(spark, corpus, queries, tmp_path):
+    out = str(tmp_path / "pqidx")
+    rep1 = P.build_pq_pipeline(spark, corpus, out, m=8, sample_n=512, seed=7)
+    assert not rep1["pq_books"]["skipped"] and not rep1["pq_codes"]["skipped"]
+
+    codes, books = P.load_pq(spark, out)
+    served = _full(
+        pq.pq_knn_from_state(codes, books, corpus, queries, k=5, refine=10**9).collect()
+    )
+    fresh_books = pq.train_pq(corpus, m=8, sample_n=512, seed=7)
+    fresh = _full(
+        pq.pq_knn_from_state(
+            pq.pq_codes(corpus, fresh_books), fresh_books, corpus, queries,
+            k=5, refine=10**9,
+        ).collect()
+    )
+    assert served == fresh
+
+    # resume: identical params -> both stages skip
+    rep2 = P.build_pq_pipeline(spark, corpus, out, m=8, sample_n=512, seed=7)
+    assert rep2["pq_books"]["skipped"] and rep2["pq_codes"]["skipped"]
+    # param change -> BOTH stages invalidate together (shared key — the
+    # round-3 advisor's staleness class: never serve codes encoded against
+    # codebooks trained with different params)
+    rep3 = P.build_pq_pipeline(spark, corpus, out, m=4, sample_n=512, seed=7)
+    assert not rep3["pq_books"]["skipped"] and not rep3["pq_codes"]["skipped"]
+
+
+def test_pq_append_frozen_codebooks(spark, corpus, tmp_path):
+    """Append encodes the delta against FROZEN codebooks: the appended code
+    table is bit-equivalent to encoding the full corpus with those books."""
+    out = str(tmp_path / "pqappend")
+    base = corpus.filter(F.col("vec_id") < 400)
+    delta = corpus.filter(F.col("vec_id") >= 400)
+    P.build_pq_pipeline(spark, base, out, m=8, sample_n=512, seed=7)
+    rep = P.append_pq_pipeline(spark, delta, out)
+    assert rep["pq_codes"]["appended"] == delta.count()
+
+    codes, books = P.load_pq(spark, out)
+    want = pq.pq_codes(corpus, books).orderBy("cid").collect()
+    got = codes.orderBy("cid").collect()
+    assert [(r["cid"], r["code"]) for r in got] == [(r["cid"], r["code"]) for r in want]
+
+
+def test_pq_scan_plan_shape(spark, corpus, queries):
+    """The production serving path: codes flow through ONE mapInPandas scan
+    — no nested-loop join of codes x queries anywhere in the plan."""
+    books = pq.train_pq(corpus, m=8, sample_n=512, seed=7)
+    codes = pq.pq_codes(corpus, books)
+    out = pq.pq_knn_from_state(codes, books, corpus, queries, k=5, refine=20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
