@@ -90,6 +90,10 @@ _EDGE_CACHE: dict = {}  # (session id, sf_dir) -> checkpointed NN-Descent edges
 ZOOMS = [4, 8, 12]
 CELL_RES = 7
 RADIUS_KM = 100.0  # geo_radius_join within-distance threshold
+# hotspot clustering: res 9 / min_pts 10 yields ~100 dense cells with real
+# multi-cell components on the sf0.01 fixture (measured: 80 adjacency edges)
+HOTSPOT_RES = 9
+HOTSPOT_MIN_PTS = 10
 NEAR_PAIRS_KM = 1.0  # geo_near_pairs self-join threshold (clustered fixture)
 PARENT_RES = 4
 
@@ -165,6 +169,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cell_density"] = lambda s, d: cell_density(
         build_cell_stats(_pages_geo(s, d), CELL_RES), CELL_RES, radius=1
     )
+
+    # grid-density hotspot clustering (distributed DBSCAN shape): dense
+    # cells -> 8-neighborhood adjacency -> large-star/small-star components
+    def _hotspots(s: SparkSession, d: str) -> DataFrame:
+        from countrymaam_spark.operators import cluster as CLU
+
+        return CLU.hotspot_cells(_pages_geo(s, d), HOTSPOT_RES, HOTSPOT_MIN_PTS)
+
+    def _hotspot_stats(s: SparkSession, d: str) -> DataFrame:
+        from countrymaam_spark.operators import cluster as CLU
+
+        return CLU.hotspot_stats(_pages_geo(s, d), HOTSPOT_RES, HOTSPOT_MIN_PTS)
+
+    q["geo_hotspots"] = _hotspots
+    q["geo_hotspot_stats"] = _hotspot_stats
 
     q["knn_flat"] = lambda s, d: flat_knn(
         _pages_geo(s, d), PG.load_knn_queries(s, d), k=10
@@ -828,6 +847,10 @@ def oracle_sql() -> dict[str, str]:
     o["knn_cell_state"] = knn  # state path is bit-identical to stateless
     o["knn_tree_index"] = knn  # full budget (ring=None + search_k >= leaves) => exact
     o["geo_radius_join"] = radius_join_sql(pg, q_rel, RADIUS_KM)
+    from countrymaam_spark.operators import cluster as CLU
+
+    o["geo_hotspots"] = CLU.hotspot_cells_sql(pg, HOTSPOT_RES, HOTSPOT_MIN_PTS)
+    o["geo_hotspot_stats"] = CLU.hotspot_stats_sql(pg, HOTSPOT_RES, HOTSPOT_MIN_PTS)
     o["geo_near_pairs"] = geo_near_pairs_sql(pg, NEAR_PAIRS_KM)
     o["domain_spread"] = domain_spread_sql(pg)
     o["pip_join"] = point_in_polygon_sql(pg, e_rel)

@@ -1,0 +1,201 @@
+"""Grid-based spatial density clustering (hotspot detection) — the
+DBSCAN-at-scale shape: density thresholding on grid cells, then connected
+components over the dense-cell adjacency graph.
+
+Classic DBSCAN's epsilon-neighborhood query is an all-pairs range join; the
+standard distributed recasting (grid DBSCAN: cells of edge ~= eps, a cell
+with >= min_pts points is dense, dense cells touching in the 8-neighborhood
+merge) turns it into exactly the primitives this engine already ships and
+has plan-audited:
+
+1. one corpus aggregation on the cell key (the same shuffle ``tile_counts``
+   pays — map-side partial, no corpus rows cross twice),
+2. an adjacency self-join on the DENSE CELL table only (bounded by the
+   number of dense cells, corpus-independent: 10^12 pages at res 9 is still
+   <= 2^19 dense cells) via the ring-cell explode -> hash equi-join,
+3. connected components by the alternating large-star/small-star rounds of
+   ``dedup.dup_components`` (O(log n) rounds regardless of component
+   diameter — the long-chain-safe form), labels = min cell id,
+4. one broadcast-gated join of the (tiny) cell->cluster label table back to
+   the pages.
+
+No stage touches page pairs; the only corpus-sized operations are the
+aggregate in (1) and the label join in (4).
+
+The reference has no clustering operator; this extends its candidate-
+generation machinery (cells-as-buckets, /root/reference/bsp_tree/*) to the
+canonical spatial-analytics query a web-page corpus supports ("which
+geographic hotspots does the crawl see, and which pages are in each").
+
+Oracles mirror every step in ANSI SQL: the dense aggregate and the wrapped
+Chebyshev adjacency are plain SQL; the components reuse the recursive-CTE
+transitive closure of ``dedup.dup_components_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from countrymaam_spark.functions import geo as G
+from countrymaam_spark.functions.geo import _R_SHIFT, _X_SHIFT
+from countrymaam_spark.operators.adaptive import gate_broadcast
+from countrymaam_spark.operators.dedup import dup_components, dup_components_sql
+
+
+def dense_cells(geo: DataFrame, res: int, min_pts: int) -> DataFrame:
+    """(cell, n_pts): grid cells at ``res`` holding >= min_pts pages. One
+    map-side-partial aggregation of the corpus; output is corpus-independent
+    in size (bounded by the grid)."""
+    return (
+        geo.filter(F.col("lat").isNotNull())
+        .select(G.encode_cell(F.col("lat"), F.col("lon"), res).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_pts"))
+        .filter(F.col("n_pts") >= min_pts)
+    )
+
+
+def _adjacency(dense: DataFrame, res: int) -> DataFrame:
+    """(id_a, id_b) with id_a < id_b: dense cells touching in the
+    8-neighborhood (longitude wraps — ring_cells pmods x). Explode the ring
+    of each dense cell and hash-join back against the dense set: no
+    nested-loop pass, O(9 * |dense|) candidate rows."""
+    ring = dense.select(
+        F.col("cell").alias("id_a"),
+        F.explode(G.ring_cells(F.col("cell"), res, 1)).alias("id_b"),
+    ).filter(F.col("id_a") < F.col("id_b"))
+    members = dense.select(F.col("cell").alias("id_b"))
+    return ring.join(members, "id_b").select("id_a", "id_b")
+
+
+def hotspot_cells(geo: DataFrame, res: int, min_pts: int) -> DataFrame:
+    """(cell, cluster_id, n_pts): every dense cell labeled with its
+    component's min cell id. Sparse cells are noise (absent)."""
+    dense = dense_cells(geo, res, min_pts).localCheckpoint(eager=True)
+    comp = dup_components(
+        dense.select("cell"), _adjacency(dense, res), id_col="cell"
+    ).select(F.col("cell"), F.col("canonical_id").alias("cluster_id"))
+    return dense.join(comp, "cell").select("cell", "cluster_id", "n_pts")
+
+
+def hotspot_pages(
+    geo: DataFrame,
+    res: int,
+    min_pts: int,
+    broadcast_limit: int | None = None,
+) -> DataFrame:
+    """(url, cell, cluster_id): pages inside dense cells, labeled. The label
+    table is corpus-independent and rides a broadcast-gated hash join; noise
+    pages (sparse cells) are excluded, DBSCAN-style."""
+    cells = hotspot_cells(geo, res, min_pts)
+    labels = gate_broadcast(cells.select("cell", "cluster_id"), cells.count(), broadcast_limit)
+    return (
+        geo.filter(F.col("lat").isNotNull())
+        .select("url", G.encode_cell(F.col("lat"), F.col("lon"), res).alias("cell"))
+        .join(labels, "cell")
+        .select("url", "cell", "cluster_id")
+    )
+
+
+def hotspot_stats(
+    geo: DataFrame,
+    res: int,
+    min_pts: int,
+    broadcast_limit: int | None = None,
+) -> DataFrame:
+    """(cluster_id, n_cells, n_pages, lat_c, lon_c): per-hotspot rollup —
+    footprint in cells, population in pages, page-centroid (rounded 6dp).
+    One aggregation over the labeled pages; n_cells from the label table."""
+    cells = hotspot_cells(geo, res, min_pts).localCheckpoint(eager=True)
+    labels = gate_broadcast(cells.select("cell", "cluster_id"), cells.count(), broadcast_limit)
+    pages = (
+        geo.filter(F.col("lat").isNotNull())
+        .select(
+            "url",
+            "lat",
+            "lon",
+            G.encode_cell(F.col("lat"), F.col("lon"), res).alias("cell"),
+        )
+        .join(labels, "cell")
+    )
+    # exact decimal sums over 1e-6-quantized coordinates (lossless: geotags
+    # are 5-dp), then one IEEE division — order-independent, bit-identical
+    # to the oracle regardless of partitioning (the domain_spread pattern;
+    # a plain double avg flips last-ulp vs DuckDB's scan order)
+    n = F.count(F.lit(1))
+    per_pages = pages.groupBy("cluster_id").agg(
+        n.alias("n_pages"),
+        (F.sum(F.col("lat").cast("decimal(20,6)")).cast("double") / n).alias("lat_c"),
+        (F.sum(F.col("lon").cast("decimal(20,6)")).cast("double") / n).alias("lon_c"),
+    )
+    per_cells = cells.groupBy("cluster_id").agg(F.count("*").alias("n_cells"))
+    return per_cells.join(per_pages, "cluster_id").select(
+        "cluster_id", "n_cells", "n_pages", "lat_c", "lon_c"
+    )
+
+
+# --- SQL oracles -------------------------------------------------------------
+
+
+def _dense_sql(pg_rel: str, res: int, min_pts: int) -> str:
+    cell = G.encode_cell_sql("lat", "lon", res)
+    return (
+        f"SELECT {cell} AS cell, COUNT(*) AS n_pts FROM {pg_rel} "
+        f"WHERE lat IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= {min_pts}"
+    )
+
+
+def _adjacency_sql(res: int) -> str:
+    """Pairs over a CTE named ``dense``: wrapped-Chebyshev-1 adjacency on the
+    decoded (x, y) grid coordinates — the same neighborhood ring_cells
+    enumerates."""
+    nx = 2 << res
+    xa, ya = f"(a.cell % {_R_SHIFT}) // {_X_SHIFT}", f"a.cell % {_X_SHIFT}"
+    xb, yb = f"(b.cell % {_R_SHIFT}) // {_X_SHIFT}", f"b.cell % {_X_SHIFT}"
+    return (
+        "SELECT a.cell AS id_a, b.cell AS id_b FROM dense a JOIN dense b "
+        f"ON a.cell < b.cell AND ABS(({ya}) - ({yb})) <= 1 "
+        f"AND LEAST(ABS(({xa}) - ({xb})), {nx} - ABS(({xa}) - ({xb}))) <= 1"
+    )
+
+
+def hotspot_cells_sql(pg_rel: str, res: int, min_pts: int) -> str:
+    comp = dup_components_sql(
+        "dense", _adjacency_sql(res), id_col="cell"
+    )
+    return f"""
+        WITH dense AS ({_dense_sql(pg_rel, res, min_pts)})
+        SELECT d.cell AS cell, c.canonical_id AS cluster_id, d.n_pts AS n_pts
+        FROM dense d JOIN ({comp}) c ON d.cell = c.cell
+    """
+
+
+def hotspot_pages_sql(pg_rel: str, res: int, min_pts: int) -> str:
+    cell = G.encode_cell_sql("lat", "lon", res)
+    return f"""
+        WITH labeled AS ({hotspot_cells_sql(pg_rel, res, min_pts)})
+        SELECT p.url AS url, l.cell AS cell, l.cluster_id AS cluster_id
+        FROM {pg_rel} p JOIN labeled l ON {cell} = l.cell
+        WHERE p.lat IS NOT NULL
+    """
+
+
+def hotspot_stats_sql(pg_rel: str, res: int, min_pts: int) -> str:
+    cell = G.encode_cell_sql("lat", "lon", res)
+    return f"""
+        WITH labeled AS ({hotspot_cells_sql(pg_rel, res, min_pts)}),
+        pages AS (
+            SELECT l.cluster_id, p.lat, p.lon
+            FROM {pg_rel} p JOIN labeled l ON {cell} = l.cell
+            WHERE p.lat IS NOT NULL
+        )
+        SELECT cc.cluster_id AS cluster_id, cc.n_cells AS n_cells,
+               pc.n_pages AS n_pages, pc.lat_c AS lat_c, pc.lon_c AS lon_c
+        FROM (SELECT cluster_id, COUNT(*) AS n_cells FROM labeled GROUP BY 1) cc
+        JOIN (SELECT cluster_id, COUNT(*) AS n_pages,
+                     CAST(SUM(CAST(lat AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS lat_c,
+                     CAST(SUM(CAST(lon AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS lon_c
+              FROM pages GROUP BY 1) pc
+        ON cc.cluster_id = pc.cluster_id
+    """

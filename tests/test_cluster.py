@@ -1,0 +1,99 @@
+"""Grid-density hotspot clustering: every stage vs its DuckDB oracle
+(dense aggregate, wrapped adjacency, recursive-closure components), plus
+structural properties (labels are component minima; noise excluded; the
+longitude seam merges)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from countrymaam_spark.operators import cluster as CL
+from countrymaam_spark.sources import pages as PG
+from countrymaam_spark.operators.geotag import extract_geo, extract_geo_sql
+
+RES, MIN_PTS = 9, 5
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return PG.ensure_fixtures("sf0.001")
+
+
+@pytest.fixture(scope="module")
+def geo(spark, sf_dir):
+    return extract_geo(PG.load_pages(spark, sf_dir)).cache()
+
+
+@pytest.fixture(scope="module")
+def pg_rel(sf_dir):
+    return "(" + extract_geo_sql(f"'{sf_dir}/pages.parquet'") + ")"
+
+
+def test_hotspot_cells_match_oracle(spark, geo, pg_rel):
+    got = sorted(tuple(r) for r in CL.hotspot_cells(geo, RES, MIN_PTS).collect())
+    want = sorted(tuple(t) for t in duckdb.sql(CL.hotspot_cells_sql(pg_rel, RES, MIN_PTS)).fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_hotspot_pages_match_oracle(spark, geo, pg_rel):
+    got = sorted(tuple(r) for r in CL.hotspot_pages(geo, RES, MIN_PTS).collect())
+    want = sorted(tuple(t) for t in duckdb.sql(CL.hotspot_pages_sql(pg_rel, RES, MIN_PTS)).fetchall())
+    assert got == want
+
+
+def test_hotspot_stats_match_oracle_bit_exact(spark, geo, pg_rel):
+    """Centroids use exact decimal sums + one IEEE division (the
+    domain_spread determinism pattern) — values must match bit-for-bit."""
+    got = sorted(tuple(r) for r in CL.hotspot_stats(geo, RES, MIN_PTS).collect())
+    want = sorted(tuple(t) for t in duckdb.sql(CL.hotspot_stats_sql(pg_rel, RES, MIN_PTS)).fetchall())
+    assert got == want
+
+
+def test_labels_are_component_minima_and_dense_only(spark, geo):
+    rows = CL.hotspot_cells(geo, RES, MIN_PTS).collect()
+    by_cluster: dict[int, list[int]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["cell"])
+        assert r["n_pts"] >= MIN_PTS
+    for cid, cells in by_cluster.items():
+        assert cid == min(cells)
+    # multi-cell clusters exist at this config (adjacency actually merges)
+    assert any(len(c) > 1 for c in by_cluster.values())
+
+
+def test_noise_pages_excluded(spark, geo):
+    from countrymaam_spark.functions import geo as G
+
+    labeled = CL.hotspot_pages(geo, RES, MIN_PTS)
+    n_geo = geo.filter(F.col("lat").isNotNull()).count()
+    assert 0 < labeled.count() < n_geo  # DBSCAN semantics: noise dropped
+    # every labeled page really sits in its claimed cell
+    bad = (
+        labeled.join(geo.select("url", "lat", "lon"), "url")
+        .filter(G.encode_cell(F.col("lat"), F.col("lon"), RES) != F.col("cell"))
+    )
+    assert bad.count() == 0
+
+
+def test_dateline_wrap_merges_clusters(spark):
+    """Two dense pockets on either side of the +/-180 seam are grid
+    neighbors (ring_cells pmods x) and must land in ONE cluster."""
+    rows = []
+    for i in range(6):
+        rows.append((f"https://w{i}.example/", 10.0, 179.9))
+        rows.append((f"https://e{i}.example/", 10.0, -179.9))
+    df = spark.createDataFrame(rows, "url string, lat double, lon double")
+    out = CL.hotspot_cells(df, 8, 5).collect()
+    assert len(out) == 2  # two dense cells...
+    assert len({r["cluster_id"] for r in out}) == 1  # ...one component
+
+
+def test_plan_no_nested_loop_and_single_corpus_agg(spark, geo):
+    """The only corpus-sized ops are the cell aggregate and the final label
+    hash-join: no BroadcastNestedLoopJoin / CartesianProduct anywhere."""
+    plan = (
+        CL.hotspot_pages(geo, RES, MIN_PTS)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
