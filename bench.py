@@ -231,10 +231,30 @@ def main() -> None:
         shutil.rmtree(idx_dir, ignore_errors=True)
         shutil.rmtree(geo_dir, ignore_errors=True)
 
+    # Release geo-section session state before the text/embedding sections:
+    # the round-4 serving-state stages (cell stats, planning lut, nearest,
+    # tile precompute) hold localCheckpoint RDD blocks that are freed only
+    # after their Python refs die AND the JVM ContextCleaner runs; left in
+    # place they pin executor storage and the dedup shuffle inherits the
+    # pressure (measured: 66.5s inside the full run vs 7.9s isolated at
+    # sf0.1 — a bench-harness artifact, not an operator property; a real
+    # deployment runs these as separate jobs).
+    import gc as _gc
+
+    def _release_session_state() -> None:
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2)
+
+    _release_session_state()
+
     docs_path = os.path.join(sf_dir, "documents.parquet")
     if os.path.exists(docs_path):
         docs = spark.read.parquet(docs_path)
         timed("dedup_minhash_lsh", lambda: materialize(dedup.minhash_lsh_pairs(docs, tau=0.8)))
+
+    # same boundary: the dedup stage's shingle localCheckpoints
+    _release_session_state()
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.exists(emb_path):
