@@ -69,10 +69,26 @@ def _adjacency(dense: DataFrame, res: int) -> DataFrame:
     return ring.join(members, "id_b").select("id_a", "id_b")
 
 
-def hotspot_cells(geo: DataFrame, res: int, min_pts: int) -> DataFrame:
+def hotspot_cells(
+    geo: DataFrame, res: int, min_pts: int, stats: DataFrame | None = None
+) -> DataFrame:
     """(cell, cluster_id, n_pts): every dense cell labeled with its
-    component's min cell id. Sparse cells are noise (absent)."""
-    dense = dense_cells(geo, res, min_pts).localCheckpoint(eager=True)
+    component's min cell id. Sparse cells are noise (absent).
+
+    ``stats`` — the persisted per-cell count state (cell, cnt) from
+    ``knn.build_cell_stats`` at the SAME ``res`` — makes clustering a pure
+    state-serving query: the density threshold reads |cells| rows and the
+    corpus is never rescanned (and the state updates incrementally on
+    append via update_cell_stats). Identical output to the corpus path by
+    construction — both threshold the same aggregate (pytest-pinned)."""
+    if stats is not None:
+        dense = (
+            stats.filter(F.col("cnt") >= min_pts)
+            .select("cell", F.col("cnt").alias("n_pts"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        dense = dense_cells(geo, res, min_pts).localCheckpoint(eager=True)
     comp = dup_components(
         dense.select("cell"), _adjacency(dense, res), id_col="cell"
     ).select(F.col("cell"), F.col("canonical_id").alias("cluster_id"))

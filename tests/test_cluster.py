@@ -97,3 +97,17 @@ def test_plan_no_nested_loop_and_single_corpus_agg(spark, geo):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hotspots_from_stats_state_match_corpus_path(spark, geo):
+    """Serving clustering from the persisted per-cell count state must be
+    bit-identical to the corpus-scan path (same aggregate thresholded)."""
+    from countrymaam_spark.operators.knn import build_cell_stats
+
+    stats = build_cell_stats(geo, RES)
+    a = sorted(tuple(r) for r in CL.hotspot_cells(geo, RES, MIN_PTS).collect())
+    b = sorted(
+        tuple(r)
+        for r in CL.hotspot_cells(geo, RES, MIN_PTS, stats=stats).collect()
+    )
+    assert a == b
