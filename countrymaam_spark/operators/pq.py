@@ -344,37 +344,43 @@ def pq_knn(
     return pq_knn_from_state(codes, books, corpus, queries, k=k, refine=refine, **kw)
 
 
-def ivf_pq_knn(
+def ivf_pq_state(
+    corpus: DataFrame,
+    cents: np.ndarray,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, list_id, code): the IVF-PQ serving state — one coarse-list id
+    plus m code bytes per vector; persisted partitioned by list_id so
+    probes prune files. Raw vectors appear nowhere in the serving state."""
+    return corpus.select(
+        F.col(id_col).alias("cid"),
+        F.element_at(_nearest_lists(F.col(vec_col), cents, 1), 1).alias("list_id"),
+        pq_encode(F.col(vec_col), books).alias("code"),
+    )
+
+
+def ivf_pq_knn_from_state(
+    state: DataFrame,
+    cents: np.ndarray,
+    books: np.ndarray,
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_lists: int = 16,
     n_probe: int = 4,
-    m: int = 8,
-    ksub: int = 256,
     refine: int = 50,
-    sample_n: int = 2048,
-    iters: int = 8,
-    seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     broadcast_limit: int | None = None,
+    prune_lists: bool = True,
 ) -> DataFrame:
-    """IVF coarse quantizer over PQ codes: state is (cid, list_id, code) —
-    probes read only their lists (same literal-IN file pruning as
-    ivf_knn_from_state), ADC ranks within the probed lists, exact re-rank
-    finishes. n_probe = n_lists AND refine >= |corpus| => exact."""
-    from countrymaam_spark.operators.ann import _kmeans_centroids
-
-    cents = _kmeans_centroids(corpus, vec_col, n_lists, sample_n, iters, seed)
-    books = train_pq(corpus, vec_col, m, ksub, sample_n, iters, seed)
-    state = corpus.select(
-        F.col(id_col).alias("cid"),
-        F.element_at(_nearest_lists(F.col(vec_col), cents, 1), 1).alias("list_id"),
-        pq_encode(F.col(vec_col), books).alias("code"),
-    )
+    """Serve IVF-PQ kNN from persisted state: probed lists filter (literal
+    IN = file pruning against the list_id-partitioned snapshot), ADC ranks
+    the probed codes, exact re-rank on raw vectors finishes.
+    n_probe = n_lists AND refine >= |corpus| => exact."""
     eff_probe = min(n_probe, len(cents))
     q = queries.select(
         F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
@@ -382,9 +388,15 @@ def ivf_pq_knn(
     q_lists = q.select(
         "qid", "qv", F.explode(_nearest_lists(F.col("qv"), cents, eff_probe)).alias("list_id")
     )
-    probed = sorted(r["list_id"] for r in q_lists.select("list_id").distinct().collect())
-    if len(probed) < len(cents):
-        state = state.filter(F.col("list_id").isin(probed))
+    if prune_lists:
+        # bounded collect (<= n_lists rows): the literal IN prunes files of
+        # the list_id-partitioned snapshot at plan time (the
+        # ivf_knn_from_state pattern — DPP declines stat-less probe sides)
+        probed = sorted(
+            r["list_id"] for r in q_lists.select("list_id").distinct().collect()
+        )
+        if len(probed) < len(cents):
+            state = state.filter(F.col("list_id").isin(probed))
     n_queries = q.count()
     qb = gate_broadcast(q_lists, n_queries * eff_probe, broadcast_limit)
     cand = (
@@ -409,4 +421,34 @@ def ivf_pq_knn(
         "rk",
         F.col("cid").alias("vec_id"),
         F.round("dist", 3).alias("dist"),
+    )
+
+
+def ivf_pq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 256,
+    refine: int = 50,
+    sample_n: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kw,
+) -> DataFrame:
+    """One-shot IVF-PQ: train coarse quantizer + codebooks, build the
+    (cid, list_id, code) state, serve (persistence via
+    plans.pipeline.build_ivfpq_pipeline)."""
+    from countrymaam_spark.operators.ann import _kmeans_centroids
+
+    cents = _kmeans_centroids(corpus, vec_col, n_lists, sample_n, iters, seed)
+    books = train_pq(corpus, vec_col, m, ksub, sample_n, iters, seed)
+    state = ivf_pq_state(corpus, cents, books, id_col=id_col, vec_col=vec_col)
+    return ivf_pq_knn_from_state(
+        state, cents, books, corpus, queries,
+        k=k, n_probe=n_probe, refine=refine, id_col=id_col, vec_col=vec_col, **kw,
     )

@@ -272,6 +272,116 @@ def append_pq_pipeline(
     }
 
 
+def build_ivfpq_pipeline(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    n_lists: int = 16,
+    m: int = 8,
+    ksub: int = 256,
+    sample_n: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Save/Load for IVF-PQ: coarse centroids, PQ codebooks, and the
+    (cid, list_id, code) state table — all three stages under ONE params
+    key (a change to any knob invalidates them together), the state
+    partitioned by list_id so probes prune files. The raw-vector table
+    stays outside the index state: serving reads it only for the exact
+    re-rank."""
+    from countrymaam_spark.operators import ann, pq
+
+    manifest = Manifest(out_dir)
+    params = {
+        "n_lists": n_lists, "m": m, "ksub": ksub, "sample_n": sample_n,
+        "iters": iters, "seed": seed, "id_col": id_col, "vec_col": vec_col,
+    }
+    cents_df, skipped_c = run_stage(
+        spark,
+        manifest,
+        "ivfpq_centroids",
+        lambda: spark.createDataFrame(
+            [
+                (int(i), [float(x) for x in c])
+                for i, c in enumerate(
+                    ann._kmeans_centroids(corpus, vec_col, n_lists, sample_n, iters, seed)
+                )
+            ],
+            "list_id int, centroid array<double>",
+        ),
+        params=params,
+    )
+    cents = _cents_array(cents_df)
+    books_holder: dict = {}
+
+    def _build_books():
+        books_holder["books"] = pq.train_pq(
+            corpus, vec_col, m=m, ksub=ksub, sample_n=sample_n, iters=iters, seed=seed
+        )
+        return pq.books_to_df(spark, books_holder["books"])
+
+    books_df, skipped_b = run_stage(
+        spark, manifest, "ivfpq_books", _build_books, params=params
+    )
+    books = books_holder.get("books")
+    if books is None:
+        books = pq.books_from_df(books_df)
+    state_df, skipped_s = run_stage(
+        spark,
+        manifest,
+        "ivfpq_state",
+        lambda: pq.ivf_pq_state(corpus, cents, books, id_col=id_col, vec_col=vec_col),
+        params=params,
+        partition_by=["list_id"],
+    )
+    return {
+        "ivfpq_centroids": {"rows": cents_df.count(), "skipped": skipped_c},
+        "ivfpq_books": {"rows": books_df.count(), "skipped": skipped_b},
+        "ivfpq_state": {"rows": state_df.count(), "skipped": skipped_s},
+    }
+
+
+def load_ivfpq(spark: SparkSession, out_dir: str):
+    """-> (state DataFrame, centroid ndarray, codebook ndarray) for
+    pq.ivf_pq_knn_from_state."""
+    from countrymaam_spark.operators import pq
+
+    cents = _cents_array(spark.read.parquet(os.path.join(out_dir, "ivfpq_centroids")))
+    books = pq.books_from_df(spark.read.parquet(os.path.join(out_dir, "ivfpq_books")))
+    state = spark.read.parquet(os.path.join(out_dir, "ivfpq_state"))
+    return state, cents, books
+
+
+def append_ivfpq_pipeline(
+    spark: SparkSession,
+    new_corpus: DataFrame,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental append: centroids AND codebooks are frozen state, so the
+    delta is one narrow assign+encode map appended into the partitioned
+    snapshot (the ivf/pq append contract; rebuild on distribution drift)."""
+    from countrymaam_spark.operators import pq
+
+    manifest = Manifest(out_dir)
+    cents = _cents_array(spark.read.parquet(os.path.join(out_dir, "ivfpq_centroids")))
+    books = pq.books_from_df(spark.read.parquet(os.path.join(out_dir, "ivfpq_books")))
+    delta = pq.ivf_pq_state(new_corpus, cents, books, id_col=id_col, vec_col=vec_col)
+    path = os.path.join(out_dir, "ivfpq_state")
+    delta.write.mode("append").partitionBy("list_id").parquet(path)
+    out = _refresh_stage_entry(spark, manifest, "ivfpq_state")
+    return {
+        "ivfpq_state": {
+            "rows": out.count(),
+            "appended": delta.count(),
+            "skipped": False,
+        }
+    }
+
+
 def _refresh_stage_entry(
     spark: SparkSession, manifest: Manifest, name: str
 ) -> DataFrame:

@@ -161,3 +161,40 @@ def test_pq_scan_plan_shape(spark, corpus, queries):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivfpq_pipeline_roundtrip_and_append(spark, corpus, queries, brute, tmp_path):
+    """All three IVF-PQ stages persist under one key; serving from the
+    loaded state at full budget is exact; append encodes/assigns the delta
+    against FROZEN centroids+codebooks, bit-equivalent to a full encode."""
+    out = str(tmp_path / "ivfpq")
+    rep = P.build_ivfpq_pipeline(spark, corpus, out, n_lists=8, m=8, sample_n=512, seed=7)
+    assert rep["ivfpq_state"]["rows"] == corpus.count()
+
+    state, cents, books = P.load_ivfpq(spark, out)
+    got = _full(
+        pq.ivf_pq_knn_from_state(
+            state, cents, books, corpus, queries, k=5, n_probe=8, refine=10**9
+        ).collect()
+    )
+    assert got == brute
+
+    # resume skips all three; param change invalidates all three
+    rep2 = P.build_ivfpq_pipeline(spark, corpus, out, n_lists=8, m=8, sample_n=512, seed=7)
+    assert all(rep2[s]["skipped"] for s in rep2)
+    rep3 = P.build_ivfpq_pipeline(spark, corpus, out, n_lists=4, m=8, sample_n=512, seed=7)
+    assert not any(rep3[s]["skipped"] for s in rep3)
+
+    # append on a fresh build over 4/5 of the corpus
+    out2 = str(tmp_path / "ivfpq2")
+    base = corpus.filter(F.col("vec_id") < 400)
+    delta = corpus.filter(F.col("vec_id") >= 400)
+    P.build_ivfpq_pipeline(spark, base, out2, n_lists=8, m=8, sample_n=512, seed=7)
+    repa = P.append_ivfpq_pipeline(spark, delta, out2)
+    assert repa["ivfpq_state"]["appended"] == delta.count()
+    state2, cents2, books2 = P.load_ivfpq(spark, out2)
+    want = pq.ivf_pq_state(corpus, cents2, books2).orderBy("cid").collect()
+    got2 = state2.select("cid", "list_id", "code").orderBy("cid").collect()
+    assert [(r["cid"], r["list_id"], r["code"]) for r in got2] == [
+        (r["cid"], r["list_id"], r["code"]) for r in want
+    ]
