@@ -111,3 +111,39 @@ def test_hotspots_from_stats_state_match_corpus_path(spark, geo):
         for r in CL.hotspot_cells(geo, RES, MIN_PTS, stats=stats).collect()
     )
     assert a == b
+
+
+def test_hotspots_from_stream_maintained_state(spark, tmp_path):
+    """End-to-end: pages stream -> maintained cell-lut state -> hotspot
+    clustering over the state == clustering the batch corpus. Clustering is
+    a pure consumer of the exactly-once streamed statistics."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from countrymaam_spark.functions import geo as G
+    from countrymaam_spark.streaming import ingest, maintain
+
+    out = PG.ensure_fixtures("sf0.001")
+    t = pq_.read_table(os.path.join(out, "pages.parquet"))
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    pq_.write_table(t.slice(0, 1000), str(drops / "d1.parquet"))
+    pq_.write_table(t.slice(1000), str(drops / "d2.parquet"))
+
+    state = str(tmp_path / "state")
+    batch_all = spark.read.parquet(str(drops))
+    stream = ingest.stream_pages_from_dir(spark, str(drops), batch_all.schema)
+    g = ingest.geotag_stream(stream, res=7)
+    q = maintain.maintain_cell_lut_stream(g, state, str(tmp_path / "ck"), res=7)
+    assert q.awaitTermination(180)
+
+    lut = spark.read.parquet(os.path.join(state, "cell_lut"))
+    stats = lut.filter(F.col("lv") == 7).select("cell", "cnt")
+    got = sorted(
+        tuple(r)
+        for r in CL.hotspot_cells(None, 7, 5, stats=stats).collect()
+    )
+    geo_batch = extract_geo(batch_all).filter(F.col("lat").isNotNull())
+    want = sorted(tuple(r) for r in CL.hotspot_cells(geo_batch, 7, 5).collect())
+    assert got == want and len(got) > 0
