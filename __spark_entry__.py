@@ -262,6 +262,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["geo_corridor_join"] = lambda s, d: corridor_join(
         _pages_geo(s, d), PG.load_polygon_edges(s, d), 150.0, res=6
     )
+    # spatial ANTI-join: geotagged pages inside NO polygon (coverage gaps)
+    def _pip_outside(s: SparkSession, d: str) -> DataFrame:
+        from countrymaam_spark.operators.pip import point_outside_polygons
+
+        return point_outside_polygons(
+            _pages_geo(s, d), PG.load_polygon_edges(s, d), res=6
+        )
+
+    q["pip_outside"] = _pip_outside
+
     q["pip_counts"] = lambda s, d: (
         PG.load_polygon_edges(s, d)
         .select("poly_id")
@@ -861,6 +871,9 @@ def oracle_sql() -> dict[str, str]:
     o["geo_corridor_join"] = corridor_join_sql(pg, e_rel, 150.0)
     o["polygon_stats"] = polygon_stats_sql(e_rel)
     o["polygon_overlaps"] = polygon_overlaps_sql(e_rel)
+    from countrymaam_spark.operators.pip import point_outside_polygons_sql
+
+    o["pip_outside"] = point_outside_polygons_sql(pg, e_rel)
     o["pip_counts"] = f"""
         SELECT p.poly_id, COUNT(i.url) AS n_pages
         FROM (SELECT DISTINCT poly_id FROM {e_rel}) p

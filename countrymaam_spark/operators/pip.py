@@ -392,3 +392,32 @@ def _crossing_pred(e):
         / (e["lat2"] - e["lat1"])
         + e["lon1"]
     )
+
+
+def point_outside_polygons(
+    pages_geo: DataFrame, edges: DataFrame, res: int = 6, **kw
+) -> DataFrame:
+    """-> (url): geotagged pages contained by NO polygon — the spatial
+    ANTI-join (coverage-gap / open-ocean detection; the complement query a
+    curation pipeline runs to find pages its region taxonomy misses).
+
+    One left_anti hash join against the verified inside-pairs: the anti
+    side is the pip result (candidates-then-verify, already corpus-safe);
+    the pages side never shuffles more than the pip join itself does."""
+    inside = point_in_polygon(pages_geo, edges, res=res, **kw).select("url")
+    return (
+        pages_geo.filter(F.col("lat").isNotNull())
+        .select("url")
+        .join(inside, "url", "left_anti")
+    )
+
+
+def point_outside_polygons_sql(pages_rel: str, edges_rel: str) -> str:
+    """Oracle: NOT EXISTS over the brute-force ray-cast pairs."""
+    return f"""
+        SELECT p.url FROM {pages_rel} p
+        WHERE p.lat IS NOT NULL AND NOT EXISTS (
+            SELECT 1 FROM ({point_in_polygon_sql(pages_rel, edges_rel)}) i
+            WHERE i.url = p.url
+        )
+    """
