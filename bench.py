@@ -266,9 +266,29 @@ def main() -> None:
     # same boundary: the dedup stage's shingle localCheckpoints
     _release_session_state()
 
+    # SPARK_GRAFT_EMB_N=<n>: synthesize a deterministic n x 64 embedding
+    # corpus (hash-derived uniform floats, no rand()) instead of the small
+    # fixture — the throughput regime for the vector-serving scaling runs
+    # (the 2k-row fixture is constants-bound at any core count)
+    emb_n = int(os.environ.get("SPARK_GRAFT_EMB_N", "0"))
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    if os.path.exists(emb_path):
-        emb = spark.read.parquet(emb_path)
+    if emb_n or os.path.exists(emb_path):
+        if emb_n:
+            emb = spark.range(emb_n).select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda i: (
+                        F.pmod(
+                            F.xxhash64(F.col("id") * F.lit(64) + i), F.lit(100000)
+                        ).cast("double")
+                        / 100000.0
+                        - 0.5
+                    ),
+                ).alias("embedding"),
+            ).localCheckpoint(eager=True)
+        else:
+            emb = spark.read.parquet(emb_path)
         eq = emb.filter(F.col("vec_id") < 64).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
