@@ -57,6 +57,7 @@ from countrymaam_spark.operators.pip import (
     polygon_stats,
     polygon_stats_sql,
 )
+from countrymaam_spark.operators import webtext as WT
 from countrymaam_spark.operators.tiles import (
     assign_tiles,
     assign_tiles_sql,
@@ -807,6 +808,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    # --- host-level crawl curation (webtext side of the graft) ---
+    # newest-3 snapshots per host: recrawl/frontier dedup; the rank filter
+    # compiles to WindowGroupLimit so the shuffle is O(|hosts| * k)
+    q["host_latest"] = lambda s, d: WT.host_latest(PG.load_pages(s, d), k=3)
+    # per-host aggregate stats (page count, langs, text volume, crawl window)
+    q["host_stats"] = lambda s, d: WT.host_stats(PG.load_pages(s, d))
+
     q["order_customer_join"] = lambda s, d: (
         s.read.parquet(os.path.join(d, "orders.parquet"))
         .join(
@@ -863,6 +871,9 @@ def oracle_sql() -> dict[str, str]:
     o["geo_hotspot_stats"] = CLU.hotspot_stats_sql(pg, HOTSPOT_RES, HOTSPOT_MIN_PTS)
     o["geo_near_pairs"] = geo_near_pairs_sql(pg, NEAR_PAIRS_KM)
     o["domain_spread"] = domain_spread_sql(pg)
+    pages_raw = f"'{_fixture(ORACLE_SF, 'pages.parquet')}'"
+    o["host_latest"] = WT.host_latest_sql(pages_raw, k=3)
+    o["host_stats"] = WT.host_stats_sql(pages_raw)
     o["pip_join"] = point_in_polygon_sql(pg, e_rel)
     o["pip_join_compact"] = point_in_polygon_sql(pg, e_rel)  # same exact rows
     o["pip_join_arrays"] = point_in_polygon_sql(pg, e_rel)  # same exact rows
