@@ -28,6 +28,10 @@ from countrymaam_spark.operators.geotag import (
     domain_spread_sql,
     extract_geo,
     extract_geo_sql,
+    geocode_mentions,
+    geocode_mentions_sql,
+    geocode_quality,
+    geocode_quality_sql,
 )
 from countrymaam_spark.operators.knn import (
     build_cell_stats,
@@ -225,6 +229,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # per-domain spatial dispersion (local business vs planet-wide mirror)
     q["domain_spread"] = lambda s, d: domain_spread(_pages_geo(s, d))
+    # gazetteer geocoding: place-name mention -> coordinates via dim join
+    q["geocode_mentions"] = lambda s, d: geocode_mentions(
+        PG.load_pages(s, d), PG.load_gazetteer(s, d)
+    )
+    # geocoder QA: mean centroid-vs-exact-coordinate error per place
+    q["geocode_quality"] = lambda s, d: geocode_quality(
+        _pages_geo(s, d), PG.load_gazetteer(s, d)
+    )
 
     q["pip_join"] = lambda s, d: point_in_polygon(
         _pages_geo(s, d), PG.load_polygon_edges(s, d), res=6
@@ -874,6 +886,9 @@ def oracle_sql() -> dict[str, str]:
     pages_raw = f"'{_fixture(ORACLE_SF, 'pages.parquet')}'"
     o["host_latest"] = WT.host_latest_sql(pages_raw, k=3)
     o["host_stats"] = WT.host_stats_sql(pages_raw)
+    gaz_rel = f"'{_fixture(ORACLE_SF, 'gazetteer.parquet')}'"
+    o["geocode_mentions"] = geocode_mentions_sql(pages_raw, gaz_rel)
+    o["geocode_quality"] = geocode_quality_sql(pg, gaz_rel)
     o["pip_join"] = point_in_polygon_sql(pg, e_rel)
     o["pip_join_compact"] = point_in_polygon_sql(pg, e_rel)  # same exact rows
     o["pip_join_arrays"] = point_in_polygon_sql(pg, e_rel)  # same exact rows

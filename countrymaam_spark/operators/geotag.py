@@ -88,6 +88,106 @@ def extract_geo_sql(pages_rel: str) -> str:
     """
 
 
+# the entity-mention pattern: the place NAME only (no coordinates required),
+# so the geocoder works on pages where coordinate extraction has nothing.
+# RE2/Java/Python common subset, shared verbatim with the DuckDB oracle.
+MENTION_RE = r"near (\w+) \("
+
+
+def geocode_mentions(pages: DataFrame, gazetteer: DataFrame) -> DataFrame:
+    """Gazetteer geocoding: (url, place, glat, glon) — extract a place-name
+    mention per page (JVM ``regexp_extract``, no Python) and resolve it to
+    coordinates with an equi-join against the gazetteer dimension.
+
+    The SURVEY §2.2 "regexp_extract + gazetteer broadcast join" path: the
+    entity→location bridge used when pages carry place NAMES, not literal
+    coordinates (the coordinate regex of :func:`extract_geo` is the other
+    branch).  The gazetteer is a dim table (50 rows in the fixture; planet
+    gazetteers are ~10^7 rows ≈ hundreds of MB), joined estimate-gated: a
+    broadcast hash join while it fits the 1M-struct guard, a shuffle
+    equi-join past it — never a driver-side lookup.  Inner join semantics:
+    unresolvable mentions drop (the curation read: only geocodable pages
+    continue to the geo pipeline).
+    """
+    from countrymaam_spark.operators.adaptive import gate_broadcast
+
+    mention = F.regexp_extract(F.col("text"), MENTION_RE, 1)
+    m = pages.select("url", mention.alias("place")).filter(F.col("place") != "")
+    n_places = gazetteer.count()
+    return m.join(gate_broadcast(gazetteer, n_places), "place").select(
+        "url", "place", "glat", "glon"
+    )
+
+
+def geocode_mentions_sql(pages_rel: str, gaz_rel: str) -> str:
+    """DuckDB oracle: identical regex + join."""
+    return f"""
+        SELECT m.url, m.place, g.glat, g.glon
+        FROM (
+            SELECT url, regexp_extract(text, '{MENTION_RE}', 1) AS place
+            FROM {pages_rel}
+        ) m JOIN {gaz_rel} g USING (place)
+        WHERE m.place <> ''
+    """
+
+
+def geocode_quality(pages_geo: DataFrame, gazetteer: DataFrame) -> DataFrame:
+    """Per-place geocoder QA: (place, n_pages, mean_err_km) — haversine
+    distance between the gazetteer centroid and each page's EXACT extracted
+    coordinate, averaged per place.
+
+    The signal that sizes gazetteer-geocoding error for the downstream cell
+    index: city-cluster pages sit within the city's ~1-sigma spread, while
+    background pages that name-drop a random city land continents away —
+    so mean_err_km separates resolvable places from noisy ones.  One dim
+    join (estimate-gated broadcast) + one partial-agg shuffle on place.
+
+    Determinism: the mean uses the exact-decimal summation pattern of
+    :func:`domain_spread` (order-independent sums, one unrounded IEEE
+    division) so the result is bit-identical to the oracle regardless of
+    partitioning.
+    """
+    from countrymaam_spark.functions import geo
+    from countrymaam_spark.operators.adaptive import gate_broadcast
+
+    mention = F.regexp_extract(F.col("text"), MENTION_RE, 1)
+    m = (
+        pages_geo.filter(F.col("lat").isNotNull())
+        .select(mention.alias("place"), "lat", "lon")
+        .filter(F.col("place") != "")
+    )
+    n_places = gazetteer.count()
+    err = geo.haversine_km(F.col("lat"), F.col("lon"), F.col("glat"), F.col("glon"))
+    err6 = F.round(err, 6).cast("decimal(20,6)")
+    return (
+        m.join(gate_broadcast(gazetteer, n_places), "place")
+        .groupBy("place")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            (F.sum(err6).cast("double") / F.count(F.lit(1))).alias("mean_err_km"),
+        )
+    )
+
+
+def geocode_quality_sql(pages_geo_rel: str, gaz_rel: str) -> str:
+    """DuckDB oracle: same regex, join, and exact-decimal mean."""
+    from countrymaam_spark.functions import geo
+
+    hav = geo.haversine_km_sql("m.lat", "m.lon", "g.glat", "g.glon")
+    return f"""
+        SELECT m.place,
+               COUNT(*) AS n_pages,
+               CAST(SUM(CAST(ROUND({hav}, 6) AS DECIMAL(20,6))) AS DOUBLE)
+                   / COUNT(*) AS mean_err_km
+        FROM (
+            SELECT regexp_extract(text, '{MENTION_RE}', 1) AS place, lat, lon
+            FROM {pages_geo_rel} WHERE lat IS NOT NULL
+        ) m JOIN {gaz_rel} g USING (place)
+        WHERE m.place <> ''
+        GROUP BY m.place
+    """
+
+
 def domain_spread(pages_geo: DataFrame, min_pages: int = 2) -> DataFrame:
     """Per-domain spatial dispersion: (domain, n_pages, clat, clon,
     spread_km) where (clat, clon) is the arithmetic lat/lon centroid of the

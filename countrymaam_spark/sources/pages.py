@@ -171,6 +171,20 @@ def gen_knn_queries(n_q: int = 200) -> pa.Table:
     )
 
 
+def gen_gazetteer() -> pa.Table:
+    """Place-name dimension (place, glat, glon): the 50 deterministic city
+    centers the page texts mention. The geocoder joins extracted mentions
+    against this table (the gazetteer-broadcast-join path, SURVEY §2.2)."""
+    lat, lon, names = city_table()
+    return pa.table(
+        {
+            "place": pa.array(names, pa.string()),
+            "glat": pa.array(lat, pa.float64()),
+            "glon": pa.array(lon, pa.float64()),
+        }
+    )
+
+
 def gen_assets(n: int = 400, seed: int = SEED) -> pa.Table:
     """Deterministic multimodal asset fixture: opaque binary payloads with
     typed metadata (image/audio/video), plus PLANTED exact-duplicate
@@ -296,6 +310,9 @@ def ensure_fixtures(sf_name: str) -> str:
     a_path = os.path.join(out, "assets.parquet")
     if not os.path.exists(a_path):
         pq.write_table(gen_assets(), a_path)
+    g_path = os.path.join(out, "gazetteer.parquet")
+    if not os.path.exists(g_path):
+        pq.write_table(gen_gazetteer(), g_path)
     return out
 
 
@@ -314,3 +331,8 @@ def load_knn_queries(spark, sf_dir: str):
 def load_polygon_edges(spark, sf_dir: str):
     out = ensure_fixtures(sf_name_from_dir(sf_dir))
     return spark.read.parquet(os.path.join(out, "polygon_edges.parquet"))
+
+
+def load_gazetteer(spark, sf_dir: str):
+    out = ensure_fixtures(sf_name_from_dir(sf_dir))
+    return spark.read.parquet(os.path.join(out, "gazetteer.parquet"))
