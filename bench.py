@@ -174,6 +174,17 @@ def main() -> None:
         lambda: materialize(tile_top_pages(extract_geo(pages), 6, k=3)),
     )
 
+    # host-level crawl curation + gazetteer geocoding (additive webtext
+    # stages; both scan the raw pages table — honest wide-scan cost)
+    from countrymaam_spark.operators import webtext as WT
+    from countrymaam_spark.operators.geotag import geocode_mentions
+
+    timed("host_stats", lambda: materialize(WT.host_stats(pages)))
+    timed(
+        "geocode_mentions",
+        lambda: materialize(geocode_mentions(pages, PG.load_gazetteer(spark, sf_dir))),
+    )
+
     # cell-index kNN serves from INDEX STATE: the geo snapshot above IS the
     # encoded corpus table (cell col at res 7), and the per-cell count stats
     # are built once here (timed as build work, counted in the pipeline
