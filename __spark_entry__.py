@@ -255,6 +255,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # vector measures per polygon (perimeter / shoelace area / centroid);
     # fixed-point BIGINT sums make the float aggregation order-independent
     q["polygon_stats"] = lambda s, d: polygon_stats(PG.load_polygon_edges(s, d))
+
+    # zonal statistics: per-polygon page/domain/lang rollup over the PIP join
+    def _zonal(s: SparkSession, d: str) -> DataFrame:
+        from countrymaam_spark.operators.pip import zonal_stats
+
+        return zonal_stats(_pages_geo(s, d), PG.load_polygon_edges(s, d), res=6)
+
+    q["zonal_stats"] = _zonal
     # vector overlay: which polygon pairs intersect, and how (cover-cell
     # candidates -> orientation-test crossing + parity containment)
     q["polygon_overlaps"] = lambda s, d: polygon_overlaps(
@@ -896,6 +904,9 @@ def oracle_sql() -> dict[str, str]:
     o["nearest_region_cells"] = nearest_polygon_sql(q_rel, e_rel, k=3)  # same rows
     o["geo_corridor_join"] = corridor_join_sql(pg, e_rel, 150.0)
     o["polygon_stats"] = polygon_stats_sql(e_rel)
+    from countrymaam_spark.operators.pip import zonal_stats_sql
+
+    o["zonal_stats"] = zonal_stats_sql(pg, e_rel)
     o["polygon_overlaps"] = polygon_overlaps_sql(e_rel)
     from countrymaam_spark.operators.pip import point_outside_polygons_sql
 

@@ -254,6 +254,60 @@ def polygon_page_counts(pages_geo: DataFrame, edges: DataFrame, res: int = 6) ->
     )
 
 
+def zonal_stats(
+    pages_geo: DataFrame, edges: DataFrame, res: int = 6,
+    broadcast_polygons: bool = True,
+) -> DataFrame:
+    """Zonal statistics: per-polygon page aggregate over the PIP join —
+    (poly_id, n_pages, n_domains, n_langs), one row per polygon with zeros
+    for polygons containing no page.
+
+    The vector-overlay analog of raster zonal stats: the containment join
+    supplies the zone assignment, the attribute projection (domain parsed
+    from url, lang) rides in on a url equi-join, and one partial-agg shuffle
+    on poly_id produces the rollup.  Scale shape: the join-back touches only
+    CONTAINED pages (|inside| ≤ corpus; for a polygon dim table usually a
+    small fraction), both sides hash-partition on url, AQE picks the
+    strategy; the corpus scan itself is never shuffled — the attribute side
+    is a narrow projection of the same scan.  All-exact output columns
+    (bigint), so the DuckDB oracle matches bit-for-bit.
+    """
+    inside = point_in_polygon(pages_geo, edges, res, broadcast_polygons)
+    attrs = pages_geo.filter(F.col("lat").isNotNull()).select(
+        "url",
+        F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1).alias("_domain"),
+        "lang",
+    )
+    polys = edges.select("poly_id").distinct()
+    return (
+        polys.join(inside.join(attrs, "url"), "poly_id", "left")
+        .groupBy("poly_id")
+        .agg(
+            F.count("url").alias("n_pages"),
+            F.countDistinct("_domain").alias("n_domains"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+def zonal_stats_sql(pages_rel: str, edges_rel: str) -> str:
+    """Oracle: brute-force PIP composed with the same attribute rollup."""
+    return f"""
+        SELECT p.poly_id,
+               COUNT(i.url) AS n_pages,
+               COUNT(DISTINCT regexp_extract(i.url, '^https?://([^/]+)', 1))
+                   AS n_domains,
+               COUNT(DISTINCT i.lang) AS n_langs
+        FROM (SELECT DISTINCT poly_id FROM {edges_rel}) p
+        LEFT JOIN (
+            SELECT t.poly_id, t.url, g.lang
+            FROM ({point_in_polygon_sql(pages_rel, edges_rel)}) t
+            JOIN {pages_rel} g USING (url)
+        ) i USING (poly_id)
+        GROUP BY p.poly_id
+    """
+
+
 _SCALE = 1_000_000  # 6-dp fixed-point: order-independent integer sums
 
 

@@ -361,3 +361,27 @@ def test_update_quadkey_counts_equals_rebuild(spark, geo_small):
         map(tuple, update_quadkey_counts(quadkey_counts(new, 8), old, 8).collect())
     )
     assert rev == rebuilt
+
+
+def test_zonal_stats_matches_oracle(spark):
+    """Per-polygon zonal rollup == brute-force PIP composed with the same
+    attribute aggregate (DuckDB); empty polygons present with zero counts."""
+    from countrymaam_spark.operators.geotag import extract_geo_sql
+    from countrymaam_spark.operators.pip import zonal_stats, zonal_stats_sql
+
+    out = pg.fixture_dir("sf0.001")
+    p = os.path.join(out, "pages.parquet")
+    e = os.path.join(out, "polygon_edges.parquet")
+    pages = spark.read.parquet(p)
+    edges = spark.read.parquet(e)
+    got = sorted(
+        (r["poly_id"], r["n_pages"], r["n_domains"], r["n_langs"])
+        for r in zonal_stats(extract_geo(pages), edges, res=6).collect()
+    )
+    oracle = sorted(
+        duckdb.sql(zonal_stats_sql(f"({extract_geo_sql(chr(39) + p + chr(39))})", f"'{e}'")).fetchall()
+    )
+    assert got == oracle
+    # every polygon id appears exactly once (zeros kept)
+    n_polys = duckdb.sql(f"SELECT COUNT(DISTINCT poly_id) FROM '{e}'").fetchone()[0]
+    assert len(got) == n_polys
