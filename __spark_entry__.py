@@ -156,6 +156,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per-tile top-k rollup (WindowGroupLimit: ~k rows per tile shuffle)
     q["tile_top_pages"] = lambda s, d: tile_top_pages(_pages_geo(s, d), 6, k=3)
 
+    # per-tile top-k terms (text x geo: map-side token histogram, then rank)
+    def _tile_terms(s: SparkSession, d: str) -> DataFrame:
+        from countrymaam_spark.operators.tiles import tile_terms
+
+        return tile_terms(_pages_geo(s, d), 5, k=5)
+
+    q["tile_terms"] = _tile_terms
+
     # batch viewport range join: rectangles derived deterministically from
     # the query fixture; range predicates become a cover-cell hash equi-join
     def _viewports(s, d):
@@ -874,6 +882,9 @@ def oracle_sql() -> dict[str, str]:
     o["tile_quadkeys"] = quadkey_counts_sql(pg, 8)
     o["tile_domains"] = tile_domains_sql(pg, 6)
     o["tile_top_pages"] = tile_top_pages_sql(pg, 6, k=3)
+    from countrymaam_spark.operators.tiles import tile_terms_sql
+
+    o["tile_terms"] = tile_terms_sql(pg, 5, k=5)
     vp_rel = (
         f"(SELECT query_id AS view_id, lat - 1.5 AS lat_lo, lat + 1.5 AS lat_hi, "
         f"lon - 2.0 AS lon_lo, lon + 2.0 AS lon_hi FROM {q_rel})"

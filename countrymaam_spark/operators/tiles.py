@@ -333,6 +333,79 @@ def tile_top_pages_sql(pages_rel: str, z: int, k: int = 3) -> str:
     """
 
 
+def tile_terms(pages: DataFrame, z: int, k: int = 5) -> DataFrame:
+    """Per-tile top-``k`` terms by frequency: (z, xt, yt, rk, token, cnt) —
+    "what is talked about where", the text×geo rollup a map-search or
+    crawl-curation pipeline builds per tile.
+
+    Shape at scale: tokenization (JVM ``split``, no Python) explodes the
+    corpus ~|tokens|×, but the very next operator is a partial-aggregated
+    ``groupBy(xt, yt, token)`` — the map-side combine collapses each task's
+    token stream to its local (tile, token) histogram before the one hash
+    exchange, so the shuffle carries vocab-bounded rows, not token
+    occurrences.  The rank filter then compiles to WindowGroupLimit (~k rows
+    per tile past the second, tile-keyed exchange).  English stopwords and
+    single-char tokens are dropped (both engines, same list) so the rollup
+    surfaces discriminative terms.  Tie-break (cnt DESC, token ASC) keeps
+    engine and oracle rankings identical.
+    """
+    from pyspark.sql import Window
+
+    from countrymaam_spark.functions import text as T
+
+    xt, yt = _tile_cols(z)
+    sw = T.STOPWORDS["en"]
+    counts = (
+        pages.filter(F.col("lat").isNotNull())
+        .select(
+            xt.alias("xt"), yt.alias("yt"),
+            F.explode(T.tokens(F.col("text"))).alias("token"),
+        )
+        .filter((F.length("token") >= 2) & ~F.col("token").isin(*sw))
+        .groupBy("xt", "yt", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = counts.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("xt", "yt").orderBy(
+                F.col("cnt").desc(), F.col("token").asc()
+            )
+        ),
+    ).filter(F.col("rk") <= int(k))
+    return ranked.select(
+        F.lit(z).cast("int").alias("z"), "xt", "yt", "rk", "token", "cnt"
+    )
+
+
+def tile_terms_sql(pages_rel: str, z: int, k: int = 5) -> str:
+    from countrymaam_spark.functions import text as T
+
+    xt, yt = _tile_sql(z, "lat", "lon")
+    sw = ", ".join(f"'{w}'" for w in T.STOPWORDS["en"])
+    return f"""
+        SELECT CAST({z} AS INTEGER) AS z, xt, yt, rk, token, cnt
+        FROM (
+            SELECT xt, yt, token, cnt,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY xt, yt
+                       ORDER BY cnt DESC, token ASC
+                   ) AS rk
+            FROM (
+                SELECT xt, yt, token, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM (
+                    SELECT {xt} AS xt, {yt} AS yt,
+                           unnest({T.tokens_sql('text')}) AS token
+                    FROM {pages_rel} WHERE lat IS NOT NULL
+                ) e
+                WHERE LENGTH(token) >= 2 AND token NOT IN ({sw})
+                GROUP BY xt, yt, token
+            ) c
+        ) r
+        WHERE rk <= {int(k)}
+    """
+
+
 def update_quadkey_counts(
     counts_old: DataFrame, new_pages_geo: DataFrame, z: int
 ) -> DataFrame:

@@ -385,3 +385,28 @@ def test_zonal_stats_matches_oracle(spark):
     # every polygon id appears exactly once (zeros kept)
     n_polys = duckdb.sql(f"SELECT COUNT(DISTINCT poly_id) FROM '{e}'").fetchone()[0]
     assert len(got) == n_polys
+
+
+def test_tile_terms_matches_oracle(spark, geo_small):
+    """Per-tile top-k term ranking == DuckDB (same tokenizer, stopword list,
+    tie-break); plan retains the partial agg + WindowGroupLimit shape."""
+    from countrymaam_spark.operators.tiles import tile_terms, tile_terms_sql
+
+    out = pg.fixture_dir("sf0.001")
+    p = os.path.join(out, "pages.parquet")
+    pages = spark.read.parquet(p)
+    from countrymaam_spark.operators.geotag import extract_geo as _eg
+
+    df = tile_terms(_eg(pages), 5, k=5)
+    got = sorted(
+        (r["z"], r["xt"], r["yt"], r["rk"], r["token"], r["cnt"]) for r in df.collect()
+    )
+    oracle = sorted(
+        duckdb.sql(
+            tile_terms_sql(_PAGES_GEO_TEXT_SQL.format(p=p), 5, k=5)
+        ).fetchall()
+    )
+    assert got == oracle
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
