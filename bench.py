@@ -184,6 +184,10 @@ def main() -> None:
         "geocode_mentions",
         lambda: materialize(geocode_mentions(pages, PG.load_gazetteer(spark, sf_dir))),
     )
+    # text x geo: tokenize the wide scan, map-side (tile, token) combine
+    from countrymaam_spark.operators.tiles import tile_terms
+
+    timed("tile_terms", lambda: materialize(tile_terms(extract_geo(pages), 5, k=5)))
 
     # cell-index kNN serves from INDEX STATE: the geo snapshot above IS the
     # encoded corpus table (cell col at res 7), and the per-cell count stats
