@@ -101,6 +101,15 @@ HOTSPOT_RES = 9
 HOTSPOT_MIN_PTS = 10
 NEAR_PAIRS_KM = 1.0  # geo_near_pairs self-join threshold (clustered fixture)
 PARENT_RES = 4
+# fixed BM25 query batch (terms drawn from the documents fixture vocabulary;
+# query 3 carries an unseen term — it must drop at the df join, not error)
+BM25_QUERIES = [
+    (0, "hash join fast"),
+    (1, "customer order line"),
+    (2, "vector scan big table"),
+    (3, "stream window watermark"),
+    (4, "spark query sort merge join"),
+]
 
 
 def _pages_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,6 +373,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", T.fingerprint(F.col("text")).alias("fp")
     )
     q["doc_simhash"] = lambda s, d: dedup.simhash_docs(_docs(s, d))
+
+    # BM25 top-k retrieval: inverted-index postings + df + top-k serving
+    # (fixed literal query batch; exact integer-micro score accumulation)
+    def _bm25(s: SparkSession, d: str) -> DataFrame:
+        from countrymaam_spark.operators import search as SE
+
+        return SE.bm25_topk(s, _docs(s, d), BM25_QUERIES, k=10)
+
+    q["bm25_search"] = _bm25
 
     # --- dedup family ---
     q["dedup_exact"] = lambda s, d: dedup.exact_dup_groups(_docs(s, d))
@@ -936,6 +954,10 @@ def oracle_sql() -> dict[str, str]:
     )
     o["doc_fingerprint"] = f"SELECT doc_id, {T.fingerprint_sql('text')} AS fp FROM documents"
     o["doc_simhash"] = dedup.simhash_docs_sql("documents")
+
+    from countrymaam_spark.operators import search as SE
+
+    o["bm25_search"] = SE.bm25_topk_sql("documents", BM25_QUERIES, k=10)
 
     o["dedup_exact"] = dedup.exact_dup_groups_sql("documents")
     o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_sql("documents", tau=0.05)

@@ -1,0 +1,117 @@
+"""BM25 retrieval: exact semantics vs an independent pure-Python scorer,
+bit-parity vs the DuckDB oracle, and the serving-plan invariants (no
+nested-loop join, WindowGroupLimit top-k, gated query-side broadcast)."""
+
+import math
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from countrymaam_spark.operators import search as S
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+QUERIES = [
+    (0, "hash join fast"),
+    (1, "customer order line"),
+    (2, "stream window watermark"),  # watermark is unseen in the fixture
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS).cache()
+
+
+def _py_bm25(rows, queries, k=10, k1=S.K1, b=S.B):
+    """Independent scorer: plain dicts, same micro-unit rounding."""
+    toks = {
+        did: [t for t in re.split(S.T.TOKEN_SPLIT_RE, text.lower()) if t]
+        for did, text in rows
+    }
+    n = len(toks)
+    avgdl = sum(len(ts) for ts in toks.values()) / n
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    out = []
+    for qid, q in queries:
+        scores = {}
+        for term in S.tokenize_query(q):
+            if term not in df:
+                continue
+            idf = math.log(1.0 + (n - df[term] + 0.5) / (df[term] + 0.5))
+            for did, ts in toks.items():
+                tf = ts.count(term)
+                if not tf:
+                    continue
+                tfn = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (len(ts) / avgdl)))
+                scores[did] = scores.get(did, 0) + int(
+                    round(idf * tfn * 1_000_000.0)
+                )
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out.extend((qid, rk + 1, did, sc) for rk, (did, sc) in enumerate(ranked))
+    return set(out)
+
+
+def test_bm25_matches_python_scorer(spark):
+    rows = [
+        (1, "spark join hash join fast"),
+        (2, "slow scan of a big table"),
+        (3, "hash table hash hash"),
+        (4, "join order and sort merge join"),
+        (5, "nothing relevant here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        tuple(r)
+        for r in S.bm25_topk(spark, docs, QUERIES, k=10).collect()
+    }
+    assert got == _py_bm25(rows, QUERIES, k=10)
+
+
+def test_bm25_matches_oracle(spark, docs):
+    got = {tuple(r) for r in S.bm25_topk(spark, docs, QUERIES, k=10).collect()}
+    want = set(duckdb.sql(S.bm25_topk_sql(f"'{DOCS}'", QUERIES, k=10)).fetchall())
+    assert got == want
+    # query 2 still matches on its seen terms; a fully-unseen query would
+    # simply contribute no rows
+    assert any(r[0] == 2 for r in got)
+
+
+def test_bm25_all_unseen_query_returns_no_rows(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    out = S.bm25_topk(spark, docs, [(7, "zzz qqq")], k=5).collect()
+    assert out == []
+
+
+def test_bm25_plan_invariants(spark, docs):
+    """Serving plan: broadcast regime by default (tiny query-term table),
+    WindowGroupLimit for the top-k, and NEVER a nested-loop join — the
+    1-row stats join must ride a constant equi-key hash join."""
+    plan = (
+        S.bm25_topk(spark, docs, QUERIES, k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_shuffle_regime_same_rows(spark, docs):
+    """broadcast_limit=0 forces the at-volume regime: the query-term joins
+    become shuffle equi-joins (still no nested loop) and the result set is
+    identical."""
+    base = {tuple(r) for r in S.bm25_topk(spark, docs, QUERIES, k=10).collect()}
+    forced = S.bm25_topk(spark, docs, QUERIES, k=10, broadcast_limit=0)
+    plan = forced._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    got = {tuple(r) for r in forced.collect()}
+    assert got == base
