@@ -101,6 +101,9 @@ HOTSPOT_RES = 9
 HOTSPOT_MIN_PTS = 10
 NEAR_PAIRS_KM = 1.0  # geo_near_pairs self-join threshold (clustered fixture)
 PARENT_RES = 4
+# as-of instants for host_asof: fixture warc_ts starts 2024-10-16T00:00Z
+# (epoch 1729036800) and ticks 1 s/page — these land mid-corpus at sf0.01+
+ASOF_TS = [1729036800 + 1500, 1729036800 + 5000]
 # fixed BM25 query batch (terms drawn from the documents fixture vocabulary;
 # query 3 carries an unseen term — it must drop at the df join, not error)
 BM25_QUERIES = [
@@ -861,6 +864,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per-host aggregate stats (page count, langs, text volume, crawl window)
     q["host_stats"] = lambda s, d: WT.host_stats(PG.load_pages(s, d))
 
+    # keyed AS-OF join: newest-2 snapshots per host at two fixed instants
+    def _asof_queries(s: SparkSession, d: str) -> DataFrame:
+        hosts = (
+            PG.load_pages(s, d)
+            .select(F.regexp_extract("url", WT.HOST_RE, 1).alias("host"))
+            .distinct()
+        )
+        return hosts.select(
+            "host",
+            F.explode(
+                F.array(*[F.lit(t).cast("long") for t in ASOF_TS])
+            ).alias("asof_s"),
+        )
+
+    q["host_asof"] = lambda s, d: WT.host_asof_join(
+        PG.load_pages(s, d), _asof_queries(s, d), k=2
+    )
+
+    # URL canonicalization dedup: planted syntactic variants (#fragment,
+    # utm_ params, upper-case host, explicit :443) collapse onto their base
+    def _noisy_urls(s: SparkSession, d: str) -> DataFrame:
+        pages = PG.load_pages(s, d).select("url")
+        gi = F.regexp_extract("url", r"/([0-9]+)$", 1).cast("long")
+        host = F.regexp_extract("url", WT.HOST_RE, 1)
+        tail = F.regexp_replace("url", r"^https?://[^/]*", "")
+        m = (gi % 5).alias("m")
+        variant = (
+            F.when(gi % 5 == 0, F.concat(F.col("url"), F.lit("#section-2")))
+            .when(gi % 5 == 1, F.concat(F.col("url"), F.lit("?utm_source=feed&utm_campaign=a")))
+            .when(gi % 5 == 2, F.concat(F.lit("https://"), F.upper(host), tail))
+            .otherwise(F.concat(F.lit("https://"), host, F.lit(":443"), tail))
+        )
+        return pages.unionAll(
+            pages.filter(gi % 5 <= 3).select(variant.alias("url"))
+        )
+
+    q["url_canonical_dups"] = lambda s, d: WT.canonical_dup_groups(_noisy_urls(s, d))
+
     q["order_customer_join"] = lambda s, d: (
         s.read.parquet(os.path.join(d, "orders.parquet"))
         .join(
@@ -923,6 +964,33 @@ def oracle_sql() -> dict[str, str]:
     pages_raw = f"'{_fixture(ORACLE_SF, 'pages.parquet')}'"
     o["host_latest"] = WT.host_latest_sql(pages_raw, k=3)
     o["host_stats"] = WT.host_stats_sql(pages_raw)
+
+    asof_vals = ", ".join(f"(CAST({t} AS BIGINT))" for t in ASOF_TS)
+    asof_rel = f"""
+        SELECT host, asof_s
+        FROM (SELECT DISTINCT regexp_extract(url, '{WT.HOST_RE}', 1) AS host
+              FROM {pages_raw}) h
+        CROSS JOIN (VALUES {asof_vals}) t(asof_s)
+    """
+    o["host_asof"] = WT.host_asof_join_sql(pages_raw, asof_rel, k=2)
+
+    noisy_rel = f"""(
+        SELECT url FROM {pages_raw}
+        UNION ALL
+        SELECT CASE m
+                 WHEN 0 THEN url || '#section-2'
+                 WHEN 1 THEN url || '?utm_source=feed&utm_campaign=a'
+                 WHEN 2 THEN 'https://' || upper(regexp_extract(url, '{WT.HOST_RE}', 1))
+                             || regexp_replace(url, '^https?://[^/]*', '')
+                 ELSE 'https://' || regexp_extract(url, '{WT.HOST_RE}', 1) || ':443'
+                      || regexp_replace(url, '^https?://[^/]*', '')
+               END AS url
+        FROM (SELECT url,
+                     CAST(regexp_extract(url, '/([0-9]+)$', 1) AS BIGINT) % 5 AS m
+              FROM {pages_raw})
+        WHERE m <= 3
+    ) AS noisy"""
+    o["url_canonical_dups"] = WT.canonical_dup_groups_sql(noisy_rel)
     gaz_rel = f"'{_fixture(ORACLE_SF, 'gazetteer.parquet')}'"
     o["geocode_mentions"] = geocode_mentions_sql(pages_raw, gaz_rel)
     o["geocode_quality"] = geocode_quality_sql(pg, gaz_rel)

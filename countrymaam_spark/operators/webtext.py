@@ -23,7 +23,7 @@ the DuckDB oracle is bit-identical regardless of partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HOST_RE = r"^https?://([^/]+)"  # same pattern as geotag.domain_spread
@@ -111,4 +111,134 @@ def host_stats_sql(pages_rel: str) -> str:
                MAX(CAST(floor(epoch(warc_ts)) AS BIGINT)) AS last_ts_s
         FROM {pages_rel}
         GROUP BY 1
+    """
+
+
+def host_asof_join(pages: DataFrame, asof: DataFrame, k: int = 1) -> DataFrame:
+    """Keyed AS-OF join: for each (host, asof_s) query row, the newest-k
+    snapshots from that host fetched AT OR BEFORE asof_s.
+    -> (host, asof_s, rn, url, ts_s).
+
+    The as-of join Spark lacks as a primitive, in its keyed (point-lookup)
+    form — "what did this host look like at time T" over a Common-Crawl
+    snapshot history.  Shape at scale: a hash equi-join on host (the query
+    side is the small one and rides the adaptive gate at the call sites
+    that own a size estimate; un-hinted here so AQE sizes it), the
+    non-equi ts predicate applied post-join, then a rank filter that
+    compiles to WindowGroupLimit — ~k rows per (host, asof_s) survive each
+    map task before the exchange, so the shuffle carries O(|queries| * k),
+    not one row per candidate snapshot.  Tie-break (ts_s DESC, url DESC)
+    matches host_latest.
+
+    ``asof`` columns: (host string, asof_s long — epoch seconds).
+    """
+    host = F.regexp_extract(F.col("url"), HOST_RE, 1)
+    snaps = pages.select(
+        host.alias("host"),
+        "url",
+        F.unix_timestamp(F.col("warc_ts")).cast("long").alias("ts_s"),
+    )
+    w = Window.partitionBy("host", "asof_s").orderBy(
+        F.col("ts_s").desc(), F.col("url").desc()
+    )
+    return (
+        snaps.join(asof.select("host", "asof_s"), "host")
+        .filter(F.col("ts_s") <= F.col("asof_s"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= int(k))
+        .select("host", "asof_s", "rn", "url", "ts_s")
+    )
+
+
+def host_asof_join_sql(pages_rel: str, asof_rel: str, k: int = 1) -> str:
+    """DuckDB oracle: identical join + window + rank filter."""
+    return f"""
+        SELECT host, asof_s, rn, url, ts_s FROM (
+            SELECT s.host, a.asof_s, s.url, s.ts_s,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY s.host, a.asof_s
+                       ORDER BY s.ts_s DESC, s.url DESC
+                   ) AS BIGINT) AS rn
+            FROM (
+                SELECT regexp_extract(url, '{HOST_RE}', 1) AS host, url,
+                       CAST(floor(epoch(warc_ts)) AS BIGINT) AS ts_s
+                FROM {pages_rel}
+            ) s
+            JOIN ({asof_rel}) a ON s.host = a.host
+            WHERE s.ts_s <= a.asof_s
+        ) r WHERE rn <= {int(k)}
+    """
+
+
+# --- URL canonicalization -------------------------------------------------
+# The dedup a crawler runs BEFORE fetching: a URL's syntactic variants
+# (fragment, utm_* tracking params, default port, trailing slash, host
+# case) all name the same resource.  Pure column regex chains — JVM-side,
+# no Python — mirrored step-for-step in the oracle.
+
+def canonical_url(url: Column) -> Column:
+    """Normalize: strip #fragment, utm_* params, default :80/:443 port,
+    trailing slash (path only), lowercase scheme+host."""
+    u = F.regexp_replace(url, r"#.*$", "")                    # fragment
+    # mid-position utm_ params; applied twice so CONSECUTIVE utm params
+    # (scan resumes after each match in both engines) still collapse
+    u = F.regexp_replace(u, r"([?&])utm_[^&]*&", "$1")
+    u = F.regexp_replace(u, r"([?&])utm_[^&]*&", "$1")
+    u = F.regexp_replace(u, r"[?&]utm_[^&]*$", "")            # utm_ last
+    u = F.regexp_replace(u, r"\?$", "")                       # bare ?
+    u = F.regexp_replace(u, r"^(https?://[^/]*):(?:80|443)(/|$)", "$1$2")
+    u = F.regexp_replace(u, r"^(https?://[^/?#]+/[^?#]*?)/$", "$1")
+    # lowercase the scheme+host part only
+    head = F.lower(F.regexp_extract(u, r"^(https?://[^/]*)", 1))
+    tail = F.regexp_replace(u, r"^https?://[^/]*", "")
+    return F.concat(head, tail)
+
+
+def canonical_url_sql(url: str) -> str:
+    """DuckDB mirror (RE2 replacement refs are \\1; 'g' only where Spark
+    regexp_replace is global — DuckDB replaces FIRST match by default)."""
+    u = f"regexp_replace({url}, '#.*$', '')"
+    u = f"regexp_replace({u}, '([?&])utm_[^&]*&', '\\1', 'g')"
+    u = f"regexp_replace({u}, '([?&])utm_[^&]*&', '\\1', 'g')"
+    u = f"regexp_replace({u}, '[?&]utm_[^&]*$', '')"
+    u = f"regexp_replace({u}, '\\?$', '')"
+    u = f"regexp_replace({u}, '^(https?://[^/]*):(?:80|443)(/|$)', '\\1\\2')"
+    u = f"regexp_replace({u}, '^(https?://[^/?#]+/[^?#]*?)/$', '\\1')"
+    head = f"lower(regexp_extract({u}, '^(https?://[^/]*)', 1))"
+    tail = f"regexp_replace({u}, '^https?://[^/]*', '')"
+    return f"({head} || {tail})"
+
+
+def canonical_dup_groups(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Group syntactic URL variants: (canon, n_variants, url) for every
+    canonical form with >= 2 distinct raw variants; the kept row per group
+    is the lexicographically-smallest raw url (deterministic pick).
+
+    One hash shuffle on the canonical string; map-side combine collapses
+    per-task variant lists first.  At 10^12 pages this is the same shape
+    as exact dedup (sha-groupBy) with the canonicalizer as the key fn.
+    """
+    canon = canonical_url(F.col(url_col))
+    return (
+        pages.select(canon.alias("canon"), F.col(url_col).alias("raw"))
+        .groupBy("canon")
+        .agg(
+            F.countDistinct("raw").alias("n_variants"),
+            F.min("raw").alias("url"),
+        )
+        .filter(F.col("n_variants") >= 2)
+        .select("canon", F.col("n_variants").cast("long").alias("n_variants"), "url")
+    )
+
+
+def canonical_dup_groups_sql(pages_rel: str, url_col: str = "url") -> str:
+    canon = canonical_url_sql(url_col)
+    return f"""
+        SELECT canon, CAST(n_variants AS BIGINT) AS n_variants, url FROM (
+            SELECT {canon} AS canon,
+                   COUNT(DISTINCT {url_col}) AS n_variants,
+                   MIN({url_col}) AS url
+            FROM {pages_rel}
+            GROUP BY 1
+        ) g WHERE n_variants >= 2
     """

@@ -47,3 +47,98 @@ def test_host_stats_matches_oracle(spark):
     # sanity: counts conserve the corpus
     total = got.agg(F.sum("n_pages")).first()[0]
     assert total == pg.SF_ROWS["sf0.001"]
+
+
+def test_host_asof_join_matches_oracle(spark):
+    p = _pages_path()
+    pages = spark.read.parquet(p)
+    hosts = pages.select(
+        F.regexp_extract("url", WT.HOST_RE, 1).alias("host")
+    ).distinct()
+    t1, t2 = 1729036800 + 300, 1729036800 + 1200
+    asof = hosts.select(
+        "host",
+        F.explode(F.array(F.lit(t1).cast("long"), F.lit(t2).cast("long"))).alias(
+            "asof_s"
+        ),
+    )
+    got = WT.host_asof_join(pages, asof, k=2)
+    cols = ["host", "asof_s", "rn", "url", "ts_s"]
+    asof_rel = f"""
+        SELECT host, asof_s
+        FROM (SELECT DISTINCT regexp_extract(url, '{WT.HOST_RE}', 1) AS host
+              FROM '{p}') h
+        CROSS JOIN (VALUES (CAST({t1} AS BIGINT)), (CAST({t2} AS BIGINT))) t(asof_s)
+    """
+    oracle = sorted(duckdb.sql(WT.host_asof_join_sql(f"'{p}'", asof_rel, k=2)).fetchall())
+    rows = _rows(got, cols)
+    assert rows == oracle
+    # as-of semantics: every returned snapshot is at or before its instant
+    assert all(r[4] <= r[1] for r in rows)
+    assert rows  # fixture starts at the epoch base, so t1 must match rows
+
+
+def test_host_asof_plan_is_window_group_limit(spark):
+    p = _pages_path()
+    pages = spark.read.parquet(p)
+    asof = pages.select(
+        F.regexp_extract("url", WT.HOST_RE, 1).alias("host")
+    ).distinct().select("host", F.lit(1729036900).cast("long").alias("asof_s"))
+    plan = (
+        WT.host_asof_join(pages, asof, k=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_canonical_url_variants_collapse(spark):
+    base = "https://site0001.example/a/b"
+    variants = [
+        base + "#frag",
+        base + "?utm_source=x",
+        base + "?utm_source=x&utm_campaign=y",
+        base + "?utm_source=x&utm_medium=m&utm_campaign=y",
+        "https://SITE0001.EXAMPLE/a/b",
+        "https://site0001.example:443/a/b",
+        base + "/",
+    ]
+    df = spark.createDataFrame([(u,) for u in [base] + variants], "url string")
+    got = [r[0] for r in df.select(WT.canonical_url(F.col("url"))).collect()]
+    assert got == [base] * len(got)
+    # the DuckDB mirror canonicalizes identically
+    want = [
+        duckdb.sql(f"SELECT {WT.canonical_url_sql(repr(u))}").fetchone()[0]
+        for u in [base] + variants
+    ]
+    assert want == [base] * len(want)
+
+
+def test_canonical_url_preserves_meaningful_parts(spark):
+    keep = [
+        "https://site.example/a?page=2",          # real query param
+        "https://site.example:8080/a",            # non-default port
+        "https://site.example/a/b",               # no trailing slash
+        "http://site.example/a",                  # scheme kept
+    ]
+    df = spark.createDataFrame([(u,) for u in keep], "url string")
+    got = [r[0] for r in df.select(WT.canonical_url(F.col("url"))).collect()]
+    assert got == keep
+
+
+def test_canonical_dup_groups_matches_oracle(spark):
+    rows = [
+        ("https://a.example/x",),
+        ("https://a.example/x#f",),
+        ("https://a.example/x?utm_source=s",),
+        ("https://b.example/y",),
+        ("https://b.example/z",),  # no variants -> not a dup group
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = {tuple(r) for r in WT.canonical_dup_groups(df).collect()}
+    assert got == {("https://a.example/x", 3, "https://a.example/x")}
+    vals = ", ".join(f"({u!r})" for (u,) in rows)
+    rel = f"(SELECT * FROM (VALUES {vals}) v(url)) AS urls"
+    want = set(duckdb.sql(WT.canonical_dup_groups_sql(rel)).fetchall())
+    assert got == want
