@@ -902,6 +902,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_canonical_dups"] = lambda s, d: WT.canonical_dup_groups(_noisy_urls(s, d))
 
+    # host-graph PageRank (crawl prioritization): 5 damped iterations in
+    # exact BIGINT micro-units over the portable-hash-synthesized host graph
+    def _host_pagerank(s: SparkSession, d: str) -> DataFrame:
+        from countrymaam_spark.operators import linkgraph as LG
+
+        return LG.pagerank(LG.host_edges(PG.load_pages(s, d), fanout=3), iters=5)
+
+    q["host_pagerank"] = _host_pagerank
+
     q["order_customer_join"] = lambda s, d: (
         s.read.parquet(os.path.join(d, "orders.parquet"))
         .join(
@@ -991,6 +1000,10 @@ def oracle_sql() -> dict[str, str]:
         WHERE m <= 3
     ) AS noisy"""
     o["url_canonical_dups"] = WT.canonical_dup_groups_sql(noisy_rel)
+
+    from countrymaam_spark.operators import linkgraph as LG
+
+    o["host_pagerank"] = LG.pagerank_sql(LG.host_edges_sql(pages_raw, fanout=3), iters=5)
     gaz_rel = f"'{_fixture(ORACLE_SF, 'gazetteer.parquet')}'"
     o["geocode_mentions"] = geocode_mentions_sql(pages_raw, gaz_rel)
     o["geocode_quality"] = geocode_quality_sql(pg, gaz_rel)
