@@ -68,10 +68,14 @@ def pagerank(
     edges add rank proportionally), self-loops allowed.
     """
     base = (100 - damp_pct) * scale // 100
-    nodes = _nodes(edges)
+    # nodes and the degree-annotated edges are re-joined EVERY round: pin
+    # them once.  localCheckpoint, not .cache() — checkpoint blocks are
+    # GC-released, cached plans leak executor storage from a lazily-
+    # returned plan (same policy as graph.py's loop tables).
+    nodes = _nodes(edges).localCheckpoint(eager=False)
     odeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
     # denormalize out-degree onto the edges once; every round reuses it
-    e = edges.join(odeg, "src")
+    e = edges.join(odeg, "src").localCheckpoint(eager=False)
 
     r = nodes.select("node", F.lit(scale).cast("long").alias("r"))
     for i in range(iters):
