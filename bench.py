@@ -189,6 +189,37 @@ def main() -> None:
 
     timed("tile_terms", lambda: materialize(tile_terms(extract_geo(pages), 5, k=5)))
 
+    # retrieval + link-graph additive stages (round 4): BM25 serves straight
+    # from raw docs here (index build + serve in one timing — the deployment
+    # shape persists the postings and pays only the serve side); PageRank
+    # runs 5 exact-integer rounds over the host graph; the two URL stages
+    # scan the raw pages table (honest wide-scan cost)
+    from countrymaam_spark.operators import linkgraph as LGm
+    from countrymaam_spark.operators import search as SEm
+
+    bm25_qs = [
+        (0, "hash join fast"),
+        (1, "customer order line"),
+        (2, "vector scan big table"),
+        (3, "stream window watermark"),
+        (4, "spark query sort merge join"),
+    ]
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(docs_path):
+        docs = spark.read.parquet(docs_path)
+        timed(
+            "bm25_search",
+            lambda: materialize(SEm.bm25_topk(spark, docs, bm25_qs, k=10)),
+        )
+    timed(
+        "host_pagerank",
+        lambda: materialize(LGm.pagerank(LGm.host_edges(pages, fanout=3), iters=5)),
+    )
+    timed(
+        "url_canonical_dups",
+        lambda: materialize(WT.canonical_dup_groups(pages.select("url"))),
+    )
+
     # cell-index kNN serves from INDEX STATE: the geo snapshot above IS the
     # encoded corpus table (cell col at res 7), and the per-cell count stats
     # are built once here (timed as build work, counted in the pipeline

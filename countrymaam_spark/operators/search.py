@@ -126,28 +126,49 @@ def bm25_topk(
     Unseen query terms drop at the df inner join (standard BM25).
     """
     post = build_postings(docs)
+    # corpus stats (N, sum of lengths): ONE bounded 1-row collect at plan
+    # time.  In a deployed index these two numbers are part of the persisted
+    # index state (build_text_pipeline's text_stats stage, like the IVF
+    # centroid counts); inlining them as literals keeps the serving plan
+    # join-free here — the constant-key alternative folds back into a
+    # nested-loop cross join under Catalyst's constant propagation.
+    srow = doc_lengths(docs).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).first()
+    n_docs, sum_dl = int(srow[0]), int(srow[1] or 0)
+    return bm25_topk_from_state(
+        spark, post, term_df(post), n_docs, sum_dl, queries,
+        k=k, k1=k1, b=b, broadcast_limit=broadcast_limit,
+    )
+
+
+def bm25_topk_from_state(
+    spark: SparkSession,
+    post: DataFrame,
+    tdf: DataFrame,
+    n_docs: int,
+    sum_dl: int,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    broadcast_limit: int | None = None,
+) -> DataFrame:
+    """Serve BM25 from PERSISTED index state (postings + df tables from
+    ``plans.pipeline.build_text_pipeline`` and the two stats scalars): the
+    deployment path — the corpus is tokenized once at build; queries join
+    the stored postings.  Same result as ``bm25_topk`` (pytest-pinned)."""
+    if n_docs == 0:
+        return spark.createDataFrame(
+            [], "query_id long, rk long, doc_id long, score_micro long"
+        )
     qt = _query_table(spark, queries)
     # the caller hands us the query batch, so its size is known exactly —
     # the gate threads it through without any count job
     n_qt = sum(len(tokenize_query(q)) for _, q in queries)
 
-    # corpus stats (N, sum of lengths): ONE bounded 1-row collect at plan
-    # time.  In a deployed index these two numbers are part of the persisted
-    # index state (computed once at build, like the IVF centroid counts);
-    # inlining them as literals keeps the serving plan join-free here —
-    # the constant-key alternative folds back into a nested-loop cross
-    # join under Catalyst's constant propagation.
-    srow = doc_lengths(docs).agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).first()
-    n_docs, sum_dl = int(srow[0]), int(srow[1] or 0)
-    if n_docs == 0:
-        return spark.createDataFrame(
-            [], "query_id long, rk long, doc_id long, score_micro long"
-        )
-
     # df restricted to the query's terms: vocab rows -> |query terms| rows
-    dfq = term_df(post).join(
+    dfq = tdf.join(
         gate_broadcast(qt.select("term").distinct(), n_qt, broadcast_limit), "term"
     )
 

@@ -551,6 +551,66 @@ def _cents_array(cents_df: DataFrame):
     return np.array([r["centroid"] for r in rows], dtype=np.float64)
 
 
+def build_text_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Save/Load for the BM25 text index: three Manifest stages — postings
+    (term, doc_id, tf, dl), per-term document frequency, and the 1-row
+    corpus stats (n_docs, sum_dl).  All three share ONE params dict, so a
+    tokenizer/column change can never resume a stale subset (the round-3
+    advisor's out-of-sync staleness).  The serving path
+    (``search.bm25_topk_from_state``) then tokenizes nothing: queries join
+    the stored postings directly.  At cluster scale the postings snapshot
+    is the table to BUCKET BY term (the Iceberg move; plain parquet here),
+    so the per-batch query join prunes files instead of scanning the index.
+    """
+    from countrymaam_spark.operators.search import (
+        build_postings,
+        doc_lengths,
+        term_df,
+    )
+
+    manifest = Manifest(out_dir)
+    params = {"id_col": id_col, "text_col": text_col}
+    post, sk1 = run_stage(
+        spark,
+        manifest,
+        "text_postings",
+        lambda: build_postings(docs, id_col, text_col),
+        params=params,
+    )
+    tdf, sk2 = run_stage(
+        spark, manifest, "text_df", lambda: term_df(post), params=params
+    )
+    stats, sk3 = run_stage(
+        spark,
+        manifest,
+        "text_stats",
+        lambda: doc_lengths(docs, id_col, text_col).agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+        ),
+        params=params,
+    )
+    return {
+        "text_postings": {"rows": post.count(), "skipped": sk1},
+        "text_df": {"rows": tdf.count(), "skipped": sk2},
+        "text_stats": {"rows": stats.count(), "skipped": sk3},
+    }
+
+
+def load_text_index(spark: SparkSession, out_dir: str):
+    """-> (postings DataFrame, df DataFrame, n_docs, sum_dl) for
+    ``search.bm25_topk_from_state``."""
+    post = spark.read.parquet(os.path.join(out_dir, "text_postings"))
+    tdf = spark.read.parquet(os.path.join(out_dir, "text_df"))
+    srow = spark.read.parquet(os.path.join(out_dir, "text_stats")).first()
+    return post, tdf, int(srow["n_docs"]), int(srow["sum_dl"] or 0)
+
+
 def load_ivf(spark: SparkSession, out_dir: str):
     """-> (assignment DataFrame, centroid ndarray) for ivf_knn_from_state."""
     cents = _cents_array(spark.read.parquet(os.path.join(out_dir, "ivf_centroids")))

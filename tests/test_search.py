@@ -115,3 +115,31 @@ def test_bm25_shuffle_regime_same_rows(spark, docs):
     assert "CartesianProduct" not in plan
     got = {tuple(r) for r in forced.collect()}
     assert got == base
+
+
+def test_text_pipeline_roundtrip_and_resume(spark, docs, tmp_path_factory):
+    """Persisted index serves identically to the in-session build; a rerun
+    resumes every stage; a params change invalidates ALL stages together."""
+    from countrymaam_spark.plans import pipeline as P
+
+    out = str(tmp_path_factory.mktemp("text_idx"))
+    r1 = P.build_text_pipeline(spark, docs, out)
+    assert all(not v["skipped"] for v in r1.values())
+
+    post, tdf, n_docs, sum_dl = P.load_text_index(spark, out)
+    served = {
+        tuple(r)
+        for r in S.bm25_topk_from_state(
+            spark, post, tdf, n_docs, sum_dl, QUERIES, k=10
+        ).collect()
+    }
+    direct = {tuple(r) for r in S.bm25_topk(spark, docs, QUERIES, k=10).collect()}
+    assert served == direct
+
+    r2 = P.build_text_pipeline(spark, docs, out)
+    assert all(v["skipped"] for v in r2.values())
+
+    # tokenize a different column -> every stage rebuilds (shared params key)
+    docs2 = docs.withColumn("text2", F.col("text"))
+    r3 = P.build_text_pipeline(spark, docs2, out, text_col="text2")
+    assert all(not v["skipped"] for v in r3.values())
