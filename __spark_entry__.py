@@ -836,6 +836,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_knn_serve"] = _stream_knn_serve
 
+    def _stream_bm25_serve(s: SparkSession, d: str) -> DataFrame:
+        """Streaming BM25 serving over PERSISTED index state: the text index
+        is built once (build_text_pipeline), then the query batch is replayed
+        as two file drops; each micro-batch runs the DataFrame-queries BM25
+        (search.bm25_topk_df — query tokenization stays in Spark) against the
+        loaded postings.  The union of streamed batches equals the one-shot
+        batch serve, so the bm25_search SQL oracle applies verbatim."""
+        import shutil
+        import tempfile
+
+        from countrymaam_spark.operators import search as SE
+        from countrymaam_spark.plans import pipeline as P
+        from countrymaam_spark.streaming import serve as SV
+
+        docs = _docs(s, d)
+        work = tempfile.mkdtemp(prefix="cm_bm25_serve_")
+        try:
+            idx = os.path.join(work, "idx")
+            P.build_text_pipeline(s, docs, idx)
+            post, tdf, n_docs, sum_dl = P.load_text_index(s, idx)
+
+            qdf = s.createDataFrame(BM25_QUERIES, "query_id long, qtext string")
+            qdir = os.path.join(work, "drops")
+            os.makedirs(qdir)
+            half = os.path.join(work, "half")
+            for i, pred in enumerate(
+                (F.col("query_id") % 2 == 0, F.col("query_id") % 2 == 1)
+            ):
+                qdf.filter(pred).coalesce(1).write.parquet(f"{half}{i}")
+                part = [
+                    f for f in os.listdir(f"{half}{i}") if f.endswith(".parquet")
+                ][0]
+                os.rename(
+                    os.path.join(f"{half}{i}", part),
+                    os.path.join(qdir, f"q{i}.parquet"),
+                )
+            qstream = (
+                s.readStream.schema(qdf.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(qdir)
+            )
+            sink = os.path.join(work, "served")
+            sq = SV.serve_knn_stream(
+                qstream,
+                lambda batch: SE.bm25_topk_df(
+                    s, post, tdf, n_docs, sum_dl, batch, k=10
+                ),
+                sink_dir=sink,
+                checkpoint_dir=os.path.join(work, "ckpt"),
+            )
+            SV.await_stream(sq, 600)
+            out = (
+                s.read.parquet(sink)
+                .select("query_id", "rk", "doc_id", "score_micro")
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        return out
+
+    q["stream_bm25_serve"] = _stream_bm25_serve
+
     q["region_revenue"] = lambda s, d: (
         s.read.parquet(os.path.join(d, "orders.parquet"))
         .join(
@@ -1172,6 +1234,7 @@ def oracle_sql() -> dict[str, str]:
     o["stream_sessionize"] = o["events_sessionize"]
     # streamed serving unions exact per-batch flat kNN -> the flat oracle
     o["stream_knn_serve"] = o["knn_flat"]
+    o["stream_bm25_serve"] = o["bm25_search"]
 
     o["region_revenue"] = """
         SELECT r_name, COUNT(*) AS n_orders,

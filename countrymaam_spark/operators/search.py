@@ -175,7 +175,14 @@ def bm25_topk_from_state(
     cand = post.join(gate_broadcast(qt, n_qt, broadcast_limit), "term").join(
         gate_broadcast(dfq, n_qt, broadcast_limit), "term"
     )
+    return _score_and_rank(cand, n_docs, sum_dl, k, k1, b)
 
+
+def _score_and_rank(
+    cand: DataFrame, n_docs: int, sum_dl: int, k: int, k1: float, b: float
+) -> DataFrame:
+    """Shared scoring tail: per-term micro contributions -> exact BIGINT
+    sum -> WindowGroupLimit top-k with (score DESC, doc_id ASC) ties."""
     n_d = F.lit(float(n_docs))
     df_d = F.col("df").cast("double")
     # same IEEE division the oracle performs on its own (identical) stats
@@ -201,6 +208,43 @@ def bm25_topk_from_state(
         .filter(F.col("rk") <= int(k))
         .select("query_id", "rk", "doc_id", "score_micro")
     )
+
+
+def bm25_topk_df(
+    spark: SparkSession,
+    post: DataFrame,
+    tdf: DataFrame,
+    n_docs: int,
+    sum_dl: int,
+    queries_df: DataFrame,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    broadcast_limit: int | None = None,
+) -> DataFrame:
+    """BM25 over a query DATAFRAME (query_id, qtext) — the streaming-serve
+    form: query tokenization runs in Spark (same JVM split as the corpus
+    side, ``array_distinct`` = the list API's dedupe), so a micro-batch of
+    queries never collects to the driver.  The broadcast estimate is one
+    tiny count on the exploded query-term table (never the corpus).
+    Results are identical to ``bm25_topk`` on the same (id, text) pairs
+    (pytest-pinned)."""
+    qt = queries_df.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.explode(F.array_distinct(T.tokens(F.col("qtext")))).alias("term"),
+    )
+    n_qt = qt.count()
+    if n_docs == 0 or n_qt == 0:
+        return spark.createDataFrame(
+            [], "query_id long, rk long, doc_id long, score_micro long"
+        )
+    dfq = tdf.join(
+        gate_broadcast(qt.select("term").distinct(), n_qt, broadcast_limit), "term"
+    )
+    cand = post.join(gate_broadcast(qt, n_qt, broadcast_limit), "term").join(
+        gate_broadcast(dfq, n_qt, broadcast_limit), "term"
+    )
+    return _score_and_rank(cand, n_docs, sum_dl, k, k1, b)
 
 
 def bm25_topk_sql(

@@ -143,3 +143,23 @@ def test_text_pipeline_roundtrip_and_resume(spark, docs, tmp_path_factory):
     docs2 = docs.withColumn("text2", F.col("text"))
     r3 = P.build_text_pipeline(spark, docs2, out, text_col="text2")
     assert all(not v["skipped"] for v in r3.values())
+
+
+def test_bm25_df_queries_match_list_queries(spark, docs):
+    """The DataFrame-queries (streaming-serve) form equals the list form."""
+    from countrymaam_spark.plans import pipeline as P
+
+    post = S.build_postings(docs)
+    tdf = S.term_df(post)
+    srow = S.doc_lengths(docs).agg(F.count(F.lit(1)), F.sum("dl")).first()
+    qdf = spark.createDataFrame(
+        [(q, t) for q, t in QUERIES], "query_id long, qtext string"
+    )
+    got = {
+        tuple(r)
+        for r in S.bm25_topk_df(
+            spark, post, tdf, int(srow[0]), int(srow[1]), qdf, k=10
+        ).collect()
+    }
+    want = {tuple(r) for r in S.bm25_topk(spark, docs, QUERIES, k=10).collect()}
+    assert got == want
