@@ -602,6 +602,65 @@ def build_text_pipeline(
     }
 
 
+def append_text_pipeline(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Incremental append for the text index: per-document postings are
+    independent, so NEW documents' rows parquet-append into the postings
+    snapshot (only the delta is tokenized — at 10^12 docs a rebuild
+    re-tokenizes the world; this touches the new rows); the df table
+    merges by exact integer sum per term (vocab-bounded overwrite) and the
+    1-row stats add.  Bit-equivalent to rebuilding over the union
+    (pytest-pinned).  Doc ids must be NEW — re-appending an existing id
+    double-counts; the dedup layer (exact sha / canonical-url groups) is
+    the upstream guard, same contract as the IVF append."""
+    from countrymaam_spark.operators.search import (
+        build_postings,
+        doc_lengths,
+        term_df,
+    )
+
+    manifest = Manifest(out_dir)
+    delta = build_postings(new_docs, id_col, text_col).localCheckpoint(eager=True)
+    delta.write.mode("append").parquet(os.path.join(out_dir, "text_postings"))
+    post = _refresh_stage_entry(spark, manifest, "text_postings")
+
+    tdf_path = os.path.join(out_dir, "text_df")
+    merged = (
+        spark.read.parquet(tdf_path)
+        .unionByName(term_df(delta))
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .localCheckpoint(eager=True)  # a lazy plan cannot overwrite its input
+    )
+    merged.write.mode("overwrite").parquet(tdf_path)
+    tdf = _refresh_stage_entry(spark, manifest, "text_df")
+
+    stats_path = os.path.join(out_dir, "text_stats")
+    old = spark.read.parquet(stats_path).first()
+    srow = doc_lengths(new_docs, id_col, text_col).agg(
+        F.count(F.lit(1)), F.sum("dl")
+    ).first()
+    spark.createDataFrame(
+        [
+            (
+                int(old["n_docs"]) + int(srow[0]),
+                int(old["sum_dl"] or 0) + int(srow[1] or 0),
+            )
+        ],
+        "n_docs long, sum_dl long",
+    ).write.mode("overwrite").parquet(stats_path)
+    _refresh_stage_entry(spark, manifest, "text_stats")
+    return {
+        "text_postings": {"rows": post.count(), "appended": delta.count()},
+        "text_df": {"rows": tdf.count()},
+    }
+
+
 def load_text_index(spark: SparkSession, out_dir: str):
     """-> (postings DataFrame, df DataFrame, n_docs, sum_dl) for
     ``search.bm25_topk_from_state``."""

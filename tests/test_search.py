@@ -163,3 +163,30 @@ def test_bm25_df_queries_match_list_queries(spark, docs):
     }
     want = {tuple(r) for r in S.bm25_topk(spark, docs, QUERIES, k=10).collect()}
     assert got == want
+
+
+def test_text_pipeline_append_equals_rebuild(spark, docs, tmp_path_factory):
+    """Build on half the corpus, append the other half: serving from the
+    appended state is bit-equivalent to building on the full corpus."""
+    from countrymaam_spark.plans import pipeline as P
+
+    out = str(tmp_path_factory.mktemp("text_idx_append"))
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    P.build_text_pipeline(spark, first, out)
+    r = P.append_text_pipeline(spark, second, out)
+    assert r["text_postings"]["appended"] > 0
+
+    post, tdf, n_docs, sum_dl = P.load_text_index(spark, out)
+    got = {
+        tuple(x)
+        for x in S.bm25_topk_from_state(
+            spark, post, tdf, n_docs, sum_dl, QUERIES, k=10
+        ).collect()
+    }
+    want = {tuple(x) for x in S.bm25_topk(spark, docs, QUERIES, k=10).collect()}
+    assert got == want
+
+    # the refreshed manifest accepts the appended snapshot: no rebuild
+    r2 = P.build_text_pipeline(spark, docs, out)  # same params key
+    assert all(v["skipped"] for v in r2.values())
