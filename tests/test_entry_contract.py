@@ -1,6 +1,7 @@
 """Driver-contract sanity: entry() runs, queries()/oracle_sql() are
 consistent, and a fast representative subset matches DuckDB at sf0.01.
-(The full 25-query parity sweep is scripts/driver_sim.py — run pre-commit.)"""
+(The full parity sweep over every registered query is scripts/driver_sim.py
+— run pre-commit.)"""
 
 import datetime
 import os
