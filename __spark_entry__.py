@@ -402,6 +402,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_curated"] = lambda s, d: dedup.curate_docs(
         _docs(s, d), langs=("en",), min_quality=0.3, tau=0.8
     )
+    # span-level dedup (Lee et al. 2021 shape): per-doc duplicated L-gram
+    # coverage + the merged duplicated intervals a span-removal pass consumes
+    q["doc_dup_spans"] = lambda s, d: dedup.dup_span_stats(_docs(s, d), L=8)
+    q["doc_dup_intervals"] = lambda s, d: dedup.dup_span_intervals(_docs(s, d), L=8)
 
     # --- embedding similarity over the driver embeddings table ---
     def _emb(s: SparkSession, d: str) -> DataFrame:
@@ -1129,6 +1133,8 @@ def oracle_sql() -> dict[str, str]:
         "documents",
         dedup.ngram_jaccard_pairs_sql("documents", tau=0.8, max_shingle_freq=None),
     )
+    o["doc_dup_spans"] = dedup.dup_span_stats_sql("documents", L=8)
+    o["doc_dup_intervals"] = dedup.dup_span_intervals_sql("documents", L=8)
 
     emb_q = "(SELECT * FROM embeddings WHERE vec_id < 8)"
     o["embed_knn_l2"] = ann.brute_knn_sql("embeddings", emb_q, k=5)

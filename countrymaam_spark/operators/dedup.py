@@ -471,3 +471,198 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# Span-level (substring) dedup — Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better" (public): the unit of duplication is a
+# token SPAN, not a whole document. Boilerplate (headers, licenses, templated
+# paragraphs) duplicates across documents that are NOT near-duplicates as
+# wholes, so doc-level MinHash/SimHash never sees it. The paper finds
+# duplicated substrings with a suffix array; the scalable distributed
+# equivalent is rolling L-token grams (every duplicated substring of length
+# >= L contains a duplicated L-gram, so L-gram coverage is exactly substring
+# coverage at resolution L).
+#
+# Scale shape: explode |docs| x |grams| rows (same order as the shingle
+# inverted index above), ONE hash groupBy on the gram for occurrence counts
+# (map-side partial agg absorbs hot boilerplate grams), one equi-join back,
+# one per-doc window. No pair matrix, no cross join; the per-doc window
+# partitions by doc_id, whose width is bounded by the longest document, not
+# by gram popularity. Exactness: grams are compared by their full text (not
+# a lossy hash), so "duplicated" is exact; at 100 TB the groupBy key can be
+# swapped for xxhash64(gram) to shrink the exchange at the cost of a
+# ~2^-64 collision (the candidates-then-verify upgrade would re-check gram
+# text inside each hash bucket).
+# --------------------------------------------------------------------------
+
+
+def _gram_starts(
+    docs: DataFrame, L: int, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """-> (per-doc base (did, n_tok), gram table (did, n_tok, p, g)): every
+    L-token rolling gram with its 0-based start position p. Grams are built
+    inside ``transform`` BEFORE the explode so the token array itself never
+    fans out |grams|-fold."""
+    base = (
+        docs.select(F.col(id_col).alias("did"), T.tokens(F.col(text_col)).alias("toks"))
+        .withColumn("n_tok", F.size("toks").cast("long"))
+    )
+    gram_arr = F.transform(
+        F.sequence(F.lit(0), (F.col("n_tok") - F.lit(L)).cast("int")),
+        lambda p: F.concat_ws(" ", F.slice(F.col("toks"), p + F.lit(1), L)),
+    )
+    grams = (
+        base.filter(F.col("n_tok") >= L)
+        .select("did", "n_tok", F.posexplode(gram_arr).alias("p", "g"))
+        .withColumn("p", F.col("p").cast("long"))
+    )
+    return base.select("did", "n_tok"), grams
+
+
+def dup_span_stats(
+    docs: DataFrame, L: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (doc_id, n_tok, n_grams, dup_grams, covered_tokens, dup_frac):
+    per-document duplicated-span coverage at gram length L.
+
+    A gram occurrence is "duplicated" iff its L-token text occurs >= 2 times
+    corpus-wide (any document, any position — self-repeats count, exactly as
+    in the suffix-array formulation). ``covered_tokens`` is the size of the
+    UNION of the duplicated intervals [p, p+L-1]: with starts sorted, each
+    start contributes min(L, next_start - p), the classic fixed-width
+    interval-union identity — no interval list is ever materialized.
+    ``dup_frac`` = covered_tokens / n_tok is the fraction of the document
+    that is corpus-duplicated text, the quantity a curation pipeline
+    thresholds on. Every doc gets a row (zeros when nothing duplicates or
+    the doc is shorter than L). Deterministic; no RNG anywhere."""
+    base, grams = _gram_starts(docs, L, id_col, text_col)
+    # occurrence counts via groupBy+join, NOT a window over the gram: a
+    # boilerplate gram shared by millions of docs would make a single
+    # window partition; partial aggregation has no such hot task
+    freq = grams.groupBy("g").agg(F.count("*").alias("occ"))
+    dup = grams.join(freq.filter(F.col("occ") >= 2).select("g"), "g").select("did", "p")
+    w = Window.partitionBy("did").orderBy("p")
+    cov = (
+        dup.withColumn("nxt", F.lead("p").over(w))
+        .groupBy("did")
+        .agg(
+            F.count("*").alias("dup_grams"),
+            F.sum(
+                F.least(F.lit(L).cast("long"), F.coalesce(F.col("nxt") - F.col("p"), F.lit(L).cast("long")))
+            ).alias("covered_tokens"),
+        )
+    )
+    return (
+        base.join(cov, "did", "left")
+        .select(
+            F.col("did").alias(id_col),
+            "n_tok",
+            F.greatest(F.col("n_tok") - F.lit(L - 1), F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce(F.col("dup_grams"), F.lit(0)).cast("long").alias("dup_grams"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long").alias("covered_tokens"),
+            F.coalesce(
+                F.round(F.col("covered_tokens") / F.col("n_tok"), 4), F.lit(0.0)
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def _dup_span_grams_sql(docs_rel: str, L: int, id_col: str, text_col: str) -> str:
+    """Shared oracle CTE prefix: b2 (did, n_tok) + grams (did, n_tok, p, g)."""
+    toks = T.tokens_sql(text_col)
+    return f"""
+        base AS (
+            SELECT {id_col} AS did, {toks} AS toks FROM {docs_rel}
+        ), b2 AS (
+            SELECT did, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM base
+        ), g1 AS (
+            SELECT did, n_tok,
+                   unnest(list_transform(range(0, n_tok - {L} + 1),
+                          p -> {{'p': p, 'g': array_to_string(toks[(p+1):(p+{L})], ' ')}})) AS u
+            FROM b2 WHERE n_tok >= {L}
+        ), grams AS (
+            SELECT did, n_tok, CAST(u.p AS BIGINT) AS p, u.g AS g FROM g1
+        )"""
+
+
+def dup_span_stats_sql(
+    docs_rel: str, L: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    return f"""
+        WITH {_dup_span_grams_sql(docs_rel, L, id_col, text_col)}, freq AS (
+            SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+        ), d2 AS (
+            SELECT grams.did, p,
+                   LEAD(p) OVER (PARTITION BY grams.did ORDER BY p) AS nxt
+            FROM grams JOIN freq USING (g)
+        ), cov AS (
+            SELECT did, CAST(COUNT(*) AS BIGINT) AS dup_grams,
+                   CAST(SUM(LEAST({L}, COALESCE(nxt - p, {L}))) AS BIGINT) AS covered_tokens
+            FROM d2 GROUP BY did
+        )
+        SELECT b.did AS {id_col}, b.n_tok,
+               GREATEST(b.n_tok - {L - 1}, 0) AS n_grams,
+               COALESCE(c.dup_grams, 0) AS dup_grams,
+               COALESCE(c.covered_tokens, 0) AS covered_tokens,
+               COALESCE(ROUND(CAST(c.covered_tokens AS DOUBLE) / b.n_tok, 4), 0.0) AS dup_frac
+        FROM b2 b LEFT JOIN cov c USING (did)
+    """
+
+
+def dup_span_intervals(
+    docs: DataFrame, L: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (doc_id, span_start, span_end, n_grams): the MERGED maximal
+    duplicated token intervals per document — the rows a span-removal pass
+    consumes (keep the canonical occurrence, cut the rest). Two duplicated
+    grams merge iff their [p, p+L-1] intervals overlap or touch, i.e. the
+    start gap is <= L — gaps-and-islands over the per-doc window, so the
+    only shuffles are the stats path's gram groupBy plus the same per-doc
+    exchange (the island id is a running sum over the already-sorted
+    window). span_end is inclusive."""
+    _, grams = _gram_starts(docs, L, id_col, text_col)
+    freq = grams.groupBy("g").agg(F.count("*").alias("occ"))
+    dup = grams.join(freq.filter(F.col("occ") >= 2).select("g"), "g").select("did", "p")
+    w = Window.partitionBy("did").orderBy("p")
+    isl = (
+        dup.withColumn("prv", F.lag("p").over(w))
+        .withColumn(
+            "brk",
+            F.when(F.col("prv").isNull() | (F.col("p") - F.col("prv") > L), 1).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        isl.groupBy("did", "island")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + F.lit(L - 1)).alias("span_end"),
+            F.count("*").cast("long").alias("n_grams"),
+        )
+        .select(F.col("did").alias(id_col), "span_start", "span_end", "n_grams")
+    )
+
+
+def dup_span_intervals_sql(
+    docs_rel: str, L: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    return f"""
+        WITH {_dup_span_grams_sql(docs_rel, L, id_col, text_col)}, freq AS (
+            SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+        ), d2 AS (
+            SELECT grams.did, p,
+                   LAG(p) OVER (PARTITION BY grams.did ORDER BY p) AS prv
+            FROM grams JOIN freq USING (g)
+        ), isl AS (
+            SELECT did, p,
+                   SUM(CASE WHEN prv IS NULL OR p - prv > {L} THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY did ORDER BY p
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            FROM d2
+        )
+        SELECT did AS {id_col}, MIN(p) AS span_start,
+               MAX(p) + {L - 1} AS span_end,
+               CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM isl GROUP BY did, island
+    """

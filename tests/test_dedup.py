@@ -209,3 +209,84 @@ def test_dup_components_raises_on_truncation(spark):
     pairs = spark.createDataFrame([(1, 2, 1.0), (2, 3, 1.0)], "id_a long, id_b long, jac double")
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.dup_components(docs, pairs, max_iter=0)
+
+
+# --- span-level dedup (duplicated L-gram coverage, Lee et al. 2021 shape) ---
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    """Planted span duplication, token sets disjoint across groups so only
+    the intended grams collide: docs 1/2 share a 4-token boilerplate, doc 3
+    self-repeats a span (two islands, gap > L), doc 4 is unique, doc 5 is
+    shorter than L, docs 6/7 share a 5-token span (two OVERLAPPING duplicated
+    4-grams that must merge into one interval)."""
+    rows = [
+        (1, "one two alpha beta gamma delta three"),
+        (2, "alpha beta gamma delta nine ten"),
+        (3, "p q r s x p q r s"),
+        (4, "unique words only here today"),
+        (5, "tiny doc"),
+        (6, "aa k1 k2 k3 k4 k5 bb"),
+        (7, "k1 k2 k3 k4 k5 cc dd"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dup_span_stats_planted(spark, span_docs):
+    """Hand-computed coverage at L=4: interval-union identity, self-repeat
+    counting, zero rows for unique/short docs, overlap accumulation."""
+    got = {
+        r["doc_id"]: (r["n_tok"], r["n_grams"], r["dup_grams"], r["covered_tokens"], r["dup_frac"])
+        for r in dedup.dup_span_stats(span_docs, L=4).collect()
+    }
+    assert got == {
+        1: (7, 4, 1, 4, 0.5714),
+        2: (6, 3, 1, 4, 0.6667),
+        3: (9, 6, 2, 8, 0.8889),   # starts {0,5}, gap 5 > L: 4 + 4 covered
+        4: (5, 2, 0, 0, 0.0),
+        5: (2, 0, 0, 0, 0.0),      # shorter than L: zero grams, still a row
+        6: (7, 4, 2, 5, 0.7143),   # starts {1,2} overlap: min(4,1) + 4 = 5
+        7: (7, 4, 2, 5, 0.7143),
+    }
+
+
+def test_dup_span_intervals_planted(spark, span_docs):
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+        for r in dedup.dup_span_intervals(span_docs, L=4).collect()
+    }
+    assert got == {
+        (1, 2, 5, 1),
+        (2, 0, 3, 1),
+        (3, 0, 3, 1), (3, 5, 8, 1),  # self-repeat: two islands
+        (6, 1, 5, 2),                # overlapping grams merged
+        (7, 0, 4, 2),
+    }
+
+
+def test_dup_span_stats_matches_oracle(spark, docs):
+    got = {tuple(r) for r in dedup.dup_span_stats(docs, L=8).collect()}
+    want = set(duckdb.sql(dedup.dup_span_stats_sql(f"'{DOCS}'", L=8)).fetchall())
+    assert got == want
+    assert any(r[3] > 0 for r in got)  # fixture docs do share some 8-grams
+
+
+def test_dup_span_intervals_matches_oracle(spark, docs):
+    got = {tuple(r) for r in dedup.dup_span_intervals(docs, L=8).collect()}
+    want = set(duckdb.sql(dedup.dup_span_intervals_sql(f"'{DOCS}'", L=8)).fetchall())
+    assert got == want
+
+
+def test_dup_span_coverage_equals_interval_lengths(spark, docs):
+    """Cross-consistency: the stats path's interval-union arithmetic must
+    equal the materialized merged intervals' total length, doc by doc."""
+    stats = {r["doc_id"]: r["covered_tokens"] for r in dedup.dup_span_stats(docs, L=8).collect()}
+    iv = dedup.dup_span_intervals(docs, L=8).collect()
+    from collections import defaultdict
+
+    total = defaultdict(int)
+    for r in iv:
+        total[r["doc_id"]] += r["span_end"] - r["span_start"] + 1
+    for did, cov in stats.items():
+        assert cov == total.get(did, 0)
