@@ -406,6 +406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # coverage + the merged duplicated intervals a span-removal pass consumes
     q["doc_dup_spans"] = lambda s, d: dedup.dup_span_stats(_docs(s, d), L=8)
     q["doc_dup_intervals"] = lambda s, d: dedup.dup_span_intervals(_docs(s, d), L=8)
+    # within-doc repetition (Gopher-rules quality filters): type-token ratio,
+    # top-word and top-bigram shares
+    q["doc_repetition"] = lambda s, d: dedup.doc_repetition_stats(_docs(s, d))
 
     # --- embedding similarity over the driver embeddings table ---
     def _emb(s: SparkSession, d: str) -> DataFrame:
@@ -1135,6 +1138,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["doc_dup_spans"] = dedup.dup_span_stats_sql("documents", L=8)
     o["doc_dup_intervals"] = dedup.dup_span_intervals_sql("documents", L=8)
+    o["doc_repetition"] = dedup.doc_repetition_stats_sql("documents")
 
     emb_q = "(SELECT * FROM embeddings WHERE vec_id < 8)"
     o["embed_knn_l2"] = ann.brute_knn_sql("embeddings", emb_q, k=5)

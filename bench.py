@@ -308,6 +308,9 @@ def main() -> None:
     if os.path.exists(docs_path):
         docs = spark.read.parquet(docs_path)
         timed("dedup_minhash_lsh", lambda: materialize(dedup.minhash_lsh_pairs(docs, tau=0.8)))
+        # span-level dedup: corpus-wide duplicated L-gram coverage (gram
+        # groupBy + per-doc window — the substring-dedup scan shape)
+        timed("dedup_spans", lambda: materialize(dedup.dup_span_stats(docs, L=8)))
 
     # same boundary: the dedup stage's shingle localCheckpoints
     _release_session_state()

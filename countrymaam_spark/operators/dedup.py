@@ -504,6 +504,13 @@ def _gram_starts(
     L-token rolling gram with its 0-based start position p. Grams are built
     inside ``transform`` BEFORE the explode so the token array itself never
     fans out |grams|-fold."""
+    # same under-partitioned-input guard as _doc_shingles: the gram explode
+    # is expression-heavy and a small single-file scan would pin it to one
+    # task (a 100 TB scan already arrives well-partitioned)
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(2, target // 2):
+        docs = docs.repartition(target)
     base = (
         docs.select(F.col(id_col).alias("did"), T.tokens(F.col(text_col)).alias("toks"))
         .withColumn("n_tok", F.size("toks").cast("long"))
@@ -665,4 +672,104 @@ def dup_span_intervals_sql(
                MAX(p) + {L - 1} AS span_end,
                CAST(COUNT(*) AS BIGINT) AS n_grams
         FROM isl GROUP BY did, island
+    """
+
+
+def doc_repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (doc_id, n_tok, distinct_frac, top_word_frac, top_bigram_frac):
+    WITHIN-document repetition signals — the Gopher-rules quality-filter
+    companion (Rae et al. 2021, public) to the corpus-wide span dedup above.
+    Machine-generated / keyword-stuffed pages repeat internally long before
+    they duplicate anything else in the corpus.
+
+    distinct_frac = type-token ratio; top_word_frac = most frequent token's
+    share of all tokens; top_bigram_frac = most frequent bigram's share of
+    all n_tok-1 bigrams. Every doc gets a row (zeros when empty / too short).
+
+    Scale shape: explode -> groupBy(did, gram) -> groupBy(did), both
+    map-side combinable (a per-doc window would work but puts the whole doc
+    in one task's sort; the two-level aggregate streams). No joins other
+    than the final per-doc assembly on doc_id. The tempting expression-only
+    form (array_max over transform(array_distinct(...))) is O(n_tok *
+    distinct) PER ROW — quadratic on long web pages — so the exploded
+    aggregate is the default."""
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(2, target // 2):
+        docs = docs.repartition(target)
+    base = (
+        docs.select(F.col(id_col).alias("did"), T.tokens(F.col(text_col)).alias("toks"))
+        .withColumn("n_tok", F.size("toks").cast("long"))
+    )
+    words = base.select("did", F.explode("toks").alias("g"))
+    wstats = (
+        words.groupBy("did", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("did")
+        .agg(F.max("c").alias("w_max"), F.count("*").alias("n_distinct"))
+    )
+    bigram_arr = F.transform(
+        F.sequence(F.lit(1), (F.col("n_tok") - F.lit(1)).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 2)),
+    )
+    bstats = (
+        base.filter(F.col("n_tok") >= 2)
+        .select("did", F.explode(bigram_arr).alias("g"))
+        .groupBy("did", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("did")
+        .agg(F.max("c").alias("b_max"))
+    )
+    return (
+        base.select("did", "n_tok")
+        .join(wstats, "did", "left")
+        .join(bstats, "did", "left")
+        .select(
+            F.col("did").alias(id_col),
+            "n_tok",
+            F.coalesce(F.round(F.col("n_distinct") / F.col("n_tok"), 4), F.lit(0.0)).alias(
+                "distinct_frac"
+            ),
+            F.coalesce(F.round(F.col("w_max") / F.col("n_tok"), 4), F.lit(0.0)).alias(
+                "top_word_frac"
+            ),
+            F.coalesce(
+                F.round(F.col("b_max") / (F.col("n_tok") - F.lit(1)), 4), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def doc_repetition_stats_sql(
+    docs_rel: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    toks = T.tokens_sql(text_col)
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS did, {toks} AS toks FROM {docs_rel}
+        ), b2 AS (
+            SELECT did, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM base
+        ), wc AS (
+            SELECT did, g, COUNT(*) AS c
+            FROM (SELECT did, unnest(toks) AS g FROM b2) GROUP BY did, g
+        ), wstats AS (
+            SELECT did, CAST(MAX(c) AS BIGINT) AS w_max,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct
+            FROM wc GROUP BY did
+        ), bc AS (
+            SELECT did, g, COUNT(*) AS c FROM (
+                SELECT did, unnest(list_transform(range(1, n_tok),
+                       i -> toks[i] || ' ' || toks[i+1])) AS g
+                FROM b2 WHERE n_tok >= 2
+            ) GROUP BY did, g
+        ), bstats AS (
+            SELECT did, CAST(MAX(c) AS BIGINT) AS b_max FROM bc GROUP BY did
+        )
+        SELECT b.did AS {id_col}, b.n_tok,
+               COALESCE(ROUND(CAST(w.n_distinct AS DOUBLE) / b.n_tok, 4), 0.0) AS distinct_frac,
+               COALESCE(ROUND(CAST(w.w_max AS DOUBLE) / b.n_tok, 4), 0.0) AS top_word_frac,
+               COALESCE(ROUND(CAST(s.b_max AS DOUBLE) / (b.n_tok - 1), 4), 0.0) AS top_bigram_frac
+        FROM b2 b LEFT JOIN wstats w USING (did) LEFT JOIN bstats s USING (did)
     """

@@ -8,7 +8,9 @@ dataflow. Swapping the parquet writer for an Iceberg catalog changes only
 ``_write``/``_read`` here.
 
 Determinism contract: stage build functions must be seed-stable, so two full
-runs produce equal content hashes (tested in tests/test_checkpoint.py).
+runs produce equal content hashes (tested in tests/test_index_build.py:
+resume/corrupt-one-stage/identical-content; params invalidation in
+tests/test_ann.py and tests/test_search.py).
 """
 
 from __future__ import annotations

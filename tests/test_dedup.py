@@ -290,3 +290,68 @@ def test_dup_span_coverage_equals_interval_lengths(spark, docs):
         total[r["doc_id"]] += r["span_end"] - r["span_start"] + 1
     for did, cov in stats.items():
         assert cov == total.get(did, 0)
+
+
+# --- within-doc repetition stats (Gopher-rules quality-filter shape) ---
+
+
+def test_doc_repetition_stats_planted(spark):
+    rows = [
+        (1, "a a a a b"),          # top word 4/5, distinct 2/5, top bigram "a a" 3/4
+        (2, "w x y z"),            # all unique: 1/4, 4/4, 1/3
+        (3, ""),                   # empty: zeros
+        (4, "solo"),               # one token: no bigrams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tok"], r["distinct_frac"], r["top_word_frac"], r["top_bigram_frac"])
+        for r in dedup.doc_repetition_stats(docs).collect()
+    }
+    assert got == {
+        1: (5, 0.4, 0.8, 0.75),
+        2: (4, 1.0, 0.25, 0.3333),
+        3: (0, 0.0, 0.0, 0.0),
+        4: (1, 1.0, 1.0, 0.0),
+    }
+
+
+def test_doc_repetition_stats_matches_oracle(spark, docs):
+    got = {tuple(r) for r in dedup.doc_repetition_stats(docs).collect()}
+    want = set(duckdb.sql(dedup.doc_repetition_stats_sql(f"'{DOCS}'")).fetchall())
+    assert got == want
+
+
+def test_dup_span_stats_random_brute_force(spark):
+    """Seeded-random property check of the interval-union identity: tiny
+    alphabet -> dense gram collisions and heavy interval merging; coverage
+    must equal the brute-force union of [p, p+L-1] sets, doc by doc."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(7)
+    vocab = ["ax", "bx", "cx", "dx", "ex", "fx"]
+    L = 3
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 20)))
+        for i in range(40)
+    }
+    grams: Counter = Counter()
+    toks = {i: t.split() for i, t in texts.items()}
+    for tk in toks.values():
+        for p in range(len(tk) - L + 1):
+            grams[tuple(tk[p : p + L])] += 1
+    want = {}
+    for i, tk in toks.items():
+        n = len(tk)
+        starts = [p for p in range(n - L + 1) if grams[tuple(tk[p : p + L])] >= 2]
+        covered: set = set()
+        for p in starts:
+            covered.update(range(p, p + L))
+        want[i] = (n, max(n - L + 1, 0), len(starts), len(covered))
+
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tok"], r["n_grams"], r["dup_grams"], r["covered_tokens"])
+        for r in dedup.dup_span_stats(docs, L=L).collect()
+    }
+    assert got == want
