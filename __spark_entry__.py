@@ -104,6 +104,8 @@ PARENT_RES = 4
 # as-of instants for host_asof: fixture warc_ts starts 2024-10-16T00:00Z
 # (epoch 1729036800) and ticks 1 s/page — these land mid-corpus at sf0.01+
 ASOF_TS = [1729036800 + 1500, 1729036800 + 5000]
+# stratified-sample mix for docs_sample (fr/es deliberately absent)
+SAMPLE_FRACS = {"en": 0.3, "zh": 1.0, "de": 0.5}
 # fixed BM25 query batch (terms drawn from the documents fixture vocabulary;
 # query 3 carries an unseen term — it must drop at the df join, not error)
 BM25_QUERIES = [
@@ -951,6 +953,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         PG.load_pages(s, d), _asof_queries(s, d), k=2
     )
 
+    # deterministic hash-bucket stratified sampling (training-data mixing):
+    # pure filter, no RNG — identical keep-set in any partitioning and in
+    # the oracle; fr/es strata deliberately absent (explicit mix only)
+    q["docs_sample"] = lambda s, d: WT.stratified_sample(
+        _docs(s, d).withColumn("k", F.col("doc_id").cast("string")),
+        SAMPLE_FRACS,
+        key_col="k",
+    ).select("doc_id", "lang", "bucket")
+
     # URL canonicalization dedup: planted syntactic variants (#fragment,
     # utm_ params, upper-case host, explicit :443) collapse onto their base
     def _noisy_urls(s: SparkSession, d: str) -> DataFrame:
@@ -1051,6 +1062,13 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN (VALUES {asof_vals}) t(asof_s)
     """
     o["host_asof"] = WT.host_asof_join_sql(pages_raw, asof_rel, k=2)
+
+    sample_sql = WT.stratified_sample_sql(
+        "(SELECT *, CAST(doc_id AS VARCHAR) AS k FROM documents)",
+        SAMPLE_FRACS,
+        key_col="k",
+    )
+    o["docs_sample"] = f"SELECT doc_id, lang, bucket FROM ({sample_sql})"
 
     noisy_rel = f"""(
         SELECT url FROM {pages_raw}

@@ -242,3 +242,70 @@ def canonical_dup_groups_sql(pages_rel: str, url_col: str = "url") -> str:
             GROUP BY 1
         ) g WHERE n_variants >= 2
     """
+
+
+def stratified_sample(
+    df: DataFrame,
+    fracs: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "url",
+    salt: str = "s0",
+    denom: int = 10_000,
+) -> DataFrame:
+    """Deterministic hash-based stratified sampling — the training-data
+    MIXING primitive (sample 30% of English, 100% of the low-resource
+    stratum, drop the rest). Keeps a row iff
+    ``md5(salt || key) mod denom < round(frac * denom)`` for its stratum.
+
+    Engine-portable and seedable BY CONSTRUCTION, unlike rate-based samplers
+    (``df.sampleBy`` draws from a partition-local RNG stream, so its output
+    changes with partitioning and is not oracle-checkable): the keep
+    decision is a pure function of (salt, key), so re-runs, repartitions,
+    resumed pipelines, and the DuckDB oracle all select the SAME rows, and
+    disjoint salts give independent samples (hold-out splits). Per-stratum
+    realized fractions concentrate around frac with the usual
+    hash-uniformity guarantees (md5 on url keys). Strata absent from
+    ``fracs`` are dropped (explicit mix only). Output adds the integer
+    ``bucket`` so downstream sub-sampling can refine WITHOUT re-hashing
+    (bucket < 3000 is a strict subset of bucket < 5000 — nested samples).
+
+    Scale shape: a pure filter projection — no shuffle, no RNG, predicate
+    evaluates JVM-side; Catalyst pushes the stratum IN-list to the scan.
+    """
+    from countrymaam_spark.functions.text import M31
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col))), 1, 15), 16, 10)
+        .cast("long") % F.lit(M31) % F.lit(denom)
+    )
+    thresholds = F.create_map(
+        *[x for s, fr in sorted(fracs.items()) for x in (F.lit(s), F.lit(int(round(fr * denom))))]
+    )
+    return (
+        df.withColumn("bucket", bucket)
+        .withColumn("_thr", thresholds[F.col(strata_col)])
+        .filter(F.col("_thr").isNotNull() & (F.col("bucket") < F.col("_thr")))
+        .drop("_thr")
+    )
+
+
+def stratified_sample_sql(
+    rel: str,
+    fracs: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "url",
+    salt: str = "s0",
+    denom: int = 10_000,
+) -> str:
+    from countrymaam_spark.functions.text import M31
+
+    bucket = (
+        f"((('0x' || substr(md5('{salt}' || {key_col}), 1, 15))::BIGINT % {M31}) % {denom})"
+    )
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(round(fr * denom))}" for s, fr in sorted(fracs.items())
+    )
+    return f"""
+        SELECT *, {bucket} AS bucket FROM {rel}
+        WHERE {bucket} < (CASE {strata_col} {cases} ELSE -1 END)
+    """

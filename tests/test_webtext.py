@@ -142,3 +142,59 @@ def test_canonical_dup_groups_matches_oracle(spark):
     rel = f"(SELECT * FROM (VALUES {vals}) v(url)) AS urls"
     want = set(duckdb.sql(WT.canonical_dup_groups_sql(rel)).fetchall())
     assert got == want
+
+
+# --- deterministic stratified sampling (training-data mixing) ---
+
+DOCS01 = "/root/testdata/sf0.01/documents.parquet"
+
+
+def test_stratified_sample_partition_independent(spark):
+    docs = spark.read.parquet(DOCS01).withColumn("k", F.col("doc_id").cast("string"))
+    fr = {"en": 0.3, "zh": 1.0, "de": 0.5}
+    a = {r["doc_id"] for r in WT.stratified_sample(docs, fr, key_col="k").collect()}
+    b = {
+        r["doc_id"]
+        for r in WT.stratified_sample(docs.repartition(17), fr, key_col="k").collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_stratified_sample_nested_and_mix(spark):
+    docs = spark.read.parquet(DOCS01).withColumn("k", F.col("doc_id").cast("string"))
+    small = {r["doc_id"] for r in WT.stratified_sample(docs, {"en": 0.3}, key_col="k").collect()}
+    big = {r["doc_id"] for r in WT.stratified_sample(docs, {"en": 0.6}, key_col="k").collect()}
+    assert small < big  # nested: bucket < 3000 is a strict subset of < 6000
+    full = WT.stratified_sample(docs, {"zh": 1.0}, key_col="k")
+    n_zh = docs.filter(F.col("lang") == "zh").count()
+    assert full.count() == n_zh  # frac=1.0 keeps the whole stratum
+    assert full.filter(F.col("lang") != "zh").count() == 0  # absent strata drop
+    # realized fraction concentrates near frac (218 en docs, ±0.1 generous)
+    n_en = docs.filter(F.col("lang") == "en").count()
+    got = len(big) / n_en
+    assert abs(got - 0.6) < 0.1
+
+
+def test_stratified_sample_independent_salts(spark):
+    """Different salts give (near-)independent draws: the overlap of two 50%
+    samples is ~25%, not 50% (same-salt nesting would force full overlap)."""
+    docs = spark.read.parquet(DOCS01).withColumn("k", F.col("doc_id").cast("string"))
+    a = {r["doc_id"] for r in WT.stratified_sample(docs, {"en": 0.5}, key_col="k", salt="a").collect()}
+    b = {r["doc_id"] for r in WT.stratified_sample(docs, {"en": 0.5}, key_col="k", salt="b").collect()}
+    n_en = docs.filter(F.col("lang") == "en").count()
+    jointly = len(a & b) / n_en
+    assert 0.1 < jointly < 0.4  # ~0.25 expected; 0.5 would mean dependence
+
+
+def test_stratified_sample_matches_oracle(spark):
+    docs = spark.read.parquet(DOCS01).withColumn("k", F.col("doc_id").cast("string"))
+    fr = {"en": 0.3, "zh": 1.0, "de": 0.5}
+    got = {
+        (r["doc_id"], r["bucket"])
+        for r in WT.stratified_sample(docs, fr, key_col="k").select("doc_id", "bucket").collect()
+    }
+    sql = WT.stratified_sample_sql(
+        f"(SELECT *, CAST(doc_id AS VARCHAR) AS k FROM '{DOCS01}')", fr, key_col="k"
+    )
+    want = {(r[0], r[-1]) for r in duckdb.sql(f"SELECT doc_id, bucket FROM ({sql})").fetchall()}
+    assert got == want
