@@ -87,7 +87,12 @@ def ngram_jaccard_pairs(
     inv = s.select("did", "n_sh", F.explode("sh").alias("g"))
     if max_shingle_freq is not None:
         freq = inv.groupBy("g").agg(F.count("*").alias("df"))
-        inv = inv.join(F.broadcast(freq.filter(F.col("df") <= max_shingle_freq)), "g")
+        # NO broadcast hint: the freq table is corpus-derived (one row per
+        # distinct sub-cap shingle — billions at 100 TB). AQE broadcasts it
+        # when the runtime size is actually small (fixtures) and keeps the
+        # shuffle equi-join on `g` otherwise; a hint here would pin the
+        # driver-serialized path at exactly the scale it must not run
+        inv = inv.join(freq.filter(F.col("df") <= max_shingle_freq).select("g"), "g")
     a = inv.select(F.col("did").alias("id_a"), F.col("n_sh").alias("na"), "g")
     b = inv.select(F.col("did").alias("id_b"), F.col("n_sh").alias("nb"), "g")
     pairs = (
