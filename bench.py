@@ -304,9 +304,43 @@ def main() -> None:
 
     _release_session_state()
 
+    # SPARK_GRAFT_DOCS_N=<n>: synthesize a deterministic n-doc corpus
+    # (hash-derived 50-token bodies + a 10-token boilerplate from 32 shared
+    # templates, so span dedup sees realistic cross-doc duplication) — the
+    # throughput regime for the text-stage scaling runs (the 5k-doc fixture
+    # is constants-bound at any core count)
+    docs_n = int(os.environ.get("SPARK_GRAFT_DOCS_N", "0"))
     docs_path = os.path.join(sf_dir, "documents.parquet")
-    if os.path.exists(docs_path):
-        docs = spark.read.parquet(docs_path)
+    if docs_n or os.path.exists(docs_path):
+        if docs_n:
+            tpl = F.pmod(F.xxhash64(F.col("id"), F.lit(7)), F.lit(32))
+            boiler = F.transform(
+                F.sequence(F.lit(0), F.lit(9)),
+                lambda i: F.concat(
+                    F.lit("b"),
+                    F.pmod(F.xxhash64(tpl * F.lit(16) + i), F.lit(500)).cast("string"),
+                ),
+            )
+            body = F.transform(
+                F.sequence(F.lit(0), F.lit(49)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.pmod(
+                        F.xxhash64(F.col("id") * F.lit(64) + i), F.lit(5000)
+                    ).cast("string"),
+                ),
+            )
+            docs = (
+                spark.range(docs_n)
+                .select(
+                    F.col("id").alias("doc_id"),
+                    F.concat_ws(" ", F.concat(boiler, body)).alias("text"),
+                )
+                .repartition(spark.sparkContext.defaultParallelism)
+                .localCheckpoint(eager=True)
+            )
+        else:
+            docs = spark.read.parquet(docs_path)
         timed("dedup_minhash_lsh", lambda: materialize(dedup.minhash_lsh_pairs(docs, tau=0.8)))
         # span-level dedup: corpus-wide duplicated L-gram coverage (gram
         # groupBy + per-doc window — the substring-dedup scan shape)

@@ -274,6 +274,9 @@ def stratified_sample(
     """
     from countrymaam_spark.functions.text import M31
 
+    bad = {s: fr for s, fr in fracs.items() if not 0.0 <= fr <= 1.0}
+    if bad:
+        raise ValueError(f"sampling fractions must be in [0, 1], got {bad}")
     bucket = (
         F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col))), 1, 15), 16, 10)
         .cast("long") % F.lit(M31) % F.lit(denom)
