@@ -748,6 +748,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_pip_rollup"] = _stream_pip
 
+    def _stream_dedup(s: SparkSession, d: str) -> DataFrame:
+        """Streaming exact dedup (dropDuplicatesWithinWatermark): the pages
+        fixture dropped TWICE (two files -> every text duplicated across
+        micro-batches); the streamed keep-set is one sha per distinct text,
+        which equals the batch DISTINCT oracle. First-arrival row choice is
+        order-dependent, so only the (order-free) key set is emitted."""
+        import shutil
+        import tempfile
+
+        from countrymaam_spark.streaming import ingest
+
+        sf = PG.sf_name_from_dir(d)
+        src = _fixture(sf, "pages.parquet")
+        schema = s.read.parquet(src).schema
+        drop_dir = tempfile.mkdtemp(prefix="cm_dedup_drop_")
+        try:
+            for i in range(2):
+                try:
+                    os.link(src, os.path.join(drop_dir, f"drop{i}.parquet"))
+                except OSError:
+                    shutil.copy(src, os.path.join(drop_dir, f"drop{i}.parquet"))
+            stream = (
+                s.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)  # cross-batch duplicates
+                .parquet(drop_dir)
+            )
+            _STREAM_N[0] += 1
+            name = f"stream_dedup_sink_{_STREAM_N[0]}"
+            sq = (
+                ingest.dedup_stream(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_or_raise(sq, 600)
+            out = s.table(name).select("text_sha").localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(drop_dir, ignore_errors=True)
+        return out
+
+    q["stream_dedup"] = _stream_dedup
+
     def _stream_sessionize(s: SparkSession, d: str) -> DataFrame:
         """Stateful streaming driver entry (applyInPandasWithState): the
         events table replayed through a file-source stream into the
@@ -1256,6 +1300,11 @@ def oracle_sql() -> dict[str, str]:
         FROM ({point_in_polygon_sql(pg, e_rel)}) i
         JOIN {pg} p ON i.url = p.url
         GROUP BY 1, 2
+    """
+    # streaming exact dedup: the keep-set over two identical drops is one
+    # sha per distinct text — the batch DISTINCT of the single fixture copy
+    o["stream_dedup"] = f"""
+        SELECT DISTINCT sha256(text) AS text_sha FROM {pages_raw}
     """
     # stateful streaming sessionizer: one drop => final state == the batch
     # sessionization, so the SAME oracle as events_sessionize applies

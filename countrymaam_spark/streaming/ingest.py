@@ -117,3 +117,27 @@ def stream_pip_counts(
             "n_pages",
         )
     )
+
+
+def dedup_stream(pages_stream: DataFrame, watermark: str = "2 days") -> DataFrame:
+    """Streaming exact dedup of the crawl feed: emit the FIRST arrival of
+    each text fingerprint, drop re-crawls and mirror copies arriving within
+    the watermark horizon — the frontier-dedup stage a streaming ingest runs
+    BEFORE the expensive per-page work (the batch analog is
+    operators/dedup.exact_dup_groups).
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on the sha and
+    evicts keys older than the horizon, so state is bounded by the horizon's
+    key cardinality, not the full crawl history — the documented trade:
+    a duplicate arriving AFTER its key was evicted is re-emitted, which a
+    downstream batch dedup pass (exact_dup_groups over the sink) reconciles.
+    Emits (text_sha, warc_ts) in append mode; rows flow out in the batch
+    they arrive (no windows held open).
+    """
+    keyed = pages_stream.select(
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+        F.col("warc_ts"),
+    )
+    return keyed.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["text_sha"]
+    )

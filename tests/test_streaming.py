@@ -460,3 +460,58 @@ def test_stream_pip_counts_equal_batch(spark, drop_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_dedup_first_arrival_across_batches(spark, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): duplicates of
+    a text arriving in the SAME and in LATER micro-batches are dropped; each
+    distinct text is emitted exactly once (its first arrival); the emitted
+    key set equals the batch distinct-sha oracle."""
+    import os as _os
+
+    d = tmp_path / "ddrops"
+    d.mkdir()
+    # drop 0: texts A, A (same-batch dup), B -- drop 1: A, B (cross-batch
+    # dups), C -- all within the watermark horizon
+    drops = [
+        [("https://a1.example/", "2024-01-01 00:01:00", 10.0, 20.0),
+         ("https://a2.example/", "2024-01-01 00:02:00", 10.0, 20.0),
+         ("https://b1.example/", "2024-01-01 00:03:00", 11.0, 21.0)],
+        [("https://a3.example/", "2024-01-01 00:04:00", 10.0, 20.0),
+         ("https://b2.example/", "2024-01-01 00:05:00", 11.0, 21.0),
+         ("https://c1.example/", "2024-01-01 00:06:00", 12.0, 22.0)],
+    ]
+    for i, rows in enumerate(drops):
+        p = str(d / f"drop{i}.parquet")
+        _mk_pages(spark, rows).coalesce(1).write.mode("overwrite").parquet(p)
+        files = [f for f in _os.listdir(p) if f.endswith(".parquet")]
+        assert len(files) == 1
+        _os.rename(_os.path.join(p, files[0]), str(d / f"d{i}.parquet"))
+        _os.utime(str(d / f"d{i}.parquet"), (1700000000 + i, 1700000000 + i))
+    for extra in d.iterdir():
+        if extra.is_dir():
+            import shutil as _sh
+
+            _sh.rmtree(extra)
+
+    schema = spark.read.parquet(str(d / "d0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one drop per micro-batch
+        .parquet(str(d))
+    )
+    q = (
+        ingest.dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [r["text_sha"] for r in spark.sql("SELECT text_sha FROM dedup_stream_test").collect()]
+    # exactly once per distinct text (3 distinct), no dup survived
+    assert len(got) == 3 and len(set(got)) == 3
+    batch = spark.read.parquet(str(d))
+    want = {r["s"] for r in batch.select(F.sha2(F.col("text"), 256).alias("s")).distinct().collect()}
+    assert set(got) == want
