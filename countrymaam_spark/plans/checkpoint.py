@@ -112,3 +112,14 @@ def run_stage(
     }
     manifest.save()
     return out, False
+
+
+def snapshot_diff(before: DataFrame, after: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(added, removed) rows between two snapshots of the same table —
+    MULTISET semantics (``exceptAll``: duplicate-sensitive both ways), the
+    Iceberg snapshot-diff analog used to verify resume/append invariants:
+    an append-only stage is correct iff ``removed`` is empty and ``added``
+    equals exactly the delta it claims to have written; any overwrite or
+    lost row shows up on the ``removed`` side. Distributed set difference —
+    one hash exchange per side, no collect."""
+    return after.exceptAll(before), before.exceptAll(after)

@@ -236,3 +236,27 @@ def test_knn_tree_shuffle_route_matches_broadcast_route(spark, geo_small, monkey
     plan = b._jdf.queryExecution().executedPlan().toString()
     rows_b = {tuple(r) for r in b.collect()}
     assert rows_a == rows_b
+
+
+def test_snapshot_diff_verifies_append_only(spark, tmp_path):
+    """exceptAll snapshot diff (SURVEY §2.2 set ops): an append adds exactly
+    its delta and removes nothing; a mutated snapshot shows the lost rows."""
+    from countrymaam_spark.plans.checkpoint import snapshot_diff
+
+    path = str(tmp_path / "snap")
+    base = pg.load_pages(spark, "/root/testdata/sf0.001").filter(F.xxhash64("url") % 3 != 0)
+    delta = pg.load_pages(spark, "/root/testdata/sf0.001").filter(F.xxhash64("url") % 3 == 0)
+    base.write.mode("overwrite").parquet(path)
+    before = spark.read.parquet(path).localCheckpoint(eager=True)
+    delta.write.mode("append").parquet(path)
+    after = spark.read.parquet(path)
+
+    added, removed = snapshot_diff(before, after)
+    assert removed.isEmpty()
+    assert added.count() == delta.count()
+    assert added.exceptAll(delta).isEmpty() and delta.exceptAll(added).isEmpty()
+
+    # a "torn" snapshot (one row dropped) is caught on the removed side
+    torn = after.filter(F.col("url") != after.select("url").first()["url"])
+    added2, removed2 = snapshot_diff(after, torn)
+    assert added2.isEmpty() and removed2.count() == 1
