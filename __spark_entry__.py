@@ -776,14 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             _STREAM_N[0] += 1
             name = f"stream_dedup_sink_{_STREAM_N[0]}"
-            sq = (
-                ingest.dedup_stream(stream)
-                .writeStream.format("memory")
-                .queryName(name)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
+            sq = ingest.run_to_memory_sink(ingest.dedup_stream(stream), name)
             _await_or_raise(sq, 600)
             out = s.table(name).select("text_sha").localCheckpoint(eager=True)
         finally:

@@ -51,14 +51,20 @@ def exact_dup_groups_sql(docs_rel: str, id_col: str = "doc_id", text_col: str = 
     """
 
 
-def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    # expression-heavy stage: make sure a small single-file input still uses
-    # every core (a 100 TB scan already arrives well-partitioned; this only
-    # triggers on under-partitioned inputs)
+def _widen_input(docs: DataFrame) -> DataFrame:
+    """Under-partitioned-input guard shared by the expression-heavy doc
+    stages: a small single-file scan would pin the tokenize/explode work to
+    one task (a 100 TB scan already arrives well-partitioned; this only
+    triggers on under-partitioned inputs)."""
     spark = docs.sparkSession
     target = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < max(2, target // 2):
-        docs = docs.repartition(target)
+        return docs.repartition(target)
+    return docs
+
+
+def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    docs = _widen_input(docs)
     return docs.select(
         F.col(id_col).alias("did"), T.shingles(F.col(text_col), n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
@@ -507,13 +513,7 @@ def _gram_starts(
     L-token rolling gram with its 0-based start position p. Grams are built
     inside ``transform`` BEFORE the explode so the token array itself never
     fans out |grams|-fold."""
-    # same under-partitioned-input guard as _doc_shingles: the gram explode
-    # is expression-heavy and a small single-file scan would pin it to one
-    # task (a 100 TB scan already arrives well-partitioned)
-    spark = docs.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < max(2, target // 2):
-        docs = docs.repartition(target)
+    docs = _widen_input(docs)
     base = (
         docs.select(F.col(id_col).alias("did"), T.tokens(F.col(text_col)).alias("toks"))
         .withColumn("n_tok", F.size("toks").cast("long"))
@@ -716,10 +716,7 @@ def doc_repetition_stats(
     form (array_max over transform(array_distinct(...))) is O(n_tok *
     distinct) PER ROW — quadratic on long web pages — so the exploded
     aggregate is the default."""
-    spark = docs.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < max(2, target // 2):
-        docs = docs.repartition(target)
+    docs = _widen_input(docs)
     base = (
         docs.select(F.col(id_col).alias("did"), T.tokens(F.col(text_col)).alias("toks"))
         .withColumn("n_tok", F.size("toks").cast("long"))

@@ -271,16 +271,17 @@ def stratified_sample(
 
     Scale shape: a pure filter projection — no shuffle, no RNG, predicate
     evaluates JVM-side; Catalyst pushes the stratum IN-list to the scan.
+    Rows whose key is NULL hash to a NULL bucket and are DROPPED (identical
+    NULL propagation in the oracle) — filter or coalesce keys upstream if a
+    frac=1.0 stratum must keep NULL-keyed rows.
     """
-    from countrymaam_spark.functions.text import M31
+    from countrymaam_spark.functions import text as T
 
     bad = {s: fr for s, fr in fracs.items() if not 0.0 <= fr <= 1.0}
     if bad:
         raise ValueError(f"sampling fractions must be in [0, 1], got {bad}")
-    bucket = (
-        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col))), 1, 15), 16, 10)
-        .cast("long") % F.lit(M31) % F.lit(denom)
-    )
+    # the repo's one engine-portable hash (functions/text.tok_hash), salted
+    bucket = T.tok_hash(F.concat(F.lit(salt), F.col(key_col))) % F.lit(denom)
     thresholds = F.create_map(
         *[x for s, fr in sorted(fracs.items()) for x in (F.lit(s), F.lit(int(round(fr * denom))))]
     )
@@ -300,11 +301,10 @@ def stratified_sample_sql(
     salt: str = "s0",
     denom: int = 10_000,
 ) -> str:
-    from countrymaam_spark.functions.text import M31
+    from countrymaam_spark.functions import text as T
 
-    bucket = (
-        f"((('0x' || substr(md5('{salt}' || {key_col}), 1, 15))::BIGINT % {M31}) % {denom})"
-    )
+    salted_key = f"'{salt}' || {key_col}"
+    bucket = f"({T.tok_hash_sql(salted_key)} % {denom})"
     cases = " ".join(
         f"WHEN '{s}' THEN {int(round(fr * denom))}" for s, fr in sorted(fracs.items())
     )

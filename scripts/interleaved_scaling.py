@@ -72,7 +72,18 @@ def main() -> None:
         f"## Interleaved multi-pair scaling ({pairs} alternating pinned pairs, "
         f"{low} vs {high} cores)",
         "",
-        f"Input: `{sf_dir}`; stages: "
+        f"Input: `{sf_dir}`"
+        + (
+            f" (+ synthetic docs n={os.environ['SPARK_GRAFT_DOCS_N']})"
+            if os.environ.get("SPARK_GRAFT_DOCS_N")
+            else ""
+        )
+        + (
+            f" (+ synthetic embeddings n={os.environ['SPARK_GRAFT_EMB_N']})"
+            if os.environ.get("SPARK_GRAFT_EMB_N")
+            else ""
+        )
+        + "; stages: "
         f"{os.environ.get('SPARK_GRAFT_STAGES', '(all)')}; warm; taskset-pinned.",
         "",
         f"| stage | min@{low} sec | min@{high} sec | min-of-arms eff | "

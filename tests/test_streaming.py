@@ -500,15 +500,8 @@ def test_stream_dedup_first_arrival_across_batches(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)  # one drop per micro-batch
         .parquet(str(d))
     )
-    q = (
-        ingest.dedup_stream(stream)
-        .writeStream.format("memory")
-        .queryName("dedup_stream_test")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    q = ingest.run_to_memory_sink(ingest.dedup_stream(stream), "dedup_stream_test")
+    assert q.awaitTermination(180)
     got = [r["text_sha"] for r in spark.sql("SELECT text_sha FROM dedup_stream_test").collect()]
     # exactly once per distinct text (3 distinct), no dup survived
     assert len(got) == 3 and len(set(got)) == 3
