@@ -346,6 +346,34 @@ def main() -> None:
         # groupBy + per-doc window — the substring-dedup scan shape)
         timed("dedup_spans", lambda: materialize(dedup.dup_span_stats(docs, L=8)))
 
+        # BM25 VOLUME serving from prebuilt index state (the production
+        # regime: corpus tokenized once at build, queries join the stored
+        # postings) — only meaningful on the synthetic volume corpus, so
+        # gated on SPARK_GRAFT_DOCS_N; query count via SPARK_GRAFT_BM25_QUERIES
+        if docs_n and (only_set is None or "bm25_serve_volume" in only_set):
+            post_v = SEm.build_postings(docs).localCheckpoint(eager=True)
+            tdf_v = SEm.term_df(post_v).localCheckpoint(eager=True)
+            srow_v = SEm.doc_lengths(docs).agg(
+                F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+            ).first()
+            n_docs_v, sum_dl_v = int(srow_v[0]), int(srow_v[1] or 0)
+            qn = int(os.environ.get("SPARK_GRAFT_BM25_QUERIES", "20000"))
+            qdf_v = spark.range(qn).select(
+                F.col("id").alias("query_id"),
+                F.concat_ws(
+                    " ",
+                    F.concat(F.lit("w"), F.pmod(F.xxhash64("id", F.lit(1)), F.lit(5000)).cast("string")),
+                    F.concat(F.lit("w"), F.pmod(F.xxhash64("id", F.lit(2)), F.lit(5000)).cast("string")),
+                    F.concat(F.lit("b"), F.pmod(F.xxhash64("id", F.lit(3)), F.lit(500)).cast("string")),
+                ).alias("qtext"),
+            ).localCheckpoint(eager=True)
+            timed(
+                "bm25_serve_volume",
+                lambda: materialize(
+                    SEm.bm25_topk_df(spark, post_v, tdf_v, n_docs_v, sum_dl_v, qdf_v, k=10)
+                ),
+            )
+
     # same boundary: the dedup stage's shingle localCheckpoints
     _release_session_state()
 
