@@ -355,3 +355,13 @@ def test_dup_span_stats_random_brute_force(spark):
         for r in dedup.dup_span_stats(docs, L=L).collect()
     }
     assert got == want
+
+
+def test_span_and_repetition_total_on_empty_input(spark):
+    """Totality: zero-row input (e.g. everything filtered upstream) yields
+    zero-row output from every new doc operator — no div-by-zero, no
+    getNumPartitions surprises on empty plans."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.dup_span_stats(empty, L=8).count() == 0
+    assert dedup.dup_span_intervals(empty, L=8).count() == 0
+    assert dedup.doc_repetition_stats(empty).count() == 0

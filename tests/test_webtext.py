@@ -198,3 +198,12 @@ def test_stratified_sample_matches_oracle(spark):
     )
     want = {(r[0], r[-1]) for r in duckdb.sql(f"SELECT doc_id, bucket FROM ({sql})").fetchall()}
     assert got == want
+
+
+def test_stratified_sample_total_on_empty_and_rejects_bad_fracs(spark):
+    empty = spark.createDataFrame([], "doc_id long, lang string, k string")
+    assert WT.stratified_sample(empty, {"en": 0.5}, key_col="k").count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=r"\[0, 1\]"):
+        WT.stratified_sample(empty, {"en": 1.5}, key_col="k")
