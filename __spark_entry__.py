@@ -404,6 +404,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_curated"] = lambda s, d: dedup.curate_docs(
         _docs(s, d), langs=("en",), min_quality=0.3, tau=0.8
     )
+    # full curation chain WITH the substring-coverage cap (Lee et al. 2021):
+    # lang -> quality -> drop docs >50% corpus-duplicated -> dedup keep-list
+    q["docs_curated_spans"] = lambda s, d: dedup.curate_docs(
+        _docs(s, d), langs=("en",), min_quality=0.3, tau=0.8, max_dup_frac=0.5
+    )
     # span-level dedup (Lee et al. 2021 shape): per-doc duplicated L-gram
     # coverage + the merged duplicated intervals a span-removal pass consumes
     q["doc_dup_spans"] = lambda s, d: dedup.dup_span_stats(_docs(s, d), L=8)
@@ -1190,6 +1195,9 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_components"] = dedup.dup_components_sql(
         "documents",
         dedup.ngram_jaccard_pairs_sql("documents", tau=0.8, max_shingle_freq=None),
+    )
+    o["docs_curated_spans"] = dedup.curate_docs_sql(
+        "documents", langs=("en",), min_quality=0.3, tau=0.8, max_dup_frac=0.5
     )
     o["doc_dup_spans"] = dedup.dup_span_stats_sql("documents", L=8)
     o["doc_dup_intervals"] = dedup.dup_span_intervals_sql("documents", L=8)

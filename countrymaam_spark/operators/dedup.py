@@ -373,16 +373,24 @@ def curate_docs(
     tau: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_dup_frac: float | None = None,
+    span_L: int = 8,
 ) -> DataFrame:
     """End-to-end training-data curation: language-ID filter -> quality
-    threshold -> near-dup canonicalization -> the KEPT document set
-    (one survivor per near-dup component). -> (doc_id, lang_pred, quality).
+    threshold -> [optional duplicated-span coverage cap] -> near-dup
+    canonicalization -> the KEPT document set (one survivor per near-dup
+    component). -> (doc_id, lang_pred, quality).
 
     The composition a web-scale corpus pipeline actually ships: each stage
     is the already-verified operator (lang_id / quality_score expression
-    layers; MinHash-LSH pairs; min-label components), so the whole pipeline
-    stays a single declarative plan per stage with no new shuffle shapes.
-    Survivor = the component's canonical (min id) — deterministic.
+    layers; dup_span_stats coverage; MinHash-LSH pairs; min-label
+    components), so the whole pipeline stays a single declarative plan per
+    stage with no new shuffle shapes. ``max_dup_frac`` drops documents
+    whose corpus-duplicated-span coverage exceeds the cap (the Lee et al.
+    2021 substring filter) — coverage is computed over the FULL input
+    corpus, not the post-filter survivors, so language-agnostic boilerplate
+    still counts against a document. Survivor = the component's canonical
+    (min id) — deterministic.
     """
     from countrymaam_spark.functions import text as T
 
@@ -396,7 +404,13 @@ def curate_docs(
     # executor storage across repeated calls (round-3 advisor)
     kept = scored.filter(
         F.col("lang_pred").isin(list(langs)) & (F.col("quality") >= min_quality)
-    ).localCheckpoint(eager=True)
+    )
+    if max_dup_frac is not None:
+        spans = dup_span_stats(docs, L=span_L, id_col=id_col, text_col=text_col)
+        kept = kept.join(
+            spans.filter(F.col("dup_frac") <= max_dup_frac).select(id_col), id_col
+        )
+    kept = kept.localCheckpoint(eager=True)
     pairs = minhash_lsh_pairs(kept, tau=tau, id_col=id_col, text_col=text_col)
     comps = dup_components(kept, pairs, id_col=id_col)
     return (
@@ -413,17 +427,29 @@ def curate_docs_sql(
     tau: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_dup_frac: float | None = None,
+    span_L: int = 8,
 ) -> str:
-    """Oracle: the same filters + exact-Jaccard pairs + recursive-closure
-    components over the FILTERED set, keeping canonical rows."""
+    """Oracle: the same filters (+ the same full-corpus span-coverage cap)
+    + exact-Jaccard pairs + recursive-closure components over the FILTERED
+    set, keeping canonical rows."""
     from countrymaam_spark.functions import text as T
 
     lang_list = ", ".join(f"'{l}'" for l in langs)
+    span_cond = ""
+    if max_dup_frac is not None:
+        span_sql = dup_span_stats_sql(
+            docs_rel, L=span_L, id_col=id_col, text_col=text_col
+        )
+        span_cond = (
+            f" AND {id_col} IN (SELECT {id_col} FROM ({span_sql}) sp "
+            f"WHERE sp.dup_frac <= {max_dup_frac})"
+        )
     kept_rel = (
         f"(SELECT {id_col}, {text_col}, {T.lang_id_sql(text_col)} AS lang_pred, "
         f"{T.quality_score_sql(text_col)} AS quality FROM {docs_rel} "
         f"WHERE {T.lang_id_sql(text_col)} IN ({lang_list}) "
-        f"AND {T.quality_score_sql(text_col)} >= {min_quality})"
+        f"AND {T.quality_score_sql(text_col)} >= {min_quality}{span_cond})"
     )
     pairs_sql = ngram_jaccard_pairs_sql(
         kept_rel, tau=tau, id_col=id_col, text_col=text_col, max_shingle_freq=None

@@ -391,3 +391,24 @@ def test_dup_span_stats_volume_parity(spark, tmp_path):
     du = set(duckdb.sql(dedup.dup_span_stats_sql(f"'{path}/*.parquet'", L=8)).fetchall())
     assert sp == du
     assert len(sp) == 20000 and all(r[3] > 0 for r in sp)  # boilerplate dups everywhere
+
+
+def test_curate_docs_span_cap(spark, docs):
+    """The max_dup_frac cap composes: capped output is a subset of the
+    uncapped keep-list, every high-coverage doc is gone, and the composed
+    DuckDB oracle matches exactly."""
+    uncapped = {r["doc_id"] for r in dedup.curate_docs(docs, langs=("en",), tau=0.8).collect()}
+    capped_rows = dedup.curate_docs(docs, langs=("en",), tau=0.8, max_dup_frac=0.5).collect()
+    capped = {r["doc_id"] for r in capped_rows}
+    assert capped < uncapped  # strictly smaller on this fixture
+    high = {
+        r["doc_id"]
+        for r in dedup.dup_span_stats(docs, L=8).filter(F.col("dup_frac") > 0.5).collect()
+    }
+    assert not (capped & high)
+    want = set(
+        duckdb.sql(
+            dedup.curate_docs_sql(f"'{DOCS}'", langs=("en",), tau=0.8, max_dup_frac=0.5)
+        ).fetchall()
+    )
+    assert {tuple(r) for r in capped_rows} == want
