@@ -42,6 +42,8 @@ from countrymaam_spark.operators.knn import (
     flat_knn_sql,
     geo_near_pairs,
     geo_near_pairs_sql,
+    idw_estimate,
+    idw_estimate_sql,
     radius_join,
     radius_join_sql,
 )
@@ -214,6 +216,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_flat"] = lambda s, d: flat_knn(
         _pages_geo(s, d), PG.load_knn_queries(s, d), k=10
+    )
+    # IDW spatial interpolation at the kNN query points (exact integer-micro
+    # weighted mean over the cell_knn serving path)
+    q["knn_idw"] = lambda s, d: idw_estimate(
+        _pages_geo(s, d), PG.load_knn_queries(s, d), k=10, res=CELL_RES
     )
     q["knn_cell_index"] = lambda s, d: cell_knn(
         _pages_geo(s, d), PG.load_knn_queries(s, d), k=10, res=CELL_RES
@@ -1082,6 +1089,7 @@ def oracle_sql() -> dict[str, str]:
     o["viewport_join"] = viewport_join_sql(pg, vp_rel)
     o["cell_density"] = cell_density_sql(pg, CELL_RES, radius=1)
     o["knn_flat"] = knn
+    o["knn_idw"] = idw_estimate_sql(pg, q_rel, k=10)
     o["knn_cell_index"] = knn  # the escalation guarantee makes the index exact
     o["knn_cell_state"] = knn  # state path is bit-identical to stateless
     o["knn_tree_index"] = knn  # full budget (ring=None + search_k >= leaves) => exact

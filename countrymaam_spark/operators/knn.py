@@ -945,3 +945,65 @@ def cell_density_sql(pages_rel: str, res: int, radius: int = 1) -> str:
         WHERE y + dy.r >= 0 AND y + dy.r < {ny}
         GROUP BY 1
     """
+
+
+def idw_estimate(
+    pages_geo: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    res: int = 7,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Inverse-distance-weighted spatial interpolation (Shepard 1968,
+    public): estimate an integer page attribute at each query point as the
+    1/(1+d)^2-weighted mean of its exact k nearest pages.
+    -> (query_id, n_nbrs, est).
+
+    Candidates come from :func:`cell_knn` (exact at any budget), so the
+    scale shape is the audited serving path; the estimator adds one values
+    join on url and one per-query aggregate. Weights are integer
+    micro-units w = round(1e9 / (1+d)^2) over the kNN's 6-dp-rounded
+    dist_km, so every weighted sum stays < 2^53 and SUM order cannot
+    perturb the estimate (the BM25/PageRank exact-integer-accumulation
+    pattern); `est` is the ROUND(.,4) ratio of two exact integers —
+    bit-identical in the DuckDB oracle. Default value: LENGTH(text)
+    (chars), the density-ish attribute every pages table has.
+    """
+    v = (
+        F.coalesce(F.length(F.col("text")), F.lit(0)).cast("long")
+        if value_col is None
+        else F.col(value_col).cast("long")
+    )
+    vals = pages_geo.select("url", v.alias("v"))
+    nn = cell_knn(pages_geo, queries, k=k, res=res)
+    d1 = F.col("dist_km") + F.lit(1.0)
+    w = F.round(F.lit(1e9) / (d1 * d1)).cast("long")
+    return (
+        nn.join(vals, "url")
+        .withColumn("w", w)
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_nbrs"),
+            F.round(F.sum(F.col("w") * F.col("v")) / F.sum("w"), 4).alias("est"),
+        )
+    )
+
+
+def idw_estimate_sql(pages_rel: str, queries_rel: str, k: int = 10) -> str:
+    """Oracle: brute-force kNN (flat_knn_sql) + the identical integer-micro
+    weighted mean. LENGTH counts characters in both engines."""
+    knn = flat_knn_sql(pages_rel, queries_rel, k=k)
+    return f"""
+        WITH nn AS ({knn}), vals AS (
+            SELECT url, CAST(COALESCE(LENGTH(text), 0) AS BIGINT) AS v
+            FROM {pages_rel}
+        ), j AS (
+            SELECT nn.query_id,
+                   CAST(ROUND(1e9 / ((1.0 + nn.dist_km) * (1.0 + nn.dist_km))) AS BIGINT) AS w,
+                   vals.v
+            FROM nn JOIN vals USING (url)
+        )
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+               ROUND(CAST(SUM(w * v) AS DOUBLE) / SUM(w), 4) AS est
+        FROM j GROUP BY query_id
+    """

@@ -395,3 +395,36 @@ def test_geo_near_pairs_plan_no_nested_loop(spark, geo_small):
             )
             assert "BroadcastNestedLoopJoin" not in plan
             assert "CartesianProduct" not in plan
+
+
+def test_idw_estimate_matches_oracle_and_bounds(spark, queries_small):
+    """IDW interpolation: bit-exact vs the brute-force DuckDB oracle, and
+    every estimate lies inside [min, max] of its neighbors' values (a
+    weighted mean cannot extrapolate)."""
+    from countrymaam_spark.operators.knn import idw_estimate, idw_estimate_sql
+    from countrymaam_spark.operators.geotag import extract_geo_sql
+
+    out = pg.ensure_fixtures("sf0.001")
+    geo = extract_geo(spark.read.parquet(os.path.join(out, "pages.parquet"))).cache()
+    got_rows = idw_estimate(geo, queries_small, k=10, res=7).collect()
+    got = {tuple(r) for r in got_rows}
+    pg_rel = "(" + extract_geo_sql(f"'{os.path.join(out, 'pages.parquet')}'") + ")"
+    q_rel = (
+        f"(SELECT * FROM '{os.path.join(out, 'knn_queries.parquet')}' "
+        f"WHERE query_id < 32 OR query_id >= 192)"
+    )
+    want = set(duckdb.sql(idw_estimate_sql(pg_rel, q_rel, k=10)).fetchall())
+    assert got == want and len(got) > 0
+
+    nn = cell_knn(geo, queries_small, k=10, res=7)
+    vals = geo.select("url", F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("v"))
+    rng = {
+        r["query_id"]: (r["lo"], r["hi"])
+        for r in nn.join(vals, "url")
+        .groupBy("query_id")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    }
+    for r in got_rows:
+        lo, hi = rng[r["query_id"]]
+        assert lo <= r["est"] <= hi
