@@ -30,6 +30,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", help="path/table of the pages input (parquet)")
     ap.add_argument("--sf", help="fixture sf name to use instead of --pages")
+    ap.add_argument(
+        "--docs",
+        help="optional documents parquet (doc_id, text) — also builds the "
+        "BM25 text-index state (postings/df/stats) under the same manifest",
+    )
     ap.add_argument("--out", required=True)
     ap.add_argument("--res", type=int, default=7)
     ap.add_argument("--parent-res", type=int, default=4)
@@ -68,6 +73,12 @@ def main() -> None:
     # resumes every stage of both pipelines
     geo_df = spark.read.parquet(os.path.join(args.out, "geo"))
     report.update(build_cell_pipeline(spark, geo_df, args.out, res=args.res))
+    if args.docs:
+        from countrymaam_spark.plans.pipeline import build_text_pipeline
+
+        report.update(
+            build_text_pipeline(spark, spark.read.parquet(args.docs), args.out)
+        )
     # refresh the counters metrics table with ALL stages (build_index_pipeline
     # wrote only its own four)
     spark.createDataFrame(
