@@ -35,6 +35,12 @@ def main() -> None:
         help="optional documents parquet (doc_id, text) — also builds the "
         "BM25 text-index state (postings/df/stats) under the same manifest",
     )
+    ap.add_argument(
+        "--embeddings",
+        help="optional embeddings parquet (vec_id, embedding) — also builds "
+        "the IVF, PQ, and NN-Descent graph index states under the same "
+        "manifest (reference index factory families, deployed in one submit)",
+    )
     ap.add_argument("--out", required=True)
     ap.add_argument("--res", type=int, default=7)
     ap.add_argument("--parent-res", type=int, default=4)
@@ -79,6 +85,17 @@ def main() -> None:
         report.update(
             build_text_pipeline(spark, spark.read.parquet(args.docs), args.out)
         )
+    if args.embeddings:
+        from countrymaam_spark.plans.pipeline import (
+            build_graph_pipeline,
+            build_ivf_pipeline,
+            build_pq_pipeline,
+        )
+
+        emb = spark.read.parquet(args.embeddings)
+        report.update(build_ivf_pipeline(spark, emb, args.out, seed=args.seed))
+        report.update(build_pq_pipeline(spark, emb, args.out, seed=args.seed))
+        report.update(build_graph_pipeline(spark, emb, args.out, seed=args.seed))
     # refresh the counters metrics table with ALL stages (build_index_pipeline
     # wrote only its own four)
     spark.createDataFrame(
