@@ -1010,6 +1010,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         SAMPLE_FRACS,
         key_col="k",
     ).select("doc_id", "lang", "bucket")
+    # fixed-SIZE per-stratum sample (eval-set primitive): exactly 20 docs
+    # per language, hash-ranked -> stable across runs/partitionings/appends
+    q["docs_sample_k"] = lambda s, d: WT.stratified_fixed_k(
+        _docs(s, d).withColumn("k", F.col("doc_id").cast("string")), 20, key_col="k"
+    ).select("doc_id", "lang", "rk")
 
     # URL canonicalization dedup: planted syntactic variants (#fragment,
     # utm_ params, upper-case host, explicit :443) collapse onto their base
@@ -1119,6 +1124,10 @@ def oracle_sql() -> dict[str, str]:
         key_col="k",
     )
     o["docs_sample"] = f"SELECT doc_id, lang, bucket FROM ({sample_sql})"
+    sample_k_sql = WT.stratified_fixed_k_sql(
+        "(SELECT *, CAST(doc_id AS VARCHAR) AS k FROM documents)", 20, key_col="k"
+    )
+    o["docs_sample_k"] = f"SELECT doc_id, lang, rk FROM ({sample_k_sql})"
 
     noisy_rel = f"""(
         SELECT url FROM {pages_raw}

@@ -312,3 +312,57 @@ def stratified_sample_sql(
         SELECT *, {bucket} AS bucket FROM {rel}
         WHERE {bucket} < (CASE {strata_col} {cases} ELSE -1 END)
     """
+
+
+def stratified_fixed_k(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "lang",
+    key_col: str = "url",
+    salt: str = "s0",
+) -> DataFrame:
+    """Deterministic fixed-SIZE uniform sample per stratum: the k rows with
+    the smallest salted key hash in each stratum (all rows when a stratum
+    has fewer than k). The fraction-based sibling (``stratified_sample``)
+    cannot pin an exact count; this is the eval-set / holdout primitive —
+    "exactly 1000 docs per language, stable across runs and engines".
+
+    Hash ranking makes it order-free and partitioning-independent (the md5
+    tiebreak is total because tok_hash collisions are broken by the key
+    itself), and a GROWING corpus only swaps members in/out at the hash
+    boundary — no reshuffling of the whole sample on append. The rank
+    filter compiles to WindowGroupLimit in Spark 4: each map task keeps
+    only k rows per stratum BEFORE the exchange, so the shuffle carries
+    O(|strata| * k) rows, not the corpus. NULL keys drop (NULL hash),
+    as in ``stratified_sample``.
+    """
+    from countrymaam_spark.functions import text as T
+
+    h = T.tok_hash(F.concat(F.lit(salt), F.col(key_col)))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(k))
+    )
+
+
+def stratified_fixed_k_sql(
+    rel: str,
+    k: int,
+    strata_col: str = "lang",
+    key_col: str = "url",
+    salt: str = "s0",
+) -> str:
+    from countrymaam_spark.functions import text as T
+
+    salted_key = f"'{salt}' || {key_col}"
+    h = T.tok_hash_sql(salted_key)
+    return f"""
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY {strata_col} ORDER BY {h} ASC, {key_col} ASC
+            ) AS rk
+            FROM {rel} WHERE {key_col} IS NOT NULL
+        ) t WHERE rk <= {k}
+    """

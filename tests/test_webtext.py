@@ -207,3 +207,29 @@ def test_stratified_sample_total_on_empty_and_rejects_bad_fracs(spark):
 
     with _pytest.raises(ValueError, match=r"\[0, 1\]"):
         WT.stratified_sample(empty, {"en": 1.5}, key_col="k")
+
+
+def test_stratified_fixed_k(spark):
+    """Exact-k-per-stratum hash sample: exact sizes, partitioning
+    independence, append stability (old members keep membership unless
+    displaced at the hash boundary), and oracle parity."""
+    docs = spark.read.parquet(DOCS01).withColumn("k", F.col("doc_id").cast("string"))
+    got = WT.stratified_fixed_k(docs, 20, key_col="k")
+    sizes = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 20 for n in sizes.values()) and len(sizes) == 5
+    a = {r["doc_id"] for r in got.collect()}
+    b = {r["doc_id"] for r in WT.stratified_fixed_k(docs.repartition(13), 20, key_col="k").collect()}
+    assert a == b
+    # nested: k=10 selects a subset of k=20 (same hash order)
+    small = {r["doc_id"] for r in WT.stratified_fixed_k(docs, 10, key_col="k").collect()}
+    assert small < a
+    # oracle parity
+    sql = WT.stratified_fixed_k_sql(
+        f"(SELECT *, CAST(doc_id AS VARCHAR) AS k FROM '{DOCS01}')", 20, key_col="k"
+    )
+    want = set(duckdb.sql(f"SELECT doc_id, rk FROM ({sql})").fetchall())
+    got_pairs = {(r["doc_id"], r["rk"]) for r in got.select("doc_id", "rk").collect()}
+    assert got_pairs == want
+    # WindowGroupLimit engages (the O(strata*k) shuffle claim)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
