@@ -63,6 +63,8 @@ from countrymaam_spark.operators.pip import (
     polygon_stats,
     polygon_stats_sql,
 )
+from countrymaam_spark.operators import lines as LN
+from countrymaam_spark.operators import rarity as RY
 from countrymaam_spark.operators import webtext as WT
 from countrymaam_spark.operators.tiles import (
     assign_tiles,
@@ -102,6 +104,10 @@ RADIUS_KM = 100.0  # geo_radius_join within-distance threshold
 HOTSPOT_RES = 9
 HOTSPOT_MIN_PTS = 10
 NEAR_PAIRS_KM = 1.0  # geo_near_pairs self-join threshold (clustered fixture)
+# line-level boilerplate threshold: the 8 shared filler sentences appear in
+# thousands of pages at every sf; page-unique segments (ids/coords) never
+# reach df 10, so the threshold is insensitive across the fixture range
+LINE_MIN_DOCS = 10
 PARENT_RES = 4
 # as-of instants for host_asof: fixture warc_ts starts 2024-10-16T00:00Z
 # (epoch 1729036800) and ticks 1 s/page — these land mid-corpus at sf0.01+
@@ -984,6 +990,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per-host aggregate stats (page count, langs, text volume, crawl window)
     q["host_stats"] = lambda s, d: WT.host_stats(PG.load_pages(s, d))
 
+    # --- line-level boilerplate dedup (CCNet/C4 shape) ---
+    # global line doc-frequency -> per-page boilerplate accounting / cleaned
+    # corpus; the only corpus-sized shuffles are the line-string count and
+    # the per-url re-aggregation (operators/lines.py docstring)
+    q["page_line_stats"] = lambda s, d: LN.page_line_stats(
+        PG.load_pages(s, d), LINE_MIN_DOCS
+    )
+    q["pages_line_clean"] = lambda s, d: LN.clean_pages(
+        PG.load_pages(s, d), LINE_MIN_DOCS
+    )
+    # corpus-unigram rarity score (perplexity-filter shape, exact-int weights)
+    q["doc_rarity"] = lambda s, d: RY.doc_rarity(_docs(s, d))
+
     # keyed AS-OF join: newest-2 snapshots per host at two fixed instants
     def _asof_queries(s: SparkSession, d: str) -> DataFrame:
         hosts = (
@@ -1108,6 +1127,9 @@ def oracle_sql() -> dict[str, str]:
     pages_raw = f"'{_fixture(ORACLE_SF, 'pages.parquet')}'"
     o["host_latest"] = WT.host_latest_sql(pages_raw, k=3)
     o["host_stats"] = WT.host_stats_sql(pages_raw)
+    o["page_line_stats"] = LN.page_line_stats_sql(pages_raw, LINE_MIN_DOCS)
+    o["pages_line_clean"] = LN.clean_pages_sql(pages_raw, LINE_MIN_DOCS)
+    o["doc_rarity"] = RY.doc_rarity_sql("documents")
 
     asof_vals = ", ".join(f"(CAST({t} AS BIGINT))" for t in ASOF_TS)
     asof_rel = f"""
