@@ -22,8 +22,9 @@ Scale design (10^12 documents):
 
 1. ``token_totals`` — map-side-partial count keyed by token.  Vocabulary-
    sized output (Heaps' law: ~10^7-10^8 at web scale), never corpus-sized.
-2. The corpus total rides a broadcast single-row cross join (no driver
-   collect on the data path).
+2. The corpus total is a 1-row bounded collect over the pinned vocabulary
+   (plan-time literal, the ``bm25_search`` corpus-stats pattern — never a
+   corpus-sized driver pull).
 3. ``doc_rarity`` — explode all token occurrences, hash-join the weight
    table (estimate-gated broadcast: vocabularies usually fit, the gate
    degrades to a shuffle equi-join when they don't), re-aggregate per
@@ -77,9 +78,13 @@ def doc_rarity(
     Documents with zero tokens drop out (no score is defined for them).
     """
     vocab = token_totals(docs, text_col).localCheckpoint(eager=True)
-    total = vocab.agg(F.sum("cnt").alias("total"))
-    weights = vocab.crossJoin(F.broadcast(total)).select(
-        "tok", F.expr("total div cnt").alias("w")
+    # corpus total as a plan-time literal: a 1-row bounded collect over the
+    # pinned vocabulary (the bm25_search corpus-stats pattern) — a 1-row
+    # crossJoin would plan as BroadcastNestedLoopJoin and break the
+    # no-nested-loop plan invariant for no benefit
+    total = vocab.agg(F.sum("cnt")).first()[0] or 0
+    weights = vocab.select(
+        "tok", F.expr(f"{int(total)} div cnt").alias("w")
     )
     occurrences = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(T.tokens(F.col(text_col))).alias("tok")
