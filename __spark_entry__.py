@@ -63,6 +63,7 @@ from countrymaam_spark.operators.pip import (
     polygon_stats,
     polygon_stats_sql,
 )
+from countrymaam_spark.operators import decontam as DC
 from countrymaam_spark.operators import lines as LN
 from countrymaam_spark.operators import rarity as RY
 from countrymaam_spark.operators import webtext as WT
@@ -108,6 +109,11 @@ NEAR_PAIRS_KM = 1.0  # geo_near_pairs self-join threshold (clustered fixture)
 # thousands of pages at every sf; page-unique segments (ids/coords) never
 # reach df 10, so the threshold is insensitive across the fixture range
 LINE_MIN_DOCS = 10
+# decontamination "benchmark": every 13th fixture document poses as the eval
+# set, so hits are guaranteed (the eval docs themselves) plus any organic
+# 8-gram overlap — exercises both the self-hit and the near-copy path
+EVAL_MOD = 13
+CONTAM_L = 8
 PARENT_RES = 4
 # as-of instants for host_asof: fixture warc_ts starts 2024-10-16T00:00Z
 # (epoch 1729036800) and ticks 1 s/page — these land mid-corpus at sf0.01+
@@ -1003,6 +1009,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # corpus-unigram rarity score (perplexity-filter shape, exact-int weights)
     q["doc_rarity"] = lambda s, d: RY.doc_rarity(_docs(s, d))
 
+    # --- eval-set decontamination (benchmark n-gram overlap) ---
+    def _evals(s: SparkSession, d: str) -> DataFrame:
+        return _docs(s, d).filter(F.col("doc_id") % EVAL_MOD == 0)
+
+    q["doc_contamination"] = lambda s, d: DC.contamination_stats(
+        _docs(s, d), _evals(s, d), L=CONTAM_L, eval_id_col="doc_id"
+    )
+    q["docs_decontaminated"] = lambda s, d: DC.decontaminate(
+        _docs(s, d), _evals(s, d), L=CONTAM_L, max_frac=0.0, eval_id_col="doc_id"
+    )
+
     # keyed AS-OF join: newest-2 snapshots per host at two fixed instants
     def _asof_queries(s: SparkSession, d: str) -> DataFrame:
         hosts = (
@@ -1130,6 +1147,13 @@ def oracle_sql() -> dict[str, str]:
     o["page_line_stats"] = LN.page_line_stats_sql(pages_raw, LINE_MIN_DOCS)
     o["pages_line_clean"] = LN.clean_pages_sql(pages_raw, LINE_MIN_DOCS)
     o["doc_rarity"] = RY.doc_rarity_sql("documents")
+    eval_rel = f"(SELECT * FROM documents WHERE doc_id % {EVAL_MOD} = 0)"
+    o["doc_contamination"] = DC.contamination_stats_sql(
+        "documents", eval_rel, L=CONTAM_L
+    )
+    o["docs_decontaminated"] = DC.decontaminate_sql(
+        "documents", eval_rel, L=CONTAM_L, max_frac=0.0
+    )
 
     asof_vals = ", ".join(f"(CAST({t} AS BIGINT))" for t in ASOF_TS)
     asof_rel = f"""
