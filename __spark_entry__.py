@@ -65,6 +65,7 @@ from countrymaam_spark.operators.pip import (
 )
 from countrymaam_spark.operators import decontam as DC
 from countrymaam_spark.operators import lines as LN
+from countrymaam_spark.operators import profile as PR
 from countrymaam_spark.operators import rarity as RY
 from countrymaam_spark.operators import webtext as WT
 from countrymaam_spark.operators.tiles import (
@@ -1019,6 +1020,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_decontaminated"] = lambda s, d: DC.decontaminate(
         _docs(s, d), _evals(s, d), L=CONTAM_L, max_frac=0.0, eval_id_col="doc_id"
     )
+    # exact per-lang token-length quantiles over the compact histogram
+    # (type-1 / inverse-CDF definition; the corpus is never sorted)
+    q["doc_length_quantiles"] = lambda s, d: PR.length_quantiles(_docs(s, d))
 
     # keyed AS-OF join: newest-2 snapshots per host at two fixed instants
     def _asof_queries(s: SparkSession, d: str) -> DataFrame:
@@ -1154,6 +1158,7 @@ def oracle_sql() -> dict[str, str]:
     o["docs_decontaminated"] = DC.decontaminate_sql(
         "documents", eval_rel, L=CONTAM_L, max_frac=0.0
     )
+    o["doc_length_quantiles"] = PR.length_quantiles_sql("documents")
 
     asof_vals = ", ".join(f"(CAST({t} AS BIGINT))" for t in ASOF_TS)
     asof_rel = f"""
