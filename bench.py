@@ -188,6 +188,11 @@ def main() -> None:
     from countrymaam_spark.operators.tiles import tile_terms
 
     timed("tile_terms", lambda: materialize(tile_terms(extract_geo(pages), 5, k=5)))
+    # line-level boilerplate dedup over the full pages corpus: global line
+    # doc-frequency + gated-broadcast boiler join + per-url re-aggregation
+    from countrymaam_spark.operators.lines import page_line_stats
+
+    timed("line_dedup_stats", lambda: materialize(page_line_stats(pages, 10)))
 
     # retrieval + link-graph additive stages (round 4): BM25 serves straight
     # from raw docs here (index build + serve in one timing — the deployment
@@ -371,6 +376,21 @@ def main() -> None:
                 "bm25_serve_volume",
                 lambda: materialize(
                     SEm.bm25_topk_df(spark, post_v, tdf_v, n_docs_v, sum_dl_v, qdf_v, k=10)
+                ),
+            )
+
+        # eval-set decontamination at volume: every 1000th synthetic doc
+        # poses as the benchmark; the shared boilerplate prefix guarantees
+        # template-wide hits, so the per-doc interval-union pass runs at
+        # O(corpus) hit rows — the heavy regime
+        if docs_n and (only_set is None or "decontam_volume" in only_set):
+            from countrymaam_spark.operators.decontam import contamination_stats
+
+            evals_v = docs.filter(F.col("doc_id") % 1000 == 0)
+            timed(
+                "decontam_volume",
+                lambda: materialize(
+                    contamination_stats(docs, evals_v, L=8, eval_id_col="doc_id")
                 ),
             )
 
