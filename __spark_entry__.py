@@ -388,6 +388,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_token_count"] = lambda s, d: _docs(s, d).select(
         "doc_id", T.token_count(F.col("text")).alias("n_tokens")
     )
+    # whitespace/alnum count next to the BPE-ish pretokenizer count (the
+    # token-budget estimator pair)
+    q["doc_bpe_tokens"] = lambda s, d: _docs(s, d).select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.bpe_token_count(F.col("text")).alias("n_bpe"),
+    )
     q["doc_lang_id"] = lambda s, d: _docs(s, d).select(
         "doc_id", T.lang_id(F.col("text")).alias("lang_pred")
     )
@@ -1159,6 +1166,10 @@ def oracle_sql() -> dict[str, str]:
         "documents", eval_rel, L=CONTAM_L, max_frac=0.0
     )
     o["doc_length_quantiles"] = PR.length_quantiles_sql("documents")
+    o["doc_bpe_tokens"] = (
+        f"SELECT doc_id, {T.token_count_sql('text')} AS n_tokens, "
+        f"{T.bpe_token_count_sql('text')} AS n_bpe FROM documents"
+    )
 
     asof_vals = ", ".join(f"(CAST({t} AS BIGINT))" for t in ASOF_TS)
     asof_rel = f"""

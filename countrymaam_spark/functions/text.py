@@ -61,6 +61,25 @@ def token_count_sql(text: str) -> str:
     return f"CAST(len({tokens_sql(text)}) AS BIGINT)"
 
 
+# BPE-style pretokenizer count: a letter RUN is one pretoken while every
+# digit and every punctuation mark counts alone — the GPT-2 pretokenizer's
+# shape reduced to the Java/RE2/Python common regex subset (the real
+# pattern's \s+(?!\S) lookahead and contraction alternates are not
+# RE2-expressible; this approximation tracks subword-tokenizer counts far
+# closer than whitespace counting on code/numeric text, which is what a
+# token-budget estimator needs)
+BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish pretokens (JVM ``regexp_count``, no Python)."""
+    return F.regexp_count(text, F.lit(BPE_SPLIT_RE)).cast("long")
+
+
+def bpe_token_count_sql(text: str) -> str:
+    return f"CAST(len(regexp_extract_all({text}, '{BPE_SPLIT_RE}')) AS BIGINT)"
+
+
 def stopword_hits(text: Column, lang: str) -> Column:
     words = STOPWORDS[lang]
     arr = F.array(*[F.lit(w) for w in words])

@@ -108,3 +108,22 @@ def test_simhash_vec_identical_to_expression_form(spark):
         "doc_id", T.simhash_vec(T.tokens(F.col("text"))).alias("s")
     ).orderBy("doc_id").collect()
     assert all(x["s"] == y["s"] for x, y in zip(a, b)) and len(a) > 0
+
+
+def test_bpe_token_count_matches_oracle_and_hand_case(spark):
+    """Letter runs count once; every digit and punctuation mark counts
+    alone. Engine (Java regex) and oracle (RE2) must agree exactly."""
+    import duckdb
+
+    row = spark.createDataFrame(
+        [(1, "Page 42, don't (66.8)")], "doc_id long, text string"
+    ).select(T.bpe_token_count(F.col("text")).alias("n")).first()
+    # Page|4|2|,|don|'|t|(|6|6|.|8|) -> 13
+    assert row["n"] == 13
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {(r["doc_id"], r["n"]) for r in docs.select("doc_id", T.bpe_token_count(F.col("text")).alias("n")).collect()}
+    want = set(duckdb.sql(
+        "SELECT doc_id, " + T.bpe_token_count_sql("text")
+        + " AS n FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall())
+    assert got == want
