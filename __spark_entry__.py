@@ -63,6 +63,7 @@ from countrymaam_spark.operators.pip import (
     polygon_stats,
     polygon_stats_sql,
 )
+from countrymaam_spark.operators import chunk as CH
 from countrymaam_spark.operators import decontam as DC
 from countrymaam_spark.operators import lines as LN
 from countrymaam_spark.operators import profile as PR
@@ -1030,6 +1031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exact per-lang token-length quantiles over the compact histogram
     # (type-1 / inverse-CDF definition; the corpus is never sorted)
     q["doc_length_quantiles"] = lambda s, d: PR.length_quantiles(_docs(s, d))
+    # passage splitting: 32-token windows every 16 (overlap path exercised)
+    q["docs_chunks"] = lambda s, d: CH.chunk_docs(_docs(s, d), size=32, stride=16)
 
     # keyed AS-OF join: newest-2 snapshots per host at two fixed instants
     def _asof_queries(s: SparkSession, d: str) -> DataFrame:
@@ -1166,6 +1169,7 @@ def oracle_sql() -> dict[str, str]:
         "documents", eval_rel, L=CONTAM_L, max_frac=0.0
     )
     o["doc_length_quantiles"] = PR.length_quantiles_sql("documents")
+    o["docs_chunks"] = CH.chunk_docs_sql("documents", size=32, stride=16)
     o["doc_bpe_tokens"] = (
         f"SELECT doc_id, {T.token_count_sql('text')} AS n_tokens, "
         f"{T.bpe_token_count_sql('text')} AS n_bpe FROM documents"
