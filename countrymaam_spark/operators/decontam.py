@@ -53,12 +53,14 @@ def eval_gram_set(
 
 def contamination_stats(
     docs: DataFrame,
-    evals: DataFrame,
+    evals: DataFrame | None,
     L: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
     eval_id_col: str = "eval_id",
     broadcast_limit: int | None = None,
+    eval_grams: DataFrame | None = None,
+    eval_grams_rows: int | None = None,
 ) -> DataFrame:
     """(doc_id, n_tok, n_grams, hit_grams, covered_tokens, contam_frac):
     per-document overlap with the eval set at gram length L.
@@ -67,10 +69,24 @@ def contamination_stats(
     eval set.  Every corpus document gets a row (zeros when clean or shorter
     than L); ``contam_frac`` = covered_tokens / n_tok, rounded 4dp after an
     exact-integer division pair.  Deterministic; no RNG anywhere.
+
+    ``eval_grams`` (+ optional ``eval_grams_rows`` for the broadcast gate)
+    lets a deployment pass the PREBUILT pinned gram table of
+    :func:`eval_gram_set` — the production regime: benchmarks change rarely,
+    so the gram state is built once and every corpus batch pays only the
+    probe (the ``bm25_serve_volume`` pattern).  When given, ``evals`` is
+    ignored (may be None).
     """
     base, grams = _gram_starts(docs, L, id_col, text_col)
-    eg = eval_gram_set(evals, L, eval_id_col, text_col).localCheckpoint(eager=True)
-    hits = grams.join(gate_broadcast(eg, eg.count(), broadcast_limit), "g")
+    if eval_grams is None:
+        eval_grams = eval_gram_set(evals, L, eval_id_col, text_col).localCheckpoint(
+            eager=True
+        )
+    if eval_grams_rows is None:
+        eval_grams_rows = eval_grams.count()
+    hits = grams.join(
+        gate_broadcast(eval_grams, eval_grams_rows, broadcast_limit), "g"
+    )
     w = Window.partitionBy("did").orderBy("p")
     cov = (
         hits.withColumn("nxt", F.lead("p").over(w))
@@ -150,19 +166,30 @@ def contamination_stats_sql(
 
 def decontaminate(
     docs: DataFrame,
-    evals: DataFrame,
+    evals: DataFrame | None,
     L: int = 8,
     max_frac: float = 0.0,
     id_col: str = "doc_id",
     text_col: str = "text",
     eval_id_col: str = "eval_id",
     broadcast_limit: int | None = None,
+    eval_grams: DataFrame | None = None,
+    eval_grams_rows: int | None = None,
 ) -> DataFrame:
     """The corpus with eval-contaminated documents removed: keep documents
     whose ``contam_frac`` <= max_frac (default 0.0 = drop on ANY shared
-    L-gram, the strict GPT-3-style rule). Returns the full input schema."""
+    L-gram, the strict GPT-3-style rule). Returns the full input schema.
+    ``eval_grams``/``eval_grams_rows`` as in :func:`contamination_stats`."""
     stats = contamination_stats(
-        docs, evals, L, id_col, text_col, eval_id_col, broadcast_limit
+        docs,
+        evals,
+        L,
+        id_col,
+        text_col,
+        eval_id_col,
+        broadcast_limit,
+        eval_grams,
+        eval_grams_rows,
     )
     keep = stats.filter(F.col("contam_frac") <= float(max_frac)).select(id_col)
     return docs.join(keep, id_col)

@@ -193,7 +193,24 @@ def minhash_lsh_pairs(
     # band buckets carry ONLY (did, band, key) — the shingle arrays never
     # enter the self-join shuffle (they'd dominate the exchange at scale);
     # candidates are verified by joining the shingle table back afterwards.
-    band_rows = sig.select(
+    band_rows = _band_rows(sig, num_hashes, bands)
+    a = band_rows.select(F.col("did").alias("id_a"), "band", "key")
+    b = band_rows.select(F.col("did").alias("id_b"), "band", "key")
+    cands = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _verify_jaccard_pairs(cands, s.select("did", "sh", "n_sh"), tau)
+
+
+def _band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(did, band, key): one bucket row per signature band — the LSH index
+    rows (shared by the in-session self-join and the persisted dedup state,
+    which must produce bit-identical keys so append == rebuild)."""
+    rows = num_hashes // bands
+    return sig.select(
         "did",
         F.explode(
             F.array(
@@ -209,15 +226,11 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("did", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = band_rows.select(F.col("did").alias("id_a"), "band", "key")
-    b = band_rows.select(F.col("did").alias("id_b"), "band", "key")
-    cands = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    sh_tbl = s.select("did", "sh", "n_sh")
+
+
+def _verify_jaccard_pairs(cands: DataFrame, sh_tbl: DataFrame, tau: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs against
+    the shingle table: -> (id_a, id_b, jac) with jac >= tau."""
     pairs = (
         cands.join(sh_tbl.select(F.col("did").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na")), "id_a")
         .join(sh_tbl.select(F.col("did").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb")), "id_b")

@@ -706,3 +706,180 @@ def load_trees(spark: SparkSession, out_dir: str, batch_size: int = 16):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def build_dedup_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Persisted dedup state — the incremental-curation counterpart of the
+    index appends: a recrawl dedups each NEW batch against everything seen
+    so far without re-shingling history.  Three Manifest stages under ONE
+    params key:
+
+    - ``dedup_sha``      (h, canonical_id, n_docs): exact byte-identity
+      state — min doc id + count per sha256(text).  Vocabulary of contents,
+      corpus-bounded.
+    - ``dedup_shingles`` (did, sh, n_sh): per-doc shingle sets (the exact-
+      Jaccard verification side).  Per-doc independent => parquet-appendable.
+    - ``dedup_bands``    (did, band, key): the MinHash-LSH bucket index
+      rows (``dedup._band_rows`` — the SAME key construction as the
+      in-session self-join, so append == rebuild bit-for-bit).
+
+    At cluster scale ``dedup_bands`` is the table to bucket by (band, key)
+    (Iceberg move; plain parquet here) so a new batch's probe prunes files.
+    """
+    from countrymaam_spark.functions import text as T
+    from countrymaam_spark.operators import dedup as DD
+
+    manifest = Manifest(out_dir)
+    params = {
+        "n": n, "num_hashes": num_hashes, "bands": bands,
+        "id_col": id_col, "text_col": text_col,
+    }
+    sha, sk1 = run_stage(
+        spark,
+        manifest,
+        "dedup_sha",
+        lambda: docs.select(
+            F.col(id_col).alias("did"), F.sha2(F.col(text_col), 256).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.min("did").alias("canonical_id"), F.count("*").alias("n_docs")),
+        params=params,
+    )
+    sh, sk2 = run_stage(
+        spark,
+        manifest,
+        "dedup_shingles",
+        lambda: DD._doc_shingles(docs, id_col, text_col, n),
+        params=params,
+    )
+    bnd, sk3 = run_stage(
+        spark,
+        manifest,
+        "dedup_bands",
+        lambda: DD._band_rows(
+            sh.withColumn("sig", T.minhash_sig_vec(F.col("sh"), num_hashes)),
+            num_hashes,
+            bands,
+        ),
+        params=params,
+    )
+    return {
+        "dedup_sha": {"rows": sha.count(), "skipped": sk1},
+        "dedup_shingles": {"rows": sh.count(), "skipped": sk2},
+        "dedup_bands": {"rows": bnd.count(), "skipped": sk3},
+    }
+
+
+def append_dedup_pipeline(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    out_dir: str,
+    tau: float = 0.8,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Dedup a NEW batch against the persisted state and fold it in.
+
+    Only the delta is hashed/shingled (at 10^12 docs a rebuild re-shingles
+    the world); history is touched through the state tables alone:
+
+    1. exact: the new batch's sha rows probe ``dedup_sha`` — hits are
+       byte-identical recrawls of seen content; the state then merges by
+       (min canonical, summed count) and overwrites (vocabulary-of-contents
+       sized, the ``append_text_pipeline`` df-merge shape).
+    2. near: new shingle + band rows parquet-append; the new batch's band
+       rows bucket-join the FULL band index (old + new) — never a pair
+       matrix — and candidates verify by exact Jaccard against the full
+       shingle state.  Result = all near-dup pairs touching >= 1 new doc
+       (append == rebuild-restricted, pytest-pinned); written to
+       ``dedup_new_pairs`` (per-batch artifact, overwritten each append).
+
+    Doc ids must be NEW (same contract as every append family; the sha
+    probe is itself the guard a caller uses to find re-sent content).
+    """
+    from countrymaam_spark.functions import text as T
+    from countrymaam_spark.operators import dedup as DD
+
+    manifest = Manifest(out_dir)
+    new_sha = new_docs.select(
+        F.col(id_col).alias("did"), F.sha2(F.col(text_col), 256).alias("h")
+    ).localCheckpoint(eager=True)
+
+    sha_path = os.path.join(out_dir, "dedup_sha")
+    old_sha = spark.read.parquet(sha_path)
+    exact_hits = (
+        new_sha.join(old_sha.select("h", "canonical_id"), "h")
+        .select("did", "canonical_id")
+    )
+    n_exact = exact_hits.count()
+    merged = (
+        old_sha.unionByName(
+            new_sha.groupBy("h").agg(
+                F.min("did").alias("canonical_id"), F.count("*").alias("n_docs")
+            )
+        )
+        .groupBy("h")
+        .agg(
+            F.min("canonical_id").alias("canonical_id"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+        )
+        .localCheckpoint(eager=True)  # a lazy plan cannot overwrite its input
+    )
+    merged.write.mode("overwrite").parquet(sha_path)
+    _refresh_stage_entry(spark, manifest, "dedup_sha")
+
+    new_sh = DD._doc_shingles(new_docs, id_col, text_col, n).localCheckpoint(
+        eager=True
+    )
+    new_sh.write.mode("append").parquet(os.path.join(out_dir, "dedup_shingles"))
+    sh_all = _refresh_stage_entry(spark, manifest, "dedup_shingles")
+
+    new_bands = DD._band_rows(
+        new_sh.withColumn("sig", T.minhash_sig_vec(F.col("sh"), num_hashes)),
+        num_hashes,
+        bands,
+    ).localCheckpoint(eager=True)
+    new_bands.write.mode("append").parquet(os.path.join(out_dir, "dedup_bands"))
+    bands_all = _refresh_stage_entry(spark, manifest, "dedup_bands")
+
+    cands = (
+        new_bands.select(F.col("did").alias("id_n"), "band", "key")
+        .join(bands_all.select(F.col("did").alias("id_o"), "band", "key"), ["band", "key"])
+        .filter(F.col("id_n") != F.col("id_o"))
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = DD._verify_jaccard_pairs(
+        cands, sh_all.select("did", "sh", "n_sh"), tau
+    ).localCheckpoint(eager=True)
+    pairs.write.mode("overwrite").parquet(os.path.join(out_dir, "dedup_new_pairs"))
+    return {
+        "dedup_sha": {"rows": merged.count(), "exact_hits": n_exact},
+        "dedup_shingles": {"rows": sh_all.count(), "appended": new_sh.count()},
+        "dedup_bands": {"rows": bands_all.count()},
+        "dedup_new_pairs": {"rows": pairs.count()},
+    }
+
+
+def load_dedup_state(spark: SparkSession, out_dir: str):
+    """-> (sha DataFrame, shingles DataFrame, bands DataFrame)."""
+    return (
+        spark.read.parquet(os.path.join(out_dir, "dedup_sha")),
+        spark.read.parquet(os.path.join(out_dir, "dedup_shingles")),
+        spark.read.parquet(os.path.join(out_dir, "dedup_bands")),
+    )
