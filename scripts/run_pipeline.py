@@ -80,11 +80,17 @@ def main() -> None:
     geo_df = spark.read.parquet(os.path.join(args.out, "geo"))
     report.update(build_cell_pipeline(spark, geo_df, args.out, res=args.res))
     if args.docs:
-        from countrymaam_spark.plans.pipeline import build_text_pipeline
-
-        report.update(
-            build_text_pipeline(spark, spark.read.parquet(args.docs), args.out)
+        from countrymaam_spark.plans.pipeline import (
+            build_dedup_pipeline,
+            build_text_pipeline,
         )
+
+        docs_df = spark.read.parquet(args.docs)
+        report.update(build_text_pipeline(spark, docs_df, args.out))
+        # curation state in the same submit: sha byte-identity table +
+        # shingles + MinHash band index, so later batches dedup against
+        # this deployment via append_dedup_pipeline
+        report.update(build_dedup_pipeline(spark, docs_df, args.out))
     if args.embeddings:
         from countrymaam_spark.plans.pipeline import (
             build_graph_pipeline,
