@@ -67,6 +67,7 @@ from countrymaam_spark.operators import chunk as CH
 from countrymaam_spark.operators import decontam as DC
 from countrymaam_spark.operators import lines as LN
 from countrymaam_spark.operators import profile as PR
+from countrymaam_spark.operators import trainset as TS
 from countrymaam_spark.operators import rarity as RY
 from countrymaam_spark.operators import webtext as WT
 from countrymaam_spark.operators.tiles import (
@@ -1033,6 +1034,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_length_quantiles"] = lambda s, d: PR.length_quantiles(_docs(s, d))
     # passage splitting: 32-token windows every 16 (overlap path exercised)
     q["docs_chunks"] = lambda s, d: CH.chunk_docs(_docs(s, d), size=32, stride=16)
+    # the end-to-end crawl -> model-ready-passages pipeline over the raw
+    # input_hint pages table (boilerplate removal -> quality gate -> exact
+    # dedup of cleaned text -> chunking), checked bit-for-bit as one plan
+    q["pages_training_chunks"] = lambda s, d: TS.training_chunks(
+        PG.load_pages(s, d)
+    )
 
     # keyed AS-OF join: newest-2 snapshots per host at two fixed instants
     def _asof_queries(s: SparkSession, d: str) -> DataFrame:
@@ -1161,6 +1168,7 @@ def oracle_sql() -> dict[str, str]:
     o["page_line_stats"] = LN.page_line_stats_sql(pages_raw, LINE_MIN_DOCS)
     o["pages_line_clean"] = LN.clean_pages_sql(pages_raw, LINE_MIN_DOCS)
     o["doc_rarity"] = RY.doc_rarity_sql("documents")
+    o["pages_training_chunks"] = TS.training_chunks_sql(pages_raw)
     eval_rel = f"(SELECT * FROM documents WHERE doc_id % {EVAL_MOD} = 0)"
     o["doc_contamination"] = DC.contamination_stats_sql(
         "documents", eval_rel, L=CONTAM_L
