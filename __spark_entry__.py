@@ -589,6 +589,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, d), tau=0.5, exact=False, n_tables=16, bits=4
     )
 
+    # SemDeDup-style semantic canonicalization: embedding near-dup pairs ->
+    # connected components (large-star/small-star) -> one canonical vec per
+    # semantic cluster; every vec gets a row (singletons self-canonical)
+    def _embed_components(s: SparkSession, d: str) -> DataFrame:
+        emb = _emb(s, d)
+        pairs = ann.cosine_near_pairs(emb, tau=0.5, exact=True).select("id_a", "id_b")
+        return dedup.dup_components(emb.select("vec_id"), pairs, id_col="vec_id")
+
+    q["embed_dup_components"] = _embed_components
+
     # --- multimodal assets (binary payload + typed metadata) ---
     def _assets(s: SparkSession, d: str) -> DataFrame:
         sf = PG.sf_name_from_dir(d)
@@ -1313,6 +1323,9 @@ def oracle_sql() -> dict[str, str]:
     o["embed_knn_ivf_append"] = ann.brute_knn_sql("embeddings", emb_q, k=5)
     o["embed_near_pairs"] = ann.cosine_near_pairs_sql("embeddings", tau=0.5)
     o["embed_near_pairs_lsh"] = ann.cosine_near_pairs_sql("embeddings", tau=0.5)
+    o["embed_dup_components"] = dedup.dup_components_sql(
+        "embeddings", ann.cosine_near_pairs_sql("embeddings", tau=0.5), id_col="vec_id"
+    )
 
     from countrymaam_spark.operators import multimodal as MM
 

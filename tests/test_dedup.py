@@ -412,3 +412,17 @@ def test_curate_docs_span_cap(spark, docs):
         ).fetchall()
     )
     assert {tuple(r) for r in capped_rows} == want
+
+
+def test_embed_components_consistent_with_pairs(spark):
+    """Semantic canonicalization (SemDeDup shape): both ends of every
+    near-pair share a canonical id; every vec gets exactly one row."""
+    from countrymaam_spark.operators import ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = ann.cosine_near_pairs(emb, tau=0.5, exact=True).select("id_a", "id_b")
+    comp = dedup.dup_components(emb.select("vec_id"), pairs, id_col="vec_id")
+    assert comp.count() == emb.count()
+    lab = {r["vec_id"]: r["canonical_id"] for r in comp.collect()}
+    for r in pairs.collect():
+        assert lab[r["id_a"]] == lab[r["id_b"]]
