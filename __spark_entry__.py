@@ -599,6 +599,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embed_dup_components"] = _embed_components
 
+    # geo-balanced downsampling: exactly k pages per occupied cell (hash
+    # rank, partitioning-independent) — the spatial-rebalance step for
+    # training mixes where Zipf-hot cities would otherwise dominate
+    def _geo_tile_sample(s: SparkSession, d: str) -> DataFrame:
+        g = (
+            _pages_geo(s, d)
+            .filter(F.col("lat").isNotNull())
+            .select("url", G.encode_cell(F.col("lat"), F.col("lon"), 6).alias("cell"))
+        )
+        return WT.stratified_fixed_k(g, 5, strata_col="cell", key_col="url").select(
+            "url", "cell", "rk"
+        )
+
+    q["geo_tile_sample"] = _geo_tile_sample
+
     # --- multimodal assets (binary payload + typed metadata) ---
     def _assets(s: SparkSession, d: str) -> DataFrame:
         sf = PG.sf_name_from_dir(d)
@@ -1325,6 +1340,15 @@ def oracle_sql() -> dict[str, str]:
     o["embed_near_pairs_lsh"] = ann.cosine_near_pairs_sql("embeddings", tau=0.5)
     o["embed_dup_components"] = dedup.dup_components_sql(
         "embeddings", ann.cosine_near_pairs_sql("embeddings", tau=0.5), id_col="vec_id"
+    )
+    cell6 = G.encode_cell_sql("lat", "lon", 6)
+    tile_sample_rel = (
+        f"(SELECT url, {cell6} AS cell FROM {pg} WHERE lat IS NOT NULL)"
+    )
+    o["geo_tile_sample"] = (
+        "SELECT url, cell, rk FROM ("
+        + WT.stratified_fixed_k_sql(tile_sample_rel, 5, "cell", "url")
+        + ")"
     )
 
     from countrymaam_spark.operators import multimodal as MM

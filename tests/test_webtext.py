@@ -233,3 +233,30 @@ def test_stratified_fixed_k(spark):
     # WindowGroupLimit engages (the O(strata*k) shuffle claim)
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_geo_tile_fixed_k_caps_hot_cells(spark):
+    """Per-cell fixed-k over the geo table: the Zipf-hot city cells are
+    capped at exactly k while sparse cells keep all their pages."""
+    from countrymaam_spark.functions import geo as G
+    from countrymaam_spark.operators.geotag import extract_geo
+
+    g = (
+        extract_geo(spark.read.parquet(_pages_path()))
+        .filter(F.col("lat").isNotNull())
+        .select("url", G.encode_cell(F.col("lat"), F.col("lon"), 6).alias("cell"))
+    )
+    per_cell = g.groupBy("cell").count()
+    assert per_cell.filter(F.col("count") > 5).count() > 0  # the cap binds
+    s = WT.stratified_fixed_k(g, 5, strata_col="cell", key_col="url")
+    got = s.groupBy("cell").count()
+    assert got.filter(F.col("count") > 5).count() == 0
+    # sparse cells keep everything
+    joined = per_cell.filter(F.col("count") <= 5).join(
+        got.withColumnRenamed("count", "kept"), "cell"
+    )
+    assert joined.filter(F.col("count") != F.col("kept")).count() == 0
+    # determinism: same members on a different partitioning
+    a = sorted(r["url"] for r in s.collect())
+    b = sorted(r["url"] for r in WT.stratified_fixed_k(g.repartition(13), 5, strata_col="cell", key_col="url").collect())
+    assert a == b
