@@ -193,6 +193,11 @@ def main() -> None:
     from countrymaam_spark.operators.lines import page_line_stats
 
     timed("line_dedup_stats", lambda: materialize(page_line_stats(pages, 10)))
+    # the composed crawl -> model-ready-passages pipeline (line clean ->
+    # quality gate -> exact dedup -> chunks) as ONE plan over the raw corpus
+    from countrymaam_spark.operators.trainset import training_chunks
+
+    timed("training_chunks", lambda: materialize(training_chunks(pages)))
 
     # retrieval + link-graph additive stages (round 4): BM25 serves straight
     # from raw docs here (index build + serve in one timing — the deployment
