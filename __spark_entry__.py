@@ -844,6 +844,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_dedup"] = _stream_dedup
 
+    def _stream_line_clean(s: SparkSession, d: str) -> DataFrame:
+        """Streaming boilerplate strip against PREBUILT state: the boiler
+        line set is built batch-side (lines.boiler_lines — the deployment's
+        persisted curation state, a bounded driver pull of the template
+        vocabulary) and the stream pays one stateless vectorized
+        mapInPandas pass. Output == batch clean_pages bit-for-bit, so the
+        clean_pages SQL oracle applies verbatim."""
+        import shutil
+        import tempfile
+
+        from countrymaam_spark.operators import lines as _LN
+        from countrymaam_spark.streaming import curate
+
+        sf = PG.sf_name_from_dir(d)
+        src = _fixture(sf, "pages.parquet")
+        pages = s.read.parquet(src)
+        boiler = [
+            r["line"] for r in _LN.boiler_lines(pages, LINE_MIN_DOCS).collect()
+        ]
+        schema = pages.schema
+        drop_dir = tempfile.mkdtemp(prefix="cm_clean_drop_")
+        try:
+            try:
+                os.link(src, os.path.join(drop_dir, "drop1.parquet"))
+            except OSError:
+                shutil.copy(src, os.path.join(drop_dir, "drop1.parquet"))
+            stream = s.readStream.schema(schema).parquet(drop_dir)
+            _STREAM_N[0] += 1
+            name = f"stream_clean_sink_{_STREAM_N[0]}"
+            sq = (
+                curate.clean_pages_stream(stream, boiler)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_or_raise(sq, 600)
+            out = s.table(name).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(drop_dir, ignore_errors=True)
+        return out
+
+    q["stream_line_clean"] = _stream_line_clean
+
     def _stream_sessionize(s: SparkSession, d: str) -> DataFrame:
         """Stateful streaming driver entry (applyInPandasWithState): the
         events table replayed through a file-source stream into the
@@ -1435,6 +1480,9 @@ def oracle_sql() -> dict[str, str]:
     o["stream_dedup"] = f"""
         SELECT DISTINCT sha256(text) AS text_sha FROM {pages_raw}
     """
+    # stateless streaming boilerplate strip from prebuilt state == the batch
+    # clean_pages, so the SAME oracle applies
+    o["stream_line_clean"] = LN.clean_pages_sql(pages_raw, LINE_MIN_DOCS)
     # stateful streaming sessionizer: one drop => final state == the batch
     # sessionization, so the SAME oracle as events_sessionize applies
     o["stream_sessionize"] = o["events_sessionize"]

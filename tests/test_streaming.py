@@ -508,3 +508,56 @@ def test_stream_dedup_first_arrival_across_batches(spark, tmp_path):
     batch = spark.read.parquet(str(d))
     want = {r["s"] for r in batch.select(F.sha2(F.col("text"), 256).alias("s")).distinct().collect()}
     assert set(got) == want
+
+
+def test_stream_line_clean_equals_batch(spark, tmp_path):
+    """Stateless streaming boilerplate strip from prebuilt state: two
+    micro-batches (maxFilesPerTrigger=1) over the fixture halves produce
+    exactly the batch clean_pages rows, including the dropped
+    fully-templated page and the kept empty-text page."""
+    import os
+
+    from countrymaam_spark.operators import lines as LN
+    from countrymaam_spark.streaming import curate
+
+    boiler_line = "Common template sentence shared by many pages"
+    rows = [
+        (f"u{i:02d}", f"{boiler_line}. Unique body {i} here") for i in range(12)
+    ]
+    rows.append(("all_boiler", boiler_line))     # fully templated -> dropped
+    rows.append(("empty", ""))                   # empty text -> kept as ""
+    pages = spark.createDataFrame(rows, "url string, text string")
+    boiler = [r["line"] for r in LN.boiler_lines(pages, 10).collect()]
+    assert boiler  # the planted template qualified
+
+    drop = tmp_path / "drops"
+    drop.mkdir()
+    pages.filter(F.col("url") < "u06").coalesce(1).write.parquet(str(drop / "a"))
+    pages.filter(~(F.col("url") < "u06")).coalesce(1).write.parquet(str(drop / "b"))
+    # flatten: file source wants files in one dir
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    n = 0
+    for sub in ("a", "b"):
+        for f in os.listdir(drop / sub):
+            if f.endswith(".parquet"):
+                os.link(drop / sub / f, flat / f"d{n}.parquet")
+                n += 1
+    stream = (
+        spark.readStream.schema(pages.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    sq = (
+        curate.clean_pages_stream(stream, boiler)
+        .writeStream.format("memory")
+        .queryName("t_stream_clean")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert sq.awaitTermination(300)
+    got = {(r["url"], r["clean_text"]) for r in spark.table("t_stream_clean").collect()}
+    want = {(r["url"], r["clean_text"]) for r in LN.clean_pages(pages, 10).collect()}
+    assert got == want
+    assert ("all_boiler", "") not in got and ("empty", "") in got
