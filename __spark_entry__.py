@@ -1099,6 +1099,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_decontaminated"] = lambda s, d: DC.decontaminate(
         _docs(s, d), _evals(s, d), L=CONTAM_L, max_frac=0.0, eval_id_col="doc_id"
     )
+    # span-level decontamination: the merged eval-overlap intervals a
+    # surgical pass cuts instead of dropping whole documents
+    q["doc_contam_intervals"] = lambda s, d: DC.contamination_intervals(
+        _docs(s, d), _evals(s, d), L=CONTAM_L, eval_id_col="doc_id"
+    )
     # exact per-lang token-length quantiles over the compact histogram
     # (type-1 / inverse-CDF definition; the corpus is never sorted)
     q["doc_length_quantiles"] = lambda s, d: PR.length_quantiles(_docs(s, d))
@@ -1245,6 +1250,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["docs_decontaminated"] = DC.decontaminate_sql(
         "documents", eval_rel, L=CONTAM_L, max_frac=0.0
+    )
+    o["doc_contam_intervals"] = DC.contamination_intervals_sql(
+        "documents", eval_rel, L=CONTAM_L
     )
     o["doc_length_quantiles"] = PR.length_quantiles_sql("documents")
     o["docs_chunks"] = CH.chunk_docs_sql("documents", size=32, stride=16)

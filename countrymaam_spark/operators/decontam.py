@@ -164,6 +164,85 @@ def contamination_stats_sql(
     """
 
 
+def contamination_intervals(
+    docs: DataFrame,
+    evals: DataFrame | None,
+    L: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    broadcast_limit: int | None = None,
+    eval_grams: DataFrame | None = None,
+    eval_grams_rows: int | None = None,
+) -> DataFrame:
+    """(doc_id, span_start, span_end, n_grams): the MERGED maximal
+    eval-overlapping token intervals per document — the rows a span-level
+    decontamination pass CUTS (the surgical alternative to dropping whole
+    documents, same gaps-and-islands shape as ``dedup.dup_span_intervals``:
+    two hit grams merge iff their start gap <= L).  span_end inclusive.
+    Only the hit rows (eval-overlap-sized) reach the per-doc window."""
+    _, grams = _gram_starts(docs, L, id_col, text_col)
+    if eval_grams is None:
+        eval_grams = eval_gram_set(evals, L, eval_id_col, text_col).localCheckpoint(
+            eager=True
+        )
+    if eval_grams_rows is None:
+        eval_grams_rows = eval_grams.count()
+    hits = grams.join(
+        gate_broadcast(eval_grams, eval_grams_rows, broadcast_limit), "g"
+    )
+    w = Window.partitionBy("did").orderBy("p")
+    isl = (
+        hits.withColumn("prv", F.lag("p").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prv").isNull() | (F.col("p") - F.col("prv") > L), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        isl.groupBy("did", "island")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + F.lit(L - 1)).alias("span_end"),
+            F.count("*").cast("long").alias("n_grams"),
+        )
+        .select(F.col("did").alias(id_col), "span_start", "span_end", "n_grams")
+    )
+
+
+def contamination_intervals_sql(
+    docs_rel: str,
+    evals_rel: str,
+    L: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    return f"""
+        WITH {_dup_span_grams_sql(docs_rel, L, id_col, text_col)},
+        {_eval_grams_sql(evals_rel, L, text_col)}, d2 AS (
+            SELECT grams.did, p,
+                   LAG(p) OVER (PARTITION BY grams.did ORDER BY p) AS prv
+            FROM grams JOIN eg USING (g)
+        ), isl AS (
+            SELECT did, p,
+                   SUM(CASE WHEN prv IS NULL OR p - prv > {L} THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY did ORDER BY p
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            FROM d2
+        )
+        SELECT did AS {id_col}, MIN(p) AS span_start,
+               MAX(p) + {L - 1} AS span_end,
+               CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM isl GROUP BY did, island
+    """
+
+
 def decontaminate(
     docs: DataFrame,
     evals: DataFrame | None,

@@ -91,3 +91,24 @@ def test_empty_corpus_total(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     evals = spark.createDataFrame([(1, "a b c d e f g h")], "eval_id long, text string")
     assert DC.contamination_stats(empty, evals, L=8).count() == 0
+
+
+def test_contamination_intervals_merge(spark):
+    """Hit grams at starts 0 and 4 (gap 4 <= L=4) merge into one interval
+    [0, 7]; an isolated hit far away forms its own interval."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d a b c d x x x x x x a b c d")], "doc_id long, text string"
+    )
+    evals = spark.createDataFrame([(9, "a b c d")], "eval_id long, text string")
+    got = sorted(
+        (r["span_start"], r["span_end"], r["n_grams"])
+        for r in DC.contamination_intervals(docs, evals, L=4).collect()
+    )
+    assert got == [(0, 7, 2), (14, 17, 1)]
+
+
+def test_contamination_intervals_match_oracle(spark, docs, evals):
+    got = _rows(DC.contamination_intervals(docs, evals, L=8, eval_id_col="doc_id"))
+    assert got == _oracle(
+        DC.contamination_intervals_sql(f"read_parquet('{DOCS}')", EREL, L=8)
+    )
