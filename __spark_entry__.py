@@ -1177,6 +1177,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_pagerank"] = _host_pagerank
 
+    # link-graph connected components (site-cluster detection) — the other
+    # standard host-graph analytic, on STRING node ids (the star rounds and
+    # min-label are order-relations only)
+    def _host_components(s: SparkSession, d: str) -> DataFrame:
+        from countrymaam_spark.operators import linkgraph as LG
+
+        edges = LG.host_edges(PG.load_pages(s, d), fanout=3)
+        nodes = (
+            edges.select(F.col("src").alias("host"))
+            .union(edges.select(F.col("dst").alias("host")))
+            .distinct()
+        )
+        pairs = edges.select(
+            F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+        )
+        return dedup.dup_components(nodes, pairs, id_col="host")
+
+    q["host_components"] = _host_components
+
     q["order_customer_join"] = lambda s, d: (
         s.read.parquet(os.path.join(d, "orders.parquet"))
         .join(
@@ -1302,6 +1321,13 @@ def oracle_sql() -> dict[str, str]:
     from countrymaam_spark.operators import linkgraph as LG
 
     o["host_pagerank"] = LG.pagerank_sql(LG.host_edges_sql(pages_raw, fanout=3), iters=5)
+    host_edges_rel = LG.host_edges_sql(pages_raw, fanout=3)  # already parenthesized
+    o["host_components"] = dedup.dup_components_sql(
+        f"(SELECT DISTINCT src AS host FROM {host_edges_rel} "
+        f"UNION SELECT DISTINCT dst FROM {host_edges_rel})",
+        f"SELECT src AS id_a, dst AS id_b FROM {host_edges_rel}",
+        id_col="host",
+    )
     gaz_rel = f"'{_fixture(ORACLE_SF, 'gazetteer.parquet')}'"
     o["geocode_mentions"] = geocode_mentions_sql(pages_raw, gaz_rel)
     o["geocode_quality"] = geocode_quality_sql(pg, gaz_rel)
