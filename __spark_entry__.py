@@ -261,6 +261,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_cell_state"] = _knn_cell_state
 
+    # geo kNN SELF-join (|Q| = |corpus|/mod — the batch regime the gated
+    # broadcast exists for); mod=50 keeps the driver's brute-force oracle
+    # quadratic-but-small while the Spark side runs the indexed path
+    def _knn_join(s, d):
+        from countrymaam_spark.operators.knn import knn_join
+
+        return knn_join(_pages_geo(s, d), k=10, res=CELL_RES, query_mod=50)
+
+    q["geo_knn_join"] = _knn_join
+
     # exact within-distance spatial join (range query): ring candidates sized
     # analytically from the inverted branch-and-bound bound, one probe round
     q["geo_radius_join"] = lambda s, d: radius_join(
@@ -1250,6 +1260,9 @@ def oracle_sql() -> dict[str, str]:
     o["knn_cell_state"] = knn  # state path is bit-identical to stateless
     o["knn_tree_index"] = knn  # full budget (ring=None + search_k >= leaves) => exact
     o["geo_radius_join"] = radius_join_sql(pg, q_rel, RADIUS_KM)
+    from countrymaam_spark.operators.knn import knn_join_sql
+
+    o["geo_knn_join"] = knn_join_sql(pg, k=10, query_mod=50)
     from countrymaam_spark.operators import cluster as CLU
 
     o["geo_hotspots"] = CLU.hotspot_cells_sql(pg, HOTSPOT_RES, HOTSPOT_MIN_PTS)

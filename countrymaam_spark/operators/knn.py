@@ -1007,3 +1007,93 @@ def idw_estimate_sql(pages_rel: str, queries_rel: str, k: int = 10) -> str:
                ROUND(CAST(SUM(w * v) AS DOUBLE) / SUM(w), 4) AS est
         FROM j GROUP BY query_id
     """
+
+
+def knn_join(
+    pages_geo: DataFrame,
+    k: int = 10,
+    res: int = 7,
+    query_mod: int | None = None,
+    salt: str = "kj0",
+    **cell_kw,
+) -> DataFrame:
+    """Geo kNN SELF-join: for each page, its k nearest OTHER pages —
+    (query_id, rk, url, dist_km), the classic distributed spatial kNN-join
+    (every record is simultaneously a query and a corpus point; the batch
+    analog of the reference's serve loop where |Q| = |corpus|).
+
+    Exactness: the join is :func:`cell_knn` at k+1 (exact at any radius by
+    the escalation guarantee); the self match sits at distance 0 so it is
+    always inside the exact top-(k+1), and dropping it leaves the exact
+    top-k over the other pages. Self-identity — and the stable query key —
+    is the engine-portable ``tok_hash(salt || url)`` (an 8-byte shuffle key
+    instead of the url string; the measured agg-hashmap tradeoff from
+    ``_dup_starts`` applies to the per-query windows here too). Ranks are
+    renumbered AFTER the self filter in cell_knn's own (dist, url) order,
+    so no re-comparison of rounded distances can perturb the boundary.
+
+    ``query_mod`` keeps every url with ``query_id % query_mod == 0`` on the
+    query side — the deterministic, partitioning-independent way to run the
+    join on a 1/mod slice (progressive backfill of a 10^12-page corpus: mod
+    128 gives 128 disjoint, individually-resumable slices; the DuckDB
+    oracle selects the same slice by construction).
+
+    Scale shape: |Q| ~ |corpus|/mod is far past any broadcast threshold, so
+    this is exactly the regime cell_knn's gated-broadcast serving was built
+    for — the probe side takes the shuffle equi-join against the
+    cell-bucketed corpus, and state serving (``cell_col``/``stats`` via
+    ``**cell_kw``) skips the per-batch encode entirely.
+    """
+    from countrymaam_spark.functions import text as T
+
+    qid = T.tok_hash(F.concat(F.lit(salt), F.col("url")))
+    q = pages_geo.filter(F.col("lat").isNotNull()).select(
+        qid.alias("query_id"), "lat", "lon"
+    )
+    if query_mod is not None:
+        q = q.filter(F.col("query_id") % F.lit(query_mod) == 0)
+    raw = cell_knn(pages_geo, q, k=k + 1, res=res, **cell_kw)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("rk")
+    return (
+        raw.filter(
+            T.tok_hash(F.concat(F.lit(salt), F.col("url"))) != F.col("query_id")
+        )
+        .withColumn("nrk", F.row_number().over(w))
+        .filter(F.col("nrk") <= k)
+        .select("query_id", F.col("nrk").alias("rk"), "url", "dist_km")
+    )
+
+
+def knn_join_sql(
+    pages_rel: str,
+    k: int = 10,
+    query_mod: int | None = None,
+    salt: str = "kj0",
+) -> str:
+    """DuckDB oracle: brute-force self-join with the identical portable
+    hash key, self-exclusion, slice filter, and (dist, url) tie-break."""
+    from countrymaam_spark.functions import text as T
+
+    qh = T.tok_hash_sql(f"'{salt}' || url")
+    ph = T.tok_hash_sql(f"'{salt}' || p.url")
+    hav = geo.haversine_km_sql("p.lat", "p.lon", "q.lat", "q.lon")
+    mod = f"AND {qh} % {query_mod} = 0" if query_mod is not None else ""
+    return f"""
+        SELECT query_id, rk, url, ROUND(dist_km, 6) AS dist_km
+        FROM (
+            SELECT q.query_id, p.url,
+                   {hav} AS dist_km,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {hav} ASC, p.url ASC
+                   ) AS rk
+            FROM {pages_rel} p,
+                 (SELECT {qh} AS query_id, lat, lon
+                  FROM {pages_rel}
+                  WHERE lat IS NOT NULL {mod}) q
+            WHERE p.lat IS NOT NULL AND {ph} <> q.query_id
+        ) t
+        WHERE rk <= {k}
+    """

@@ -428,3 +428,46 @@ def test_idw_estimate_matches_oracle_and_bounds(spark, queries_small):
     for r in got_rows:
         lo, hi = rng[r["query_id"]]
         assert lo <= r["est"] <= hi
+
+
+def test_knn_join_matches_brute_self_join(spark, geo_small):
+    """knn_join == brute-force self-kNN with self-exclusion on the same
+    slice; the self page never appears among its own neighbors."""
+    from countrymaam_spark.operators.knn import knn_join
+    from countrymaam_spark.functions import text as T
+
+    got = knn_join(geo_small, k=5, res=7, query_mod=10).collect()
+    assert got, "slice selected no queries"
+    # self-exclusion: no neighbor row hashes to its own query_id
+    h = {r["url"]: None for r in got}
+    hashed = dict(
+        geo_small.select(
+            "url", T.tok_hash(F.concat(F.lit("kj0"), F.col("url"))).alias("h")
+        ).collect()
+    )
+    assert all(hashed[r["url"]] != r["query_id"] for r in got)
+    # brute oracle: flat_knn with the SAME hashed query ids at k+1, drop self
+    q = geo_small.select(
+        T.tok_hash(F.concat(F.lit("kj0"), F.col("url"))).alias("query_id"),
+        "lat",
+        "lon",
+    ).filter(F.col("query_id") % 10 == 0)
+    brute = flat_knn(geo_small, q, k=6).collect()
+    want = {}
+    for r in sorted(brute, key=lambda r: (r["query_id"], r["rk"])):
+        if hashed[r["url"]] == r["query_id"]:
+            continue
+        want.setdefault(r["query_id"], [])
+        if len(want[r["query_id"]]) < 5:
+            want[r["query_id"]].append((r["url"], r["dist_km"]))
+    got_m = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rk"])):
+        got_m.setdefault(r["query_id"], []).append((r["url"], r["dist_km"]))
+    assert got_m == want
+
+
+def test_knn_join_empty_input(spark):
+    from countrymaam_spark.operators.knn import knn_join
+
+    empty = spark.createDataFrame([], "url string, lat double, lon double")
+    assert knn_join(empty, k=3, res=7).count() == 0
