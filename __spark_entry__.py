@@ -438,6 +438,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_components"] = lambda s, d: dedup.dup_components(
         _docs(s, d), dedup.minhash_lsh_pairs(_docs(s, d), tau=0.8)
     )
+    # quality-aware keep-one-per-component: the representative is the
+    # highest-quality member (ties -> min id), not the arbitrary min id
+    q["dedup_best_rep"] = lambda s, d: dedup.dup_representatives(
+        _docs(s, d), dedup.minhash_lsh_pairs(_docs(s, d), tau=0.8)
+    )
     # end-to-end curation (lang filter -> quality floor -> dedup keep-list):
     # the composition of already-verified stages, under a composed oracle
     q["docs_curated"] = lambda s, d: dedup.curate_docs(
@@ -1401,6 +1406,10 @@ def oracle_sql() -> dict[str, str]:
         "documents", langs=("en",), min_quality=0.3, tau=0.8
     )
     o["dedup_components"] = dedup.dup_components_sql(
+        "documents",
+        dedup.ngram_jaccard_pairs_sql("documents", tau=0.8, max_shingle_freq=None),
+    )
+    o["dedup_best_rep"] = dedup.dup_representatives_sql(
         "documents",
         dedup.ngram_jaccard_pairs_sql("documents", tau=0.8, max_shingle_freq=None),
     )

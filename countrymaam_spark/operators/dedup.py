@@ -379,6 +379,84 @@ def dup_components_sql(
     """
 
 
+def dup_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_iter: int = 60,
+) -> DataFrame:
+    """Quality-aware keep-one-per-component: (doc_id, canonical_id, rep_id,
+    keep) where ``rep_id`` is the HIGHEST-quality member of the doc's
+    near-dup component (ties -> min id) and ``keep`` marks it.
+
+    Min-id canonicalization (:func:`dup_components`) names a component;
+    a curation pipeline should not also let it pick which copy survives —
+    near-dup clusters mix clean originals with boilerplate-wrapped or
+    truncated mirrors, and the arbitrary min-id member may be the worst one.
+    This is the representative-selection step the dedup literature runs
+    after clustering (e.g. SemDeDup keeps the member farthest from the
+    centroid; here the in-repo quality heuristic plays that role).
+
+    Exact argmax without engine-specific argmax semantics: per-component
+    MAX(quality), then MIN(id) among members attaining it — two hash
+    aggregations, both portable, both deterministic (quality is rounded to
+    4 dp by construction, so the equality join-back is exact float
+    equality on values produced by the identical expression).
+
+    Scale shape: component labels are one O(E log n) star pipeline (shared
+    machinery); everything after is |docs| rows through two partial-agg
+    groupBys on canonical_id plus equi-joins AQE can skew-split — no
+    windows, so a mega-cluster (boilerplate page family) costs its share of
+    the aggregation, not a single sort task.
+    """
+    from countrymaam_spark.functions import text as T
+
+    comp = dup_components(docs, pairs, id_col=id_col, max_iter=max_iter)
+    scored = docs.select(F.col(id_col), T.quality_score(F.col(text_col)).alias("q"))
+    m = comp.join(scored, id_col)
+    best = m.groupBy("canonical_id").agg(F.max("q").alias("mq"))
+    rep = (
+        m.join(best, "canonical_id")
+        .filter(F.col("q") == F.col("mq"))
+        .groupBy("canonical_id")
+        .agg(F.min(id_col).alias("rep_id"))
+    )
+    return m.join(rep, "canonical_id").select(
+        id_col,
+        "canonical_id",
+        "rep_id",
+        (F.col(id_col) == F.col("rep_id")).alias("keep"),
+    )
+
+
+def dup_representatives_sql(
+    docs_rel: str, pairs_sql: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """Oracle: the components closure + the identical two-aggregation
+    argmax over the identical 4-dp quality expression."""
+    from countrymaam_spark.functions import text as T
+
+    comp = dup_components_sql(docs_rel, pairs_sql, id_col=id_col)
+    qexpr = T.quality_score_sql(text_col)
+    return f"""
+        WITH comp AS ({comp}),
+        scored AS (SELECT {id_col} AS sid, {qexpr} AS q FROM {docs_rel}),
+        m AS (
+            SELECT c.{id_col} AS id, c.canonical_id, s.q
+            FROM comp c JOIN scored s ON c.{id_col} = s.sid
+        ),
+        best AS (SELECT canonical_id, MAX(q) AS mq FROM m GROUP BY canonical_id),
+        rep AS (
+            SELECT m.canonical_id, MIN(m.id) AS rep_id
+            FROM m JOIN best b ON m.canonical_id = b.canonical_id AND m.q = b.mq
+            GROUP BY m.canonical_id
+        )
+        SELECT m.id AS {id_col}, m.canonical_id, r.rep_id, m.id = r.rep_id AS keep
+        FROM m JOIN rep r ON m.canonical_id = r.canonical_id
+    """
+
+
 def curate_docs(
     docs: DataFrame,
     langs: tuple[str, ...] = ("en",),

@@ -426,3 +426,53 @@ def test_embed_components_consistent_with_pairs(spark):
     lab = {r["vec_id"]: r["canonical_id"] for r in comp.collect()}
     for r in pairs.collect():
         assert lab[r["id_a"]] == lab[r["id_b"]]
+
+
+def test_dup_representatives_planted(spark):
+    """The survivor per component is the highest-quality member (NOT min id);
+    ties on the 4-dp score fall back to min id; singletons keep themselves."""
+    base = (
+        "this is a long document that contains many of the common english "
+        "words and it is written for the quality scorer with plenty of "
+        "ordinary text in it so that the score is comfortably high today"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "zz qq xx"),      # low quality, min id of component {1,2}
+            (2, base),            # high quality -> the representative
+            (3, base + " alt"),   # singleton
+            (4, base + " same"),  # tie component {4,5}: identical text
+            (5, base + " same"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (4, 5, 1.0)], "id_a long, id_b long, jac double"
+    )
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["rep_id"], r["keep"])
+        for r in dedup.dup_representatives(docs, pairs).collect()
+    }
+    assert got == {
+        1: (1, 2, False),
+        2: (1, 2, True),
+        3: (3, 3, True),
+        4: (4, 4, True),
+        5: (4, 4, False),
+    }
+
+
+def test_dup_representatives_matches_oracle(spark, docs):
+    got = sorted(
+        tuple(r)
+        for r in dedup.dup_representatives(
+            docs, dedup.minhash_lsh_pairs(docs, tau=0.8)
+        ).collect()
+    )
+    sql = dedup.dup_representatives_sql(
+        f"'{DOCS}'",
+        dedup.ngram_jaccard_pairs_sql(f"'{DOCS}'", tau=0.8, max_shingle_freq=None),
+    )
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == want
+    assert any(r[0] != r[2] for r in got)  # some doc lost to a better copy
