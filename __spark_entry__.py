@@ -1090,6 +1090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["host_latest"] = lambda s, d: WT.host_latest(PG.load_pages(s, d), k=3)
     # per-host aggregate stats (page count, langs, text volume, crawl window)
     q["host_stats"] = lambda s, d: WT.host_stats(PG.load_pages(s, d))
+    # leakage-aware train/val/test split: all pages of a host share a split
+    q["pages_split"] = lambda s, d: WT.leakage_split(PG.load_pages(s, d))
 
     # --- line-level boilerplate dedup (CCNet/C4 shape) ---
     # global line doc-frequency -> per-page boilerplate accounting / cleaned
@@ -1277,6 +1279,7 @@ def oracle_sql() -> dict[str, str]:
     pages_raw = f"'{_fixture(ORACLE_SF, 'pages.parquet')}'"
     o["host_latest"] = WT.host_latest_sql(pages_raw, k=3)
     o["host_stats"] = WT.host_stats_sql(pages_raw)
+    o["pages_split"] = WT.leakage_split_sql(pages_raw)
     o["page_line_stats"] = LN.page_line_stats_sql(pages_raw, LINE_MIN_DOCS)
     o["pages_line_clean"] = LN.clean_pages_sql(pages_raw, LINE_MIN_DOCS)
     o["doc_rarity"] = RY.doc_rarity_sql("documents")

@@ -260,6 +260,19 @@ def main() -> None:
         ),
     )
 
+    # geo kNN SELF-join: every ~mod-th page is a query against the whole
+    # corpus (|Q| grows with the data — the regime where the query side can
+    # never broadcast and serving must shuffle; the north rule's batch shape)
+    from countrymaam_spark.operators.knn import knn_join
+
+    kj_mod = int(os.environ.get("SPARK_GRAFT_KNN_JOIN_MOD", "500"))
+    timed(
+        "knn_join",
+        lambda: materialize(
+            knn_join(g, k=10, res=7, query_mod=kj_mod, cell_col="cell", stats=stats)
+        ),
+    )
+
     # index build (tree blobs + lineage) into a throwaway snapshot dir
     import shutil
     import tempfile

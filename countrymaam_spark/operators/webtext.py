@@ -366,3 +366,85 @@ def stratified_fixed_k_sql(
             FROM {rel} WHERE {key_col} IS NOT NULL
         ) t WHERE rk <= {k}
     """
+
+
+def _split_cuts(weights: dict[str, float], denom: int) -> list[tuple[str, int]]:
+    """Cumulative bucket thresholds in sorted-name order (canonical across
+    engines); the last cut is forced to denom so rounding never drops
+    buckets."""
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError(f"split weights must be non-negative, got {weights}")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1.0 / denom:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    names = sorted(weights)
+    acc, cuts = 0, []
+    for i, name in enumerate(names):
+        acc = denom if i == len(names) - 1 else acc + int(round(weights[name] * denom))
+        cuts.append((name, acc))
+    return cuts
+
+
+DEFAULT_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def leakage_split(
+    pages: DataFrame,
+    weights: dict[str, float] | None = None,
+    salt: str = "sp0",
+    denom: int = 10_000,
+) -> DataFrame:
+    """Leakage-aware train/val/test assignment: (url, host, bucket, split),
+    where EVERY page of a host lands in the same split.
+
+    Web near-duplicates cluster by host (templated page families, mirrors,
+    session-id URL variants), so splitting by page hash leaks near-copies of
+    training documents into the eval split — the contamination the C4/Pile
+    lineage guards against by partitioning on the site, not the page. The
+    split key is the engine-portable ``tok_hash(salt || host)`` bucket
+    (same construction as :func:`stratified_sample`: deterministic,
+    partitioning-independent, resumable, oracle-checkable; disjoint salts
+    give independent re-splits). Hosts the url regex cannot parse hash as
+    the empty string — one deterministic pseudo-host, same rows in both
+    engines.
+
+    Scale shape: a pure narrow projection — regexp host extract + one md5
+    per row, no shuffle, no RNG; Catalyst folds the threshold CASE into the
+    scan projection.
+    """
+    from countrymaam_spark.functions import text as T
+
+    cuts = _split_cuts(DEFAULT_SPLITS if weights is None else weights, denom)
+    host = F.regexp_extract(F.col("url"), HOST_RE, 1)
+    bucket = T.tok_hash(F.concat(F.lit(salt), host)) % F.lit(denom)
+    expr = None
+    for name, cut in cuts:
+        cond = bucket < F.lit(cut)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return pages.select(
+        "url",
+        host.alias("host"),
+        bucket.alias("bucket"),
+        expr.alias("split"),
+    )
+
+
+def leakage_split_sql(
+    pages_rel: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "sp0",
+    denom: int = 10_000,
+) -> str:
+    """Oracle: identical host regex, hash, thresholds, and CASE order."""
+    from countrymaam_spark.functions import text as T
+
+    cuts = _split_cuts(DEFAULT_SPLITS if weights is None else weights, denom)
+    host = f"regexp_extract(url, '{HOST_RE}', 1)"
+    salted = f"'{salt}' || {host}"
+    bucket = f"({T.tok_hash_sql(salted)} % {denom})"
+    cases = " ".join(f"WHEN {bucket} < {cut} THEN '{name}'" for name, cut in cuts)
+    return f"""
+        SELECT url, {host} AS host, {bucket} AS bucket,
+               CASE {cases} END AS split
+        FROM {pages_rel}
+    """

@@ -260,3 +260,41 @@ def test_geo_tile_fixed_k_caps_hot_cells(spark):
     a = sorted(r["url"] for r in s.collect())
     b = sorted(r["url"] for r in WT.stratified_fixed_k(g.repartition(13), 5, strata_col="cell", key_col="url").collect())
     assert a == b
+
+
+def test_leakage_split_host_atomic_and_weighted(spark):
+    pages = spark.read.parquet(_pages_path())
+    got = WT.leakage_split(pages).collect()
+    assert len(got) == pages.count()
+    # host atomicity: one split per host (the leakage guard itself)
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r["host"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_host.values())
+    # weights roughly honored at host granularity; determinism across runs
+    from collections import Counter
+
+    c = Counter(next(iter(s)) for s in by_host.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+    again = WT.leakage_split(pages).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_leakage_split_matches_oracle(spark):
+    p = _pages_path()
+    got = sorted(
+        tuple(r) for r in WT.leakage_split(spark.read.parquet(p)).collect()
+    )
+    want = sorted(tuple(r) for r in duckdb.sql(WT.leakage_split_sql(f"'{p}'")).fetchall())
+    assert got == want
+
+
+def test_leakage_split_rejects_bad_weights(spark):
+    import pytest
+
+    pages = spark.createDataFrame([("http://a.com/x",)], "url string")
+    with pytest.raises(ValueError):
+        WT.leakage_split(pages, weights={"train": 0.5, "val": 0.2})
+    with pytest.raises(ValueError):
+        WT.leakage_split(pages, weights={"train": 1.2, "val": -0.2})
