@@ -51,7 +51,11 @@ def main() -> None:
     spark = get_spark(
         master=f"local[{cpus}]",
         app_name="countrymaam_spark_bench",
-        shuffle_partitions=cpus,
+        # SPARK_GRAFT_SHUFFLE decouples shuffle width from core count: with
+        # partitions=cpus a 4-core arm gets 4x-wider partitions on the SAME
+        # data, which can spill and corrupt N-vs-4N comparisons (a real
+        # cluster sizes shuffle partitions to the data, not the core count)
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus)),
         extra_conf={
             # 12g, NOT bigger: with a 24g heap G1 expands lazily and the JVM
             # degenerates into multi-core GC storms (measured 7-160s run
