@@ -476,3 +476,13 @@ def test_dup_representatives_matches_oracle(spark, docs):
     want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
     assert got == want
     assert any(r[0] != r[2] for r in got)  # some doc lost to a better copy
+
+
+def test_dup_representatives_total_on_empty_and_pairless(spark):
+    """Totality: empty corpus -> empty; no pairs -> every doc keeps itself."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    no_pairs = spark.createDataFrame([], "id_a long, id_b long, jac double")
+    assert dedup.dup_representatives(empty, no_pairs).count() == 0
+    docs = spark.createDataFrame([(1, "a b c"), (2, "d e f")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["rep_id"], r["keep"]) for r in dedup.dup_representatives(docs, no_pairs).collect()}
+    assert got == {1: (1, True), 2: (2, True)}

@@ -298,3 +298,8 @@ def test_leakage_split_rejects_bad_weights(spark):
         WT.leakage_split(pages, weights={"train": 0.5, "val": 0.2})
     with pytest.raises(ValueError):
         WT.leakage_split(pages, weights={"train": 1.2, "val": -0.2})
+
+
+def test_leakage_split_total_on_empty_input(spark):
+    empty = spark.createDataFrame([], "url string, warc_ts timestamp, html binary, text string, lang string")
+    assert WT.leakage_split(empty).count() == 0
