@@ -1126,6 +1126,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_length_quantiles"] = lambda s, d: PR.length_quantiles(_docs(s, d))
     # passage splitting: 32-token windows every 16 (overlap path exercised)
     q["docs_chunks"] = lambda s, d: CH.chunk_docs(_docs(s, d), size=32, stride=16)
+    # sentence-aware variant over PAGES (the documents fixture has no
+    # sentence punctuation, so packing would never trigger there)
+    q["pages_chunks_sent"] = lambda s, d: CH.chunk_sentences(
+        PG.load_pages(s, d), max_tokens=16, id_col="url"
+    )
     # the end-to-end crawl -> model-ready-passages pipeline over the raw
     # input_hint pages table (boilerplate removal -> quality gate -> exact
     # dedup of cleaned text -> chunking), checked bit-for-bit as one plan
@@ -1296,6 +1301,10 @@ def oracle_sql() -> dict[str, str]:
     )
     o["doc_length_quantiles"] = PR.length_quantiles_sql("documents")
     o["docs_chunks"] = CH.chunk_docs_sql("documents", size=32, stride=16)
+    o["pages_chunks_sent"] = CH.chunk_sentences_sql(
+        pages_raw, max_tokens=16, id_col="url"
+    )
+
     o["doc_bpe_tokens"] = (
         f"SELECT doc_id, {T.token_count_sql('text')} AS n_tokens, "
         f"{T.bpe_token_count_sql('text')} AS n_bpe FROM documents"

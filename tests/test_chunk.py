@@ -66,3 +66,51 @@ def test_empty_and_invalid(spark):
     assert CH.chunk_docs(blank, 8).count() == 0
     with pytest.raises(ValueError):
         CH.chunk_docs(empty, 0)
+
+
+def test_chunk_sentences_semantics(spark):
+    """Greedy packing: sentences never split; a chunk closes only when the
+    next sentence would overflow; an oversized sentence gets its own chunk;
+    punctuation-only and empty docs yield nothing."""
+    from countrymaam_spark.operators.chunk import chunk_sentences
+
+    rows = [
+        (1, "Short one. Another tiny sentence! A third? And a fourth here."),
+        (2, "one two three four five six seven eight nine ten eleven twelve. small."),
+        (3, "..."),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_sentences"], r["n_chunk_toks"], r["chunk_text"])
+        for r in chunk_sentences(docs, max_tokens=8).collect()
+    }
+    assert got == {
+        (1, 0): (3, 7, "Short one. Another tiny sentence! A third?"),
+        (1, 1): (1, 4, "And a fourth here."),
+        (2, 0): (1, 12, "one two three four five six seven eight nine ten eleven twelve."),
+        (2, 1): (1, 1, "small."),
+    }
+
+
+def test_chunk_sentences_matches_oracle_and_preserves_tokens(spark):
+    """Oracle parity on the fixture + conservation: chunk token counts sum
+    to the doc token count (no token dropped or duplicated)."""
+    import duckdb
+    from countrymaam_spark.functions import text as T
+    from countrymaam_spark.operators.chunk import chunk_sentences, chunk_sentences_sql
+
+    docs = spark.read.parquet(DOCS)
+    got = sorted(tuple(r) for r in chunk_sentences(docs, max_tokens=48).collect())
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(chunk_sentences_sql(f"'{DOCS}'", max_tokens=48)).fetchall()
+    )
+    assert got == want
+    per_doc = {}
+    for did, _cid, _ns, n, _txt in got:
+        per_doc[did] = per_doc.get(did, 0) + n
+    toks = dict(
+        docs.select("doc_id", T.token_count(F.col("text")).alias("n")).collect()
+    )
+    assert all(toks[d] == n for d, n in per_doc.items())
