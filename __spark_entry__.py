@@ -1106,6 +1106,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # corpus-unigram rarity score (perplexity-filter shape, exact-int weights)
     q["doc_rarity"] = lambda s, d: RY.doc_rarity(_docs(s, d))
 
+    # --- PII scrubbing (masking pass before release) ---
+    # the synthetic corpus carries no PII, so the query plants one
+    # deterministic contact footer per doc (same expression in the oracle)
+    # to exercise all three pattern families for real
+    def _pii_docs(s: SparkSession, d: str) -> DataFrame:
+        from countrymaam_spark.operators import scrub as SC  # noqa: F401
+
+        return _docs(s, d).withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com ip 10.0.0."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit(" call +1 (555) 123-4567."),
+            ),
+        )
+
+    def _pii_stats(s, d):
+        from countrymaam_spark.operators import scrub as SC
+
+        return SC.pii_stats(_pii_docs(s, d))
+
+    def _pii_scrub(s, d):
+        from countrymaam_spark.operators import scrub as SC
+
+        return SC.scrub_pii(_pii_docs(s, d))
+
+    q["doc_pii_stats"] = _pii_stats
+    q["docs_scrubbed"] = _pii_scrub
+
     # --- eval-set decontamination (benchmark n-gram overlap) ---
     def _evals(s: SparkSession, d: str) -> DataFrame:
         return _docs(s, d).filter(F.col("doc_id") % EVAL_MOD == 0)
@@ -1288,6 +1320,15 @@ def oracle_sql() -> dict[str, str]:
     o["page_line_stats"] = LN.page_line_stats_sql(pages_raw, LINE_MIN_DOCS)
     o["pages_line_clean"] = LN.clean_pages_sql(pages_raw, LINE_MIN_DOCS)
     o["doc_rarity"] = RY.doc_rarity_sql("documents")
+    from countrymaam_spark.operators import scrub as SC
+
+    _pii_rel = (
+        "(SELECT doc_id, text || ' contact u' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com ip 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)"
+        " || ' call +1 (555) 123-4567.' AS text FROM documents)"
+    )
+    o["doc_pii_stats"] = SC.pii_stats_sql(_pii_rel)
+    o["docs_scrubbed"] = SC.scrub_pii_sql(_pii_rel)
     o["pages_training_chunks"] = TS.training_chunks_sql(pages_raw)
     eval_rel = f"(SELECT * FROM documents WHERE doc_id % {EVAL_MOD} = 0)"
     o["doc_contamination"] = DC.contamination_stats_sql(
