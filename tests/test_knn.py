@@ -471,3 +471,24 @@ def test_knn_join_empty_input(spark):
 
     empty = spark.createDataFrame([], "url string, lat double, lon double")
     assert knn_join(empty, k=3, res=7).count() == 0
+
+
+def test_knn_join_state_served_bit_equal(spark, geo_small, tmp_path):
+    """knn_join from prebuilt cell state (the bench path) must be
+    bit-identical to the stateless path."""
+    from countrymaam_spark.operators.knn import knn_join
+    from countrymaam_spark.plans import pipeline as P
+
+    stateless = sorted(map(tuple, knn_join(geo_small, k=5, res=6, query_mod=10).collect()))
+    out = str(tmp_path / "cellidx_kj")
+    P.build_cell_pipeline(spark, geo_small, out, res=6)
+    cells, state = P.load_cell_state(spark, out)
+    stateful = sorted(
+        map(
+            tuple,
+            knn_join(
+                cells, k=5, res=6, query_mod=10, cell_col="cell", stats=state
+            ).collect(),
+        )
+    )
+    assert stateful == stateless
