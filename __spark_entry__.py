@@ -1169,6 +1169,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pages_training_chunks"] = lambda s, d: TS.training_chunks(
         PG.load_pages(s, d)
     )
+    # same composition with the PII masking pass spliced in before the
+    # quality gate + dedup (release-ready variant)
+    q["pages_training_chunks_pii"] = lambda s, d: TS.training_chunks(
+        PG.load_pages(s, d), scrub=True
+    )
 
     # keyed AS-OF join: newest-2 snapshots per host at two fixed instants
     def _asof_queries(s: SparkSession, d: str) -> DataFrame:
@@ -1330,6 +1335,7 @@ def oracle_sql() -> dict[str, str]:
     o["doc_pii_stats"] = SC.pii_stats_sql(_pii_rel)
     o["docs_scrubbed"] = SC.scrub_pii_sql(_pii_rel)
     o["pages_training_chunks"] = TS.training_chunks_sql(pages_raw)
+    o["pages_training_chunks_pii"] = TS.training_chunks_sql(pages_raw, scrub=True)
     eval_rel = f"(SELECT * FROM documents WHERE doc_id % {EVAL_MOD} = 0)"
     o["doc_contamination"] = DC.contamination_stats_sql(
         "documents", eval_rel, L=CONTAM_L

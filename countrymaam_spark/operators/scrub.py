@@ -101,3 +101,12 @@ def scrub_pii_sql(rel: str, id_col: str = "doc_id", text_col: str = "text") -> s
                {c['email']} + {c['ip']} + {c['phone']} AS n_pii
         FROM {rel}
     """
+
+
+def scrub_text(text: Column) -> Column:
+    """Column form of the masking pass (for composition into pipelines)."""
+    return _passes(text)[1]
+
+
+def scrub_text_sql(text: str) -> str:
+    return _sql_passes(text)[1]

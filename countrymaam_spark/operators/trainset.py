@@ -50,11 +50,23 @@ def training_chunks(
     chunk_size: int = 32,
     chunk_stride: int | None = None,
     broadcast_limit: int | None = None,
+    scrub: bool = False,
 ) -> DataFrame:
     """(url, chunk_id, n_chunk_toks, chunk_text): model-ready passages from
     the raw crawl, after boilerplate removal, the quality gate, and exact
-    dedup of cleaned text (canonical = min url per sha)."""
+    dedup of cleaned text (canonical = min url per sha).
+
+    ``scrub=True`` inserts the PII masking pass (:mod:`scrub`) right after
+    boilerplate removal — BEFORE the quality gate and the sha dedup, so (a)
+    token/digit gating judges the released text, and (b) recrawls that
+    differ only in rotated PII (session emails, dynamic IPs) collapse to
+    one canonical page. A narrow projection; the composition still adds no
+    new shuffle class."""
     cleaned = LN.clean_pages(pages, min_line_docs, broadcast_limit)
+    if scrub:
+        from countrymaam_spark.operators import scrub as SC
+
+        cleaned = cleaned.withColumn("clean_text", SC.scrub_text(F.col("clean_text")))
     toks = T.tokens(F.col("clean_text"))
     good = cleaned.filter(
         (F.size(toks) >= int(min_tokens))
@@ -78,8 +90,16 @@ def training_chunks_sql(
     max_digit_frac: float = 0.5,
     chunk_size: int = 32,
     chunk_stride: int | None = None,
+    scrub: bool = False,
 ) -> str:
     clean = LN.clean_pages_sql(pages_rel, min_line_docs)
+    if scrub:
+        from countrymaam_spark.operators import scrub as SC
+
+        clean = (
+            f"SELECT url, {SC.scrub_text_sql('clean_text')} AS clean_text"
+            f" FROM ({clean})"
+        )
     toks = T.tokens_sql("clean_text")
     digit_frac = (
         f"CAST(len(list_filter({toks}, t -> regexp_full_match(t, '[0-9]+'))) AS DOUBLE)"
