@@ -1093,6 +1093,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # leakage-aware train/val/test split: all pages of a host share a split
     q["pages_split"] = lambda s, d: WT.leakage_split(PG.load_pages(s, d))
 
+    # KMV distinct-count sketch: approximate distinct hosts per coarse cell
+    # (deterministic portable-hash sketch -> exact oracle parity, unlike HLL)
+    def _cell_hosts_kmv(s, d):
+        from countrymaam_spark.operators import sketch as SK
+
+        g = _pages_geo(s, d).filter(F.col("lat").isNotNull()).select(
+            G.encode_cell(F.col("lat"), F.col("lon"), 4).alias("cell"),
+            F.regexp_extract(F.col("url"), WT.HOST_RE, 1).alias("host"),
+        )
+        return SK.kmv_distinct(g, ["cell"], "host", k=64)
+
+    q["cell_distinct_hosts"] = _cell_hosts_kmv
+
     # --- line-level boilerplate dedup (CCNet/C4 shape) ---
     # global line doc-frequency -> per-page boilerplate accounting / cleaned
     # corpus; the only corpus-sized shuffles are the line-string count and
@@ -1322,6 +1335,14 @@ def oracle_sql() -> dict[str, str]:
     o["host_latest"] = WT.host_latest_sql(pages_raw, k=3)
     o["host_stats"] = WT.host_stats_sql(pages_raw)
     o["pages_split"] = WT.leakage_split_sql(pages_raw)
+    from countrymaam_spark.operators import sketch as SK
+
+    _cell_host_rel = (
+        f"(SELECT {G.encode_cell_sql('lat', 'lon', 4)} AS cell,"
+        f" regexp_extract(url, '{WT.HOST_RE}', 1) AS host"
+        f" FROM {pg} WHERE lat IS NOT NULL)"
+    )
+    o["cell_distinct_hosts"] = SK.kmv_distinct_sql(_cell_host_rel, ["cell"], "host", k=64)
     o["page_line_stats"] = LN.page_line_stats_sql(pages_raw, LINE_MIN_DOCS)
     o["pages_line_clean"] = LN.clean_pages_sql(pages_raw, LINE_MIN_DOCS)
     o["doc_rarity"] = RY.doc_rarity_sql("documents")
