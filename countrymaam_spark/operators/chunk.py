@@ -139,8 +139,13 @@ def chunk_sentences(
     sents = F.split(
         F.regexp_replace(F.col(text_col), SENT_BREAK_RE, "$1\x01"), "\x01"
     )
-    base = docs.select(F.col(id_col).alias("did"), sents.alias("sents"))
-    counts = F.transform(F.col("sents"), lambda s: F.size(T.tokens(s)))
+    # materialize per-sentence token counts ONCE (they feed both the fold
+    # and the output zip; as a repeated expression each sentence would be
+    # tokenized twice per row)
+    base = docs.select(F.col(id_col).alias("did"), sents.alias("sents")).withColumn(
+        "cnts", F.transform(F.col("sents"), lambda s: F.size(T.tokens(s)))
+    )
+    counts = F.col("cnts")
     # greedy fold: running (cum, cid), emitting the chunk id per sentence
     ids = F.aggregate(
         counts,
