@@ -1106,6 +1106,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cell_distinct_hosts"] = _cell_hosts_kmv
 
+    # sketch-only snapshot resemblance: per-lang host-set Jaccard between
+    # the even- and odd-second halves of the crawl window (the "how much of
+    # dump B is already in dump A" audit, from two O(groups*k) sketches)
+    def _host_overlap(s, d):
+        from countrymaam_spark.operators import sketch as SK
+
+        p = PG.load_pages(s, d).select(
+            "lang",
+            F.regexp_extract(F.col("url"), WT.HOST_RE, 1).alias("host"),
+            (F.unix_timestamp(F.col("warc_ts")) % 2).alias("half"),
+        )
+        a = SK.kmv_sketch(p.filter(F.col("half") == 0), ["lang"], "host", k=64)
+        b = SK.kmv_sketch(p.filter(F.col("half") == 1), ["lang"], "host", k=64)
+        return SK.kmv_jaccard(a, b, ["lang"], k=64)
+
+    q["crawl_host_overlap"] = _host_overlap
+
     # --- line-level boilerplate dedup (CCNet/C4 shape) ---
     # global line doc-frequency -> per-page boilerplate accounting / cleaned
     # corpus; the only corpus-sized shuffles are the line-string count and
@@ -1343,6 +1360,17 @@ def oracle_sql() -> dict[str, str]:
         f" FROM {pg} WHERE lat IS NOT NULL)"
     )
     o["cell_distinct_hosts"] = SK.kmv_distinct_sql(_cell_host_rel, ["cell"], "host", k=64)
+    _halves = (
+        f"(SELECT lang, regexp_extract(url, '{WT.HOST_RE}', 1) AS host,"
+        f" CAST(floor(epoch(warc_ts)) AS BIGINT) % 2 AS half FROM {pages_raw})"
+    )
+    o["crawl_host_overlap"] = SK.kmv_jaccard_sql(
+        f"(SELECT * FROM {_halves} WHERE half = 0)",
+        f"(SELECT * FROM {_halves} WHERE half = 1)",
+        ["lang"],
+        "host",
+        k=64,
+    )
     o["page_line_stats"] = LN.page_line_stats_sql(pages_raw, LINE_MIN_DOCS)
     o["pages_line_clean"] = LN.clean_pages_sql(pages_raw, LINE_MIN_DOCS)
     o["doc_rarity"] = RY.doc_rarity_sql("documents")

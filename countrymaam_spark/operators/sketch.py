@@ -141,3 +141,96 @@ def kmv_distinct_sql(
         FROM topk
         GROUP BY {g}
     """
+
+
+def kmv_jaccard(
+    sk_a: DataFrame,
+    sk_b: DataFrame,
+    group_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Set resemblance between two sketched key sets per group (Broder
+    1997, public): -> (group_cols..., j_num, j_den, jaccard_est).
+
+    Estimator: take the k smallest hashes of the DISTINCT union of the two
+    sketches (itself a valid sketch of A ∪ B); the fraction of them present
+    in BOTH input sketches estimates |A ∩ B| / |A ∪ B|. When the union
+    carries fewer than k hashes the ratio is EXACT (both sets fit whole).
+    ``j_num``/``j_den`` are the exact integers behind the 4-dp ratio, so
+    the result is bit-identical across engines and reduce orders.
+
+    The crawl-auditing question this answers at 10^12 pages: "how much of
+    dump B's hosts/urls/shas are already in dump A" — computed from two
+    O(groups · k) sketch tables, never from the raw key sets (the sketches
+    persist per snapshot; the resemblance of ANY pair of snapshots is then
+    a sketch-only join, no corpus access).
+    """
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    a = sk_a.select(*group_cols, "h").withColumn("in_a", F.lit(1))
+    b = sk_b.select(*group_cols, "h").withColumn("in_b", F.lit(1))
+    u = (
+        a.join(b, [*group_cols, "h"], "full")
+        .select(
+            *group_cols,
+            "h",
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(k))
+    )
+    return u.groupBy(*group_cols).agg(
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("j_num"),
+        F.count("*").cast("long").alias("j_den"),
+        F.round(
+            F.sum(F.col("in_a") * F.col("in_b")) / F.count("*"), 4
+        ).alias("jaccard_est"),
+    )
+
+
+def kmv_jaccard_sql(
+    rel_a: str,
+    rel_b: str,
+    group_cols: list[str],
+    key_col: str,
+    k: int = 256,
+    salt: str = "kmv0",
+) -> str:
+    """Oracle over the RAW relations: sketch each side with the identical
+    hash/k, then the identical union-sketch membership ratio."""
+    g = ", ".join(group_cols)
+
+    def _sk(rel: str) -> str:
+        h = T.tok_hash_sql(f"'{salt}' || CAST({key_col} AS VARCHAR)")
+        return f"""
+            SELECT * FROM (
+                SELECT {g}, h,
+                       ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY h) AS rk
+                FROM (SELECT DISTINCT {g}, {h} AS h
+                      FROM {rel} WHERE {key_col} IS NOT NULL)
+            ) WHERE rk <= {int(k)}
+        """
+
+    on = " AND ".join([f"a.{c} = b.{c}" for c in group_cols] + ["a.h = b.h"])
+    gc_coal = ", ".join(f"COALESCE(a.{c}, b.{c}) AS {c}" for c in group_cols)
+    return f"""
+        WITH sa AS ({_sk(rel_a)}), sb AS ({_sk(rel_b)}),
+        u AS (
+            SELECT * FROM (
+                SELECT {gc_coal},
+                       COALESCE(a.h, b.h) AS h,
+                       CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a,
+                       CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY {", ".join(f"COALESCE(a.{c}, b.{c})" for c in group_cols)}
+                           ORDER BY COALESCE(a.h, b.h)
+                       ) AS rk
+                FROM sa a FULL JOIN sb b ON {on}
+            ) WHERE rk <= {int(k)}
+        )
+        SELECT {g},
+               CAST(SUM(in_a * in_b) AS BIGINT) AS j_num,
+               CAST(COUNT(*) AS BIGINT) AS j_den,
+               ROUND(CAST(SUM(in_a * in_b) AS DOUBLE) / COUNT(*), 4) AS jaccard_est
+        FROM u GROUP BY {g}
+    """
