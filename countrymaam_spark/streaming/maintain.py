@@ -114,3 +114,50 @@ def maintain_cell_lut_stream(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def maintain_kmv_stream(
+    keyed_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    key_col: str,
+    k: int = 256,
+    salt: str = "kmv0",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously maintain a persisted KMV distinct-count sketch table
+    (``operators/sketch``) from a stream of (group_cols..., key) rows:
+    each micro-batch is sketched, merged into the ``kmv_sketch`` snapshot
+    (k smallest of the union), and the snapshot overwritten.
+
+    Exactly-once comes FREE from the algebra: sketch merge is IDEMPOTENT
+    (re-merging a replayed batch unions hashes already present, so the
+    snapshot is unchanged) and commutative, so replays and reordering
+    cannot corrupt the state — no dedup bookkeeping needed, unlike the
+    counting lut above. Stream-maintained state == the batch sketch of all
+    rows, row-for-row (pytest-pinned across multi-drop ingest).
+
+    At 10^12 pages the snapshot stays O(groups · k) rows; each batch ships
+    only its own sketch — never a distinct-key shuffle of history."""
+    from countrymaam_spark.operators import sketch as SK
+
+    path = os.path.join(out_dir, "kmv_sketch")
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        fresh = SK.kmv_sketch(batch_df, group_cols, key_col, k=k, salt=salt)
+        if os.path.exists(path):
+            old = spark.read.parquet(path)
+            fresh = SK.kmv_merge(old.unionByName(fresh), group_cols, k=k)
+        # materialize before overwrite: a lazy plan cannot replace its input
+        fresh.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+
+    w = keyed_stream.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

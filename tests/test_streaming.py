@@ -561,3 +561,64 @@ def test_stream_line_clean_equals_batch(spark, tmp_path):
     want = {(r["url"], r["clean_text"]) for r in LN.clean_pages(pages, 10).collect()}
     assert got == want
     assert ("all_boiler", "") not in got and ("empty", "") in got
+
+
+def test_maintain_kmv_stream_equals_batch_sketch(spark, tmp_path):
+    """Streamed sketch maintenance: ingest three drops; the maintained
+    snapshot must equal the batch sketch over everything, row-for-row; a
+    restart on the same checkpoint (replay surface) must change nothing —
+    merge idempotence is the exactly-once mechanism."""
+    import pyarrow.parquet as pq
+
+    from countrymaam_spark.operators import sketch as SK
+    from countrymaam_spark.operators.webtext import HOST_RE
+    from countrymaam_spark.streaming import maintain
+
+    out = pg.ensure_fixtures("sf0.001")
+    t = pq.read_table(os.path.join(out, "pages.parquet"))
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    pq.write_table(t.slice(0, 700), str(drops / "d1.parquet"))
+    pq.write_table(t.slice(700, 700), str(drops / "d2.parquet"))
+    pq.write_table(t.slice(1400), str(drops / "d3.parquet"))
+
+    batch_all = spark.read.parquet(str(drops))
+    schema = batch_all.schema
+
+    def keyed(df):
+        return df.select(
+            "lang", F.regexp_extract(F.col("url"), HOST_RE, 1).alias("host")
+        )
+
+    state = str(tmp_path / "state")
+
+    def run_once():
+        stream = ingest.stream_pages_from_dir(spark, str(drops), schema)
+        q = maintain.maintain_kmv_stream(
+            keyed(stream), state, str(tmp_path / "ck_kmv"), ["lang"], "host", k=64
+        )
+        assert q.awaitTermination(180)
+
+    run_once()
+    streamed = sorted(
+        map(tuple, spark.read.parquet(os.path.join(state, "kmv_sketch")).collect())
+    )
+    direct = sorted(
+        map(tuple, SK.kmv_sketch(keyed(batch_all), ["lang"], "host", k=64).collect())
+    )
+    assert streamed == direct
+    run_once()  # restart on the same checkpoint: nothing to add
+    again = sorted(
+        map(tuple, spark.read.parquet(os.path.join(state, "kmv_sketch")).collect())
+    )
+    assert again == direct
+    # estimates from the maintained state equal estimates from the batch sketch
+    est_stream = dict(
+        SK.kmv_estimate(
+            spark.read.parquet(os.path.join(state, "kmv_sketch")), ["lang"], k=64
+        ).collect()
+    )
+    est_batch = dict(
+        SK.kmv_distinct(keyed(batch_all), ["lang"], "host", k=64).collect()
+    )
+    assert est_stream == est_batch
