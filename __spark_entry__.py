@@ -859,6 +859,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_dedup"] = _stream_dedup
 
+    def _stream_kmv(s: SparkSession, d: str) -> DataFrame:
+        """Stream-maintained KMV sketch state: the fixture dropped TWICE
+        (every host re-arrives in a later micro-batch) — merge idempotence
+        must land the snapshot on exactly the single-copy batch sketch, so
+        the estimates equal the batch oracle."""
+        import shutil
+        import tempfile
+
+        from countrymaam_spark.operators import sketch as SK
+        from countrymaam_spark.streaming import maintain
+
+        sf = PG.sf_name_from_dir(d)
+        src = _fixture(sf, "pages.parquet")
+        schema = s.read.parquet(src).schema
+        drop_dir = tempfile.mkdtemp(prefix="cm_kmv_drop_")
+        state_dir = tempfile.mkdtemp(prefix="cm_kmv_state_")
+        ck_dir = tempfile.mkdtemp(prefix="cm_kmv_ck_")
+        try:
+            for i in range(2):
+                try:
+                    os.link(src, os.path.join(drop_dir, f"drop{i}.parquet"))
+                except OSError:
+                    shutil.copy(src, os.path.join(drop_dir, f"drop{i}.parquet"))
+            stream = (
+                s.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(drop_dir)
+            )
+            keyed = stream.select(
+                "lang",
+                F.regexp_extract(F.col("url"), WT.HOST_RE, 1).alias("host"),
+            )
+            sq = maintain.maintain_kmv_stream(
+                keyed, state_dir, ck_dir, ["lang"], "host", k=64
+            )
+            _await_or_raise(sq, 600)
+            sk = s.read.parquet(os.path.join(state_dir, "kmv_sketch"))
+            out = SK.kmv_estimate(sk, ["lang"], k=64).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(drop_dir, ignore_errors=True)
+            shutil.rmtree(state_dir, ignore_errors=True)
+            shutil.rmtree(ck_dir, ignore_errors=True)
+        return out
+
+    q["stream_kmv_hosts"] = _stream_kmv
+
     def _stream_line_clean(s: SparkSession, d: str) -> DataFrame:
         """Streaming boilerplate strip against PREBUILT state: the boiler
         line set is built batch-side (lines.boiler_lines — the deployment's
@@ -1363,6 +1409,13 @@ def oracle_sql() -> dict[str, str]:
     _halves = (
         f"(SELECT lang, regexp_extract(url, '{WT.HOST_RE}', 1) AS host,"
         f" CAST(floor(epoch(warc_ts)) AS BIGINT) % 2 AS half FROM {pages_raw})"
+    )
+    o["stream_kmv_hosts"] = SK.kmv_distinct_sql(
+        f"(SELECT lang, regexp_extract(url, '{WT.HOST_RE}', 1) AS host"
+        f" FROM {pages_raw})",
+        ["lang"],
+        "host",
+        k=64,
     )
     o["crawl_host_overlap"] = SK.kmv_jaccard_sql(
         f"(SELECT * FROM {_halves} WHERE half = 0)",
