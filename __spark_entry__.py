@@ -117,6 +117,11 @@ LINE_MIN_DOCS = 10
 # 8-gram overlap — exercises both the self-hit and the near-copy path
 EVAL_MOD = 13
 CONTAM_L = 8
+# heavy-hitter token threshold: at every fixture sf the template vocabulary
+# (tens of thousands of page-unique ids/coords + a few hundred shared words)
+# puts ~100 tokens above 500 occurrences at sf0.01 — MG capacity
+# total div 500 + 1 ~ 1.2k, 40x under the vocabulary the full GROUP BY pays
+HH_MIN_COUNT = 500
 PARENT_RES = 4
 # as-of instants for host_asof: fixture warc_ts starts 2024-10-16T00:00Z
 # (epoch 1729036800) and ticks 1 s/page — these land mid-corpus at sf0.01+
@@ -1169,6 +1174,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_host_overlap"] = _host_overlap
 
+    # Misra-Gries heavy hitters: EXACT tokens-above-threshold without a
+    # full-vocabulary shuffle (bounded per-partition summaries -> provably
+    # complete candidate set -> exact count of candidates only)
+    def _token_hh(s, d):
+        from countrymaam_spark.operators import sketch as SK
+
+        occ = PG.load_pages(s, d).select(
+            F.explode(T.tokens(F.col("text"))).alias("tok")
+        )
+        return SK.heavy_hitters(occ, "tok", HH_MIN_COUNT)
+
+    q["token_heavy_hitters"] = _token_hh
+
     # --- line-level boilerplate dedup (CCNet/C4 shape) ---
     # global line doc-frequency -> per-page boilerplate accounting / cleaned
     # corpus; the only corpus-sized shuffles are the line-string count and
@@ -1416,6 +1434,11 @@ def oracle_sql() -> dict[str, str]:
         ["lang"],
         "host",
         k=64,
+    )
+    o["token_heavy_hitters"] = SK.heavy_hitters_sql(
+        f"(SELECT UNNEST({T.tokens_sql('text')}) AS tok FROM {pages_raw})",
+        "tok",
+        HH_MIN_COUNT,
     )
     o["crawl_host_overlap"] = SK.kmv_jaccard_sql(
         f"(SELECT * FROM {_halves} WHERE half = 0)",

@@ -31,6 +31,11 @@ before the final exchange: O(groups · k) shuffled rows.
 
 Reference tie-in: none (ANN library); the brief's "novel sketch" custom
 operator class for corpus profiling.
+
+The module's second member is the FREQUENCY sketch: Misra-Gries summaries
+(Misra & Gries 1982, public) feeding an EXACT heavy-hitters answer — see
+:func:`heavy_hitters`. Same contract as KMV: bounded state, mergeable
+partials, and a result DuckDB can reproduce bit-for-bit.
 """
 
 from __future__ import annotations
@@ -233,4 +238,126 @@ def kmv_jaccard_sql(
                CAST(COUNT(*) AS BIGINT) AS j_den,
                ROUND(CAST(SUM(in_a * in_b) AS DOUBLE) / COUNT(*), 4) AS jaccard_est
         FROM u GROUP BY {g}
+    """
+
+
+# --- Misra-Gries heavy hitters (frequency sketch -> exact answer) ---------
+
+
+def mg_summaries(df: DataFrame, key_col: str, capacity: int) -> DataFrame:
+    """Per-PARTITION Misra-Gries frequency summaries: -> (key, est).
+
+    Bounded-memory kernel (``mapInPandas``, narrow, no shuffle): each
+    partition keeps at most ``capacity`` (key, lower-bound-count) pairs.
+    Whenever a batch pushes the table above capacity, the (capacity+1)-th
+    largest count is subtracted from every entry and non-positive entries
+    drop — the batched form of the classic decrement. Every compress
+    removes at least (capacity+1) * cut occurrences, and the partition
+    holds n_p occurrences total, so the per-key undercount is bounded by
+    n_p / (capacity + 1). Corollary (the guarantee :func:`heavy_hitters`
+    builds on): every key with partition frequency > n_p / (capacity + 1)
+    SURVIVES in that partition's summary.
+
+    Summaries are partitioning-dependent (like any MG run order) — they are
+    candidates, never answers. Peak state: capacity + one Arrow batch of
+    distinct keys. Keys must be strings (the token/url/host use cases);
+    NULLs are dropped.
+    """
+    import pandas as pd  # noqa: PLC0415 (worker-side import kept local)
+
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    cap = int(capacity)
+
+    def gen(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            vc = pdf[key_col].dropna().value_counts()
+            for key, c in vc.items():
+                counts[key] = counts.get(key, 0) + int(c)
+            if len(counts) > cap:
+                cut = sorted(counts.values(), reverse=True)[cap]
+                counts = {k: v - cut for k, v in counts.items() if v > cut}
+        yield pd.DataFrame(
+            {"key": list(counts.keys()), "est": list(counts.values())}
+        )
+
+    return df.select(F.col(key_col).cast("string").alias(key_col)).mapInPandas(
+        gen, "key string, est long"
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    total: int | None = None,
+    capacity: int | None = None,
+    broadcast_limit: int | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters without a full-vocabulary shuffle:
+    -> (key_col, cnt), every key occurring >= ``threshold`` times.
+
+    Two passes, the MinHash-LSH candidates-then-verify shape:
+
+    1. :func:`mg_summaries` per partition (narrow, bounded memory), union
+       of summary keys = candidate set. With ``capacity = total div
+       threshold + 1`` the per-partition survival guarantee sums across
+       partitions: freq(key) >= threshold > total/(capacity+1) implies
+       freq_p > n_p/(capacity+1) in at least one partition, so the
+       candidate set provably contains every true heavy hitter.
+    2. Exact count of CANDIDATE keys only: estimate-gated broadcast
+       semi-join (vocabulary-independent — only O(partitions * capacity)
+       candidates move), then a map-side-partial count over the surviving
+       occurrences, HAVING >= threshold.
+
+    The answer is therefore exact and partitioning-independent even though
+    the intermediate summaries are neither. At 10^12 pages this replaces
+    the GROUP BY over ~10^8 vocabulary keys x corpus occurrences with a
+    narrow scan + a count over the few candidate keys.
+
+    ``total`` (the occurrence count) is taken from one cheap count job if
+    not supplied; callers composing pipelines should pass it (and may pass
+    ``capacity`` directly to trade summary size for candidate precision —
+    exactness requires capacity >= total div threshold + 1, enforced).
+    """
+    from countrymaam_spark.operators.adaptive import gate_broadcast
+
+    if threshold < 1:
+        raise ValueError("threshold must be >= 1")
+    occ = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias(key_col)
+    )
+    if total is None:
+        total = occ.count()
+    floor_cap = int(total) // int(threshold) + 1
+    if capacity is None:
+        capacity = floor_cap
+    elif capacity < floor_cap:
+        raise ValueError(
+            f"capacity {capacity} breaks the exactness guarantee; "
+            f"need >= total div threshold + 1 = {floor_cap}"
+        )
+    cand = (
+        mg_summaries(occ, key_col, capacity)
+        .select(F.col("key").alias(key_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_cand = cand.count()
+    return (
+        occ.join(gate_broadcast(cand, n_cand, broadcast_limit), key_col, "semi")
+        .groupBy(key_col)
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= int(threshold))
+    )
+
+
+def heavy_hitters_sql(rel: str, key_col: str, threshold: int) -> str:
+    """Oracle: the exact definition the sketch path provably reproduces."""
+    return f"""
+        SELECT CAST({key_col} AS VARCHAR) AS {key_col},
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM {rel} WHERE {key_col} IS NOT NULL
+        GROUP BY 1 HAVING COUNT(*) >= {int(threshold)}
     """

@@ -96,3 +96,83 @@ def test_kmv_jaccard_matches_oracle(spark):
         map(tuple, con.execute(SK.kmv_jaccard_sql("ta", "tb", ["g"], "key", k=64)).fetchall())
     )
     assert got == want
+
+
+# --- Misra-Gries heavy hitters ---------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # Zipf-ish occurrence stream: "hot0" x 400, "hot1" x 150, "warm" x 40,
+    # plus 1200 singleton keys; shuffled deterministically via a hash sort
+    rows = [("hot0",)] * 400 + [("hot1",)] * 150 + [("warm",)] * 40
+    rows += [(f"cold{i}",) for i in range(1200)]
+    return (
+        spark.createDataFrame(rows, "key string")
+        .orderBy(F.md5(F.col("key")))
+        .repartition(8)
+    )
+
+
+def _exact_hh(df, threshold):
+    return sorted(
+        map(
+            tuple,
+            df.groupBy("key")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .filter(F.col("cnt") >= threshold)
+            .collect(),
+        )
+    )
+
+
+def test_heavy_hitters_exact_and_partitioning_independent(spark, skewed):
+    want = _exact_hh(skewed, 100)
+    assert [k for k, _ in want] == ["hot0", "hot1"]
+    for layout in (skewed, skewed.repartition(1), skewed.repartition(13, "key")):
+        got = sorted(map(tuple, SK.heavy_hitters(layout, "key", 100).collect()))
+        assert got == want
+
+
+def test_heavy_hitters_threshold_boundary(spark, skewed):
+    # threshold exactly at a key's count keeps it; one above drops it
+    got40 = dict(SK.heavy_hitters(skewed, "key", 40).collect())
+    assert got40 == {"hot0": 400, "hot1": 150, "warm": 40}
+    got41 = dict(SK.heavy_hitters(skewed, "key", 41).collect())
+    assert got41 == {"hot0": 400, "hot1": 150}
+
+
+def test_mg_summary_bounded_and_superset(spark, skewed):
+    n = skewed.count()
+    threshold = 100
+    cap = n // threshold + 1
+    summ = SK.mg_summaries(skewed, "key", cap)
+    per_part = (
+        summ.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count("*").alias("rows"))
+        .collect()
+    )
+    assert all(r["rows"] <= cap for r in per_part)  # bounded state
+    cand = {r["key"] for r in summ.collect()}
+    hot = {k for k, _ in _exact_hh(skewed, threshold)}
+    assert hot <= cand  # survival guarantee
+
+
+def test_heavy_hitters_capacity_guard_and_nulls(spark):
+    df = spark.createDataFrame([("a",), ("a",), (None,), ("b",)], "key string")
+    with pytest.raises(ValueError):
+        SK.heavy_hitters(df, "key", 2, capacity=1)
+    assert dict(SK.heavy_hitters(df, "key", 2).collect()) == {"a": 2}
+    empty = spark.createDataFrame([], "key string")
+    assert SK.heavy_hitters(empty, "key", 2).count() == 0
+
+
+def test_heavy_hitters_matches_oracle(spark, skewed):
+    got = sorted(map(tuple, SK.heavy_hitters(skewed, "key", 40).collect()))
+    con = duckdb.connect()
+    con.register("t", skewed.toPandas())
+    want = sorted(
+        map(tuple, con.execute(SK.heavy_hitters_sql("t", "key", 40)).fetchall())
+    )
+    assert got == want
