@@ -108,6 +108,8 @@ RADIUS_KM = 100.0  # geo_radius_join within-distance threshold
 HOTSPOT_RES = 9
 HOTSPOT_MIN_PTS = 10
 NEAR_PAIRS_KM = 1.0  # geo_near_pairs self-join threshold (clustered fixture)
+DBSCAN_EPS_KM = 1.0  # exact DBSCAN: same eps scale as the near-pairs row
+DBSCAN_MIN_PTS = 3
 # line-level boilerplate threshold: the 8 shared filler sentences appear in
 # thousands of pages at every sf; page-unique segments (ids/coords) never
 # reach df 10, so the threshold is insensitive across the fixture range
@@ -233,6 +235,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geo_hotspots"] = _hotspots
     q["geo_hotspot_stats"] = _hotspot_stats
+
+    # EXACT point-level DBSCAN (true eps-ball neighborhoods via the ring-cell
+    # range self-join; core/border/noise roles; min-rule border assignment)
+    def _dbscan(s: SparkSession, d: str) -> DataFrame:
+        from countrymaam_spark.operators import cluster as CLU
+
+        return CLU.dbscan_points(
+            _pages_geo(s, d), DBSCAN_EPS_KM, DBSCAN_MIN_PTS, res=13
+        )
+
+    q["geo_dbscan"] = _dbscan
 
     q["knn_flat"] = lambda s, d: flat_knn(
         _pages_geo(s, d), PG.load_knn_queries(s, d), k=10
@@ -1410,6 +1423,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["geo_hotspots"] = CLU.hotspot_cells_sql(pg, HOTSPOT_RES, HOTSPOT_MIN_PTS)
     o["geo_hotspot_stats"] = CLU.hotspot_stats_sql(pg, HOTSPOT_RES, HOTSPOT_MIN_PTS)
+    o["geo_dbscan"] = CLU.dbscan_points_sql(pg, DBSCAN_EPS_KM, DBSCAN_MIN_PTS)
     o["geo_near_pairs"] = geo_near_pairs_sql(pg, NEAR_PAIRS_KM)
     o["domain_spread"] = domain_spread_sql(pg)
     pages_raw = f"'{_fixture(ORACLE_SF, 'pages.parquet')}'"

@@ -40,7 +40,11 @@ from pyspark.sql import functions as F
 from countrymaam_spark.functions import geo as G
 from countrymaam_spark.functions.geo import _R_SHIFT, _X_SHIFT
 from countrymaam_spark.operators.adaptive import gate_broadcast
-from countrymaam_spark.operators.dedup import dup_components, dup_components_sql
+from countrymaam_spark.operators.dedup import (
+    components_minlabel_sql,
+    dup_components,
+    dup_components_sql,
+)
 
 
 def dense_cells(geo: DataFrame, res: int, min_pts: int) -> DataFrame:
@@ -214,4 +218,159 @@ def hotspot_stats_sql(pg_rel: str, res: int, min_pts: int) -> str:
                      CAST(SUM(CAST(lon AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS lon_c
               FROM pages GROUP BY 1) pc
         ON cc.cluster_id = pc.cluster_id
+    """
+
+
+# --- Exact point-level DBSCAN ------------------------------------------------
+
+
+def dbscan_points(
+    geo: DataFrame,
+    eps_km: float,
+    min_pts: int,
+    res: int = 13,
+    cell_col: str | None = None,
+    broadcast_limit: int | None = None,
+) -> DataFrame:
+    """(url, role, cluster_id): EXACT DBSCAN (Ester et al. 1996) over the
+    geotagged corpus — the point-level companion to the grid approximation
+    above. ``role`` is ``core`` / ``border`` / ``noise``; ``cluster_id`` is
+    the min core url of the density-reachable component ('' for noise —
+    empty rather than NULL so the result rows stay totally ordered for
+    row-multiset comparison harnesses).
+
+    Exactness: the eps-neighborhood query is :func:`knn.geo_near_pairs` —
+    the ring-celled range SELF-join (analytically-sized ring, one probe
+    round, each unordered pair generated exactly once), so neighborhoods use
+    the true haversine ball, not the grid-cell approximation. A point is
+    core iff its ball holds >= ``min_pts`` points INCLUDING ITSELF (the
+    paper's convention). Core-core edges within eps are density-connected,
+    so clusters are the connected components of the core subgraph — the
+    alternating large-star/small-star rounds of :func:`dedup.dup_components`
+    (O(log n) rounds, diameter-safe). Border points (non-core with a core
+    neighbor) join the MIN cluster id among their core neighbors: classic
+    DBSCAN leaves multi-reachable border assignment scan-order-dependent;
+    the min rule makes it deterministic and partitioning-independent, and
+    the oracle applies the identical rule.
+
+    Scale shape: the only pair-scale object is the eps-pair table (bounded
+    by true data density, the same bound any exact DBSCAN pays); it is
+    pinned ONCE (degree count, core-core trim, and border assignment all
+    read it — without the pin the ring join would re-execute per consumer).
+    Degree and border assignment are map-side-partial aggregations on the
+    url key; the component loop never sees non-core rows; the final label
+    attach is one equi-join of two corpus-keyed tables. ``res`` sizes ring
+    cells to eps exactly as in geo_near_pairs (default 13 ~= 1.4 km cells
+    for ~1 km balls).
+    """
+    from countrymaam_spark.operators.knn import geo_near_pairs
+
+    pts = geo.filter(F.col("lat").isNotNull()).select("url")
+    e = (
+        geo_near_pairs(
+            geo, eps_km, res=res, cell_col=cell_col,
+            broadcast_limit=broadcast_limit,
+        )
+        .select("url_a", "url_b")
+        .localCheckpoint(eager=True)
+    )
+    sym = e.select(
+        F.col("url_a").alias("u"), F.col("url_b").alias("v")
+    ).unionByName(e.select(F.col("url_b").alias("u"), F.col("url_a").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("n_nbr"))
+    # left join for totality: isolated points have no pair row at all (they
+    # are still core when min_pts == 1)
+    core = (
+        pts.join(deg.withColumnRenamed("u", "url"), "url", "left")
+        .filter(F.coalesce(F.col("n_nbr"), F.lit(0)) + 1 >= int(min_pts))
+        .select("url")
+        .localCheckpoint(eager=True)
+    )
+    cc = (
+        e.join(core.select(F.col("url").alias("url_a")), "url_a")
+        .join(core.select(F.col("url").alias("url_b")), "url_b")
+        .select(F.col("url_a").alias("id_a"), F.col("url_b").alias("id_b"))
+    )
+    comp = dup_components(core, cc, id_col="url").localCheckpoint(eager=True)
+    lbl = gate_broadcast(
+        comp.select(F.col("url").alias("v"), "canonical_id"),
+        comp.count(),
+        broadcast_limit,
+    )
+    border = (
+        sym.join(lbl, "v")
+        .groupBy("u")
+        .agg(F.min("canonical_id").alias("_b"))
+        .withColumnRenamed("u", "url")
+    )
+    return (
+        pts.join(comp.withColumnRenamed("canonical_id", "_c"), "url", "left")
+        .join(border, "url", "left")
+        .select(
+            "url",
+            F.when(F.col("_c").isNotNull(), F.lit("core"))
+            .when(F.col("_b").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce(F.col("_c"), F.col("_b"), F.lit("")).alias("cluster_id"),
+        )
+    )
+
+
+def dbscan_points_sql(pg_rel: str, eps_km: float, min_pts: int) -> str:
+    """DuckDB oracle: brute lat-band-pruned eps pairs (the sound prune of
+    ``geo_near_pairs_sql``), identical core rule, unrolled min-label
+    components over core-core pairs (``components_minlabel_sql`` — the
+    recursive-closure oracle is quadratic per component and a single dense
+    city blob at sf0.01 already holds 4k cores, ~17M closure rows; the
+    minlabel oracle fails LOUDLY via conflicting duplicate rows if its
+    unroll were ever too short), identical min-rule border assignment.
+
+    Outer CTE names avoid the ``ml_``-prefixed CTEs the nested component
+    subquery defines — DuckDB re-binds shadowed outer CTEs in the inner
+    scope into a false cycle."""
+    from countrymaam_spark.functions import geo as GG
+
+    hav = GG.haversine_km_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    band = eps_km / GG.KM_PER_DEG
+    comp = components_minlabel_sql(
+        "core", "SELECT id_a, id_b FROM cc", id_col="url"
+    )
+    return f"""
+        WITH ep AS MATERIALIZED (
+            SELECT a.url AS url_a, b.url AS url_b
+            FROM {pg_rel} a, {pg_rel} b
+            WHERE a.lat IS NOT NULL AND b.lat IS NOT NULL
+              AND b.lat BETWEEN a.lat - {band!r} AND a.lat + {band!r}
+              AND a.url < b.url AND {hav} <= {eps_km!r}
+        ),
+        esym AS MATERIALIZED (
+            SELECT url_a AS u, url_b AS v FROM ep
+            UNION ALL SELECT url_b AS u, url_a AS v FROM ep
+        ),
+        deg AS (SELECT u, COUNT(*) AS n_nbr FROM esym GROUP BY u),
+        core AS MATERIALIZED (
+            SELECT p.url FROM {pg_rel} p LEFT JOIN deg ON p.url = deg.u
+            WHERE p.lat IS NOT NULL
+              AND COALESCE(deg.n_nbr, 0) + 1 >= {int(min_pts)}
+        ),
+        cc AS (
+            SELECT url_a AS id_a, url_b AS id_b FROM ep
+            WHERE url_a IN (SELECT url FROM core)
+              AND url_b IN (SELECT url FROM core)
+        ),
+        comp AS ({comp}),
+        border AS (
+            SELECT s.u AS url, MIN(c.canonical_id) AS _b
+            FROM esym s JOIN comp c ON s.v = c.url GROUP BY s.u
+        )
+        SELECT p.url AS url,
+               CASE WHEN comp.url IS NOT NULL THEN 'core'
+                    WHEN border.url IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role,
+               COALESCE(comp.canonical_id, border._b, '') AS cluster_id
+        FROM {pg_rel} p
+        LEFT JOIN comp ON p.url = comp.url
+        LEFT JOIN border ON p.url = border.url
+        WHERE p.lat IS NOT NULL
     """

@@ -379,6 +379,65 @@ def dup_components_sql(
     """
 
 
+def components_minlabel_sql(
+    nodes_rel: str, pairs_sql: str, id_col: str = "doc_id", rounds: int = 18
+) -> str:
+    """Oracle for LARGE components: unrolled min-label propagation with
+    pointer doubling — same (id_col, canonical_id) contract as
+    :func:`dup_components_sql`, but near-linear where the recursive closure
+    is quadratic per component (a single 4k-node geo cluster makes the
+    closure oracle materialize ~17M reach rows and join them against the
+    edge table every recursion step; this one does ``rounds`` small
+    hash joins instead).
+
+    Per round over labels ``l`` (node ids, initialized l(x)=x):
+    hook  — ``h(x) = min(l(x), min over neighbors y of l(y))``;
+    double — ``l'(x) = h(h(x))`` (labels are in-component node ids, so the
+    self-join always matches). Hook alone needs diameter rounds; the
+    doubling step contracts label chains Shiloach-Vishkin-style so the
+    component min reaches every node in O(log n) rounds — rounds=18 covers
+    any component the fixtures can hold (2^18 nodes). NOT silently bounded:
+    if the unroll were ever too short, the convergence tail emits an EXTRA
+    ``(u, label-of-v)`` row for every still-inconsistent edge (type-safe —
+    same id domain as the real labels, so ids may be ints or strings),
+    putting duplicate node ids with conflicting canonicals in the output
+    and deliberately breaking the row-multiset compare — a truncated run
+    fails loudly instead of shipping partial labels (mirrors the max-rounds
+    raise in :func:`dup_components`)."""
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+    # reference, and each round references the previous one twice — without
+    # it the plan subtree doubles every round (2^rounds scans)
+    cte = [
+        f"ml_pr AS MATERIALIZED ({pairs_sql})",
+        """ml_sym AS MATERIALIZED (
+            SELECT id_a AS u, id_b AS v FROM ml_pr
+            UNION ALL SELECT id_b AS u, id_a AS v FROM ml_pr
+        )""",
+        f"ml_l0 AS MATERIALIZED (SELECT {id_col} AS n, {id_col} AS l FROM {nodes_rel})",
+    ]
+    for i in range(1, rounds + 1):
+        cte.append(f"""ml_h{i} AS MATERIALIZED (
+            SELECT t.n, MIN(t.l) AS l FROM (
+                SELECT n, l FROM ml_l{i - 1}
+                UNION ALL
+                SELECT s.u AS n, p.l FROM ml_sym s JOIN ml_l{i - 1} p ON s.v = p.n
+            ) t GROUP BY t.n
+        )""")
+        cte.append(f"""ml_l{i} AS MATERIALIZED (
+            SELECT a.n, b.l FROM ml_h{i} a JOIN ml_h{i} b ON a.l = b.n
+        )""")
+    return f"""
+        WITH {', '.join(cte)}
+        SELECT n AS {id_col}, l AS canonical_id FROM ml_l{rounds}
+        UNION ALL
+        SELECT s.u AS {id_col}, b.l AS canonical_id
+        FROM ml_sym s
+        JOIN ml_l{rounds} a ON s.u = a.n
+        JOIN ml_l{rounds} b ON s.v = b.n
+        WHERE a.l <> b.l
+    """
+
+
 def dup_representatives(
     docs: DataFrame,
     pairs: DataFrame,

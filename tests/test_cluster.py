@@ -147,3 +147,70 @@ def test_hotspots_from_stream_maintained_state(spark, tmp_path):
     geo_batch = extract_geo(batch_all).filter(F.col("lat").isNotNull())
     want = sorted(tuple(r) for r in CL.hotspot_cells(geo_batch, 7, 5).collect())
     assert got == want and len(got) > 0
+
+
+# --- exact point-level DBSCAN ------------------------------------------------
+
+DB_EPS, DB_MIN = 1.0, 3
+
+
+def test_dbscan_points_match_oracle(spark, geo, pg_rel):
+    got = sorted(
+        tuple(r) for r in CL.dbscan_points(geo, DB_EPS, DB_MIN, res=13).collect()
+    )
+    want = sorted(
+        tuple(t)
+        for t in duckdb.sql(CL.dbscan_points_sql(pg_rel, DB_EPS, DB_MIN)).fetchall()
+    )
+    assert got == want and len(got) > 0
+    roles = {r[1] for r in got}
+    assert roles == {"core", "border", "noise"}  # config exercises all three
+
+
+def test_dbscan_planted_geometry(spark):
+    """The DBSCAN subtlety the grid approximation can't express: a BORDER
+    point within eps of cores of TWO clusters must not merge them (clusters
+    are components of the CORE subgraph only), and gets the deterministic
+    min label. Geometry (degrees, ~111 km/deg): two 4-point blobs whose
+    only core is the blob point nearest the bridge (4 nbrs + self = 5),
+    the other blob points are border (3 nbrs + self = 4 < 5), the bridge
+    reaches exactly one core per blob (2 nbrs), and one far point is
+    noise."""
+    import duckdb as dk
+
+    rows = [
+        ("a_far", 0.0, 0.0), ("a_up", 0.0, 0.003),
+        ("a_core", 0.003, 0.0), ("a_diag", 0.003, 0.003),
+        ("b_core", 0.017, 0.0), ("b_diag", 0.017, 0.003),
+        ("b_far", 0.020, 0.0), ("b_up", 0.020, 0.003),
+        ("bridge", 0.010, -0.002),
+        ("lonely", 5.0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "url string, lat double, lon double")
+    got = {r["url"]: (r["role"], r["cluster_id"])
+           for r in CL.dbscan_points(df, 0.9, 5, res=13).collect()}
+    assert got["a_core"] == ("core", "a_core")
+    assert got["b_core"] == ("core", "b_core")  # NOT merged through bridge
+    assert got["bridge"] == ("border", "a_core")  # min-rule, deterministic
+    assert got["lonely"] == ("noise", "")
+    for u in ("a_far", "a_up", "a_diag"):
+        assert got[u] == ("border", "a_core")
+    for u in ("b_far", "b_up", "b_diag"):
+        assert got[u] == ("border", "b_core")
+    # oracle agrees on the planted geometry too
+    vals = ", ".join(f"('{u}', {la!r}, {lo!r})" for u, la, lo in rows)
+    rel = f"(SELECT * FROM (VALUES {vals}) t(url, lat, lon))"
+    want = {u: (role, cid)
+            for u, role, cid in dk.sql(CL.dbscan_points_sql(rel, 0.9, 5)).fetchall()}
+    assert want == got
+
+
+def test_dbscan_min_pts_one_isolated_points_are_core(spark):
+    """min_pts=1: every point is its own cluster (the left-join totality
+    path — isolated points have no pair row at all)."""
+    rows = [("p1", 0.0, 0.0), ("p2", 3.0, 3.0)]
+    df = spark.createDataFrame(rows, "url string, lat double, lon double")
+    got = sorted(
+        tuple(r) for r in CL.dbscan_points(df, 0.5, 1, res=13).collect()
+    )
+    assert got == [("p1", "core", "p1"), ("p2", "core", "p2")]

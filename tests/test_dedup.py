@@ -211,6 +211,49 @@ def test_dup_components_raises_on_truncation(spark):
         dedup.dup_components(docs, pairs, max_iter=0)
 
 
+def test_components_minlabel_sql_long_chain_and_random_graphs():
+    """The minlabel ORACLE's own convergence guarantee (DuckDB-only, no
+    Spark): a 300-link chain has diameter 300 ≫ the 18 unrolled rounds, so
+    only the pointer-doubling step can converge it — plain propagation
+    would emit conflicting-duplicate poison rows. Also: equals the
+    recursive-closure oracle on seeded random graphs (the two independent
+    SQL formulations agree), and actually DOES poison (duplicate node ids)
+    when the unroll is forced too short."""
+    import random
+
+    def run(nodes, edges, rounds=18):
+        vals = ", ".join(f"({i},)" for i in nodes)
+        nrel = f"(SELECT * FROM (VALUES {vals}) t(doc_id))"
+        pvals = ", ".join(f"({a}, {b})" for a, b in edges)
+        psql = f"SELECT * FROM (VALUES {pvals}) p(id_a, id_b)"
+        return sorted(duckdb.sql(
+            dedup.components_minlabel_sql(nrel, psql, rounds=rounds)
+        ).fetchall())
+
+    chain_nodes = list(range(1, 302))
+    chain_edges = [(i, i + 1) for i in range(1, 301)]
+    assert run(chain_nodes, chain_edges) == [(i, 1) for i in chain_nodes]
+    # forced-short unroll on the same chain must poison, not truncate
+    short = run(chain_nodes, chain_edges, rounds=2)
+    assert len(short) > len(chain_nodes)  # duplicate-id conflict rows
+    assert len({n for n, _ in short}) == len(chain_nodes)
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        nodes = list(range(1, 31))
+        edges = sorted({
+            tuple(sorted(rng.sample(nodes, 2))) for _ in range(rng.randint(5, 25))
+        })
+        vals = ", ".join(f"({i},)" for i in nodes)
+        nrel = f"(SELECT * FROM (VALUES {vals}) t(doc_id))"
+        pvals = ", ".join(f"({a}, {b})" for a, b in edges)
+        psql = f"SELECT * FROM (VALUES {pvals}) p(id_a, id_b)"
+        want = sorted(duckdb.sql(
+            dedup.dup_components_sql(nrel, psql)
+        ).fetchall())
+        assert run(nodes, edges) == want, (seed, edges)
+
+
 # --- span-level dedup (duplicated L-gram coverage, Lee et al. 2021 shape) ---
 
 
