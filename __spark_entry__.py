@@ -110,6 +110,8 @@ HOTSPOT_MIN_PTS = 10
 NEAR_PAIRS_KM = 1.0  # geo_near_pairs self-join threshold (clustered fixture)
 DBSCAN_EPS_KM = 1.0  # exact DBSCAN: same eps scale as the near-pairs row
 DBSCAN_MIN_PTS = 3
+KDE_RES = 7  # kernel-density raster grid + disc radius (integer kernel)
+KDE_RADIUS = 2
 # line-level boilerplate threshold: the 8 shared filler sentences appear in
 # thousands of pages at every sf; page-unique segments (ids/coords) never
 # reach df 10, so the threshold is insensitive across the fixture range
@@ -246,6 +248,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["geo_dbscan"] = _dbscan
+
+    # kernel-density raster: one corpus agg, constant-fan-out spread over the
+    # non-empty-cell table, exact integer Epanechnikov-style kernel
+    def _kde(s: SparkSession, d: str) -> DataFrame:
+        from countrymaam_spark.operators import cluster as CLU
+
+        return CLU.kde_heatmap(_pages_geo(s, d), KDE_RES, KDE_RADIUS)
+
+    q["geo_kde"] = _kde
 
     q["knn_flat"] = lambda s, d: flat_knn(
         _pages_geo(s, d), PG.load_knn_queries(s, d), k=10
@@ -1424,6 +1435,7 @@ def oracle_sql() -> dict[str, str]:
     o["geo_hotspots"] = CLU.hotspot_cells_sql(pg, HOTSPOT_RES, HOTSPOT_MIN_PTS)
     o["geo_hotspot_stats"] = CLU.hotspot_stats_sql(pg, HOTSPOT_RES, HOTSPOT_MIN_PTS)
     o["geo_dbscan"] = CLU.dbscan_points_sql(pg, DBSCAN_EPS_KM, DBSCAN_MIN_PTS)
+    o["geo_kde"] = CLU.kde_heatmap_sql(pg, KDE_RES, KDE_RADIUS)
     o["geo_near_pairs"] = geo_near_pairs_sql(pg, NEAR_PAIRS_KM)
     o["domain_spread"] = domain_spread_sql(pg)
     pages_raw = f"'{_fixture(ORACLE_SF, 'pages.parquet')}'"

@@ -374,3 +374,105 @@ def dbscan_points_sql(pg_rel: str, eps_km: float, min_pts: int) -> str:
         LEFT JOIN border ON p.url = border.url
         WHERE p.lat IS NOT NULL
     """
+
+
+# --- Kernel-density raster (heatmap) -----------------------------------------
+
+
+def _kde_offsets(radius: int) -> list[tuple[int, int, int]]:
+    """(dx, dy, w) for the integer Epanechnikov-style kernel
+    ``w = radius^2 + 1 - (dx^2 + dy^2)``, positive entries only (the kernel
+    support is the Euclidean disc of radius ``radius``; the corners of the
+    Chebyshev box fall out on their own). Integer weights keep the whole
+    density exact — no transcendental kernel, so Spark and the SQL oracle
+    agree bit-for-bit with no float-rounding protocol."""
+    w0 = radius * radius + 1
+    return [
+        (dx, dy, w0 - dx * dx - dy * dy)
+        for dx in range(-radius, radius + 1)
+        for dy in range(-radius, radius + 1)
+        if w0 - dx * dx - dy * dy > 0
+    ]
+
+
+def kde_heatmap(geo: DataFrame, res: int, radius: int) -> DataFrame:
+    """(cell, density): kernel-density raster at grid resolution ``res`` —
+    the vector->raster half of the tile family (points in, smoothed grid
+    out). ``density(t) = sum over source cells s within the kernel disc of
+    n(s) * w(s - t)`` with the exact integer kernel of :func:`_kde_offsets`.
+
+    Scale shape: ONE corpus aggregation on the cell key (identical shuffle
+    to ``dense_cells``/``tile_counts`` — map-side partial), then the spread
+    runs on the NON-EMPTY CELL table only (corpus-independent size) with a
+    constant fan-out of at most ``(2*radius+1)^2`` rows per cell from an
+    expression-literal offset array (stays in whole-stage codegen — no
+    offsets table to join, no BNLJ), and one final cell-keyed aggregation
+    whose input is |cells| * O(radius^2) rows. Longitude wraps via pmod;
+    latitude rows beyond the poles are dropped (both exactly as
+    ``ring_cells`` defines the grid topology).
+    """
+    nx, ny = 2 << res, 1 << res
+    offs = _kde_offsets(radius)
+    cnt = (
+        geo.filter(F.col("lat").isNotNull())
+        .select(G.encode_cell(F.col("lat"), F.col("lon"), res).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    off_arr = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(w).alias("w")
+            )
+            for dx, dy, w in offs
+        ]
+    )
+    sp = cnt.select("cell", "n", F.explode(off_arr).alias("o")).select(
+        (G.cell_y(F.col("cell")) + F.col("o.dy")).alias("yy"),
+        F.pmod(G.cell_x(F.col("cell")) + F.col("o.dx"), F.lit(nx)).alias("xx"),
+        (F.col("n") * F.col("o.w")).cast("long").alias("contrib"),
+    )
+    return (
+        sp.filter((F.col("yy") >= 0) & (F.col("yy") < ny))
+        .select(
+            (
+                F.lit(res) * F.lit(_R_SHIFT)
+                + F.col("xx") * F.lit(_X_SHIFT)
+                + F.col("yy")
+            ).cast("long").alias("cell"),
+            "contrib",
+        )
+        .groupBy("cell")
+        .agg(F.sum("contrib").alias("density"))
+    )
+
+
+def kde_heatmap_sql(pg_rel: str, res: int, radius: int) -> str:
+    """Oracle: identical integer kernel over a tiny cross of two ``range``
+    relations (the offset disc), same wrap/clamp topology, BIGINT density."""
+    nx, ny = 2 << res, 1 << res
+    w0 = radius * radius + 1
+    cell = G.encode_cell_sql("lat", "lon", res)
+    return f"""
+        WITH kd_cnt AS (
+            SELECT {cell} AS cell, COUNT(*) AS n
+            FROM {pg_rel} WHERE lat IS NOT NULL GROUP BY 1
+        ),
+        kd_off AS (
+            SELECT gx.range AS dx, gy.range AS dy,
+                   {w0} - gx.range * gx.range - gy.range * gy.range AS w
+            FROM range(-{radius}, {radius + 1}) gx,
+                 range(-{radius}, {radius + 1}) gy
+            WHERE {w0} - gx.range * gx.range - gy.range * gy.range > 0
+        ),
+        kd_sp AS (
+            SELECT ((((cell % {_R_SHIFT}) // {_X_SHIFT} + dx) % {nx} + {nx})
+                    % {nx}) AS xx,
+                   (cell % {_X_SHIFT}) + dy AS yy,
+                   n * w AS contrib
+            FROM kd_cnt, kd_off
+        )
+        SELECT CAST({res} AS BIGINT) * {_R_SHIFT} + xx * {_X_SHIFT} + yy AS cell,
+               CAST(SUM(contrib) AS BIGINT) AS density
+        FROM kd_sp WHERE yy >= 0 AND yy < {ny} GROUP BY 1
+    """

@@ -214,3 +214,58 @@ def test_dbscan_min_pts_one_isolated_points_are_core(spark):
         tuple(r) for r in CL.dbscan_points(df, 0.5, 1, res=13).collect()
     )
     assert got == [("p1", "core", "p1"), ("p2", "core", "p2")]
+
+
+# --- kernel-density raster (heatmap) -----------------------------------------
+
+
+def test_kde_heatmap_match_oracle(spark, geo, pg_rel):
+    got = sorted(tuple(r) for r in CL.kde_heatmap(geo, 7, 2).collect())
+    want = sorted(
+        tuple(t) for t in duckdb.sql(CL.kde_heatmap_sql(pg_rel, 7, 2)).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_kde_heatmap_planted_values(spark):
+    """Hand-checked density: one page at a cell, radius 1 kernel
+    w = 2 - (dx^2+dy^2) -> center 2, the four edge-neighbors 1, corners 0
+    (outside the Euclidean disc). A second page in the center cell doubles
+    everything. Mass conservation: sum(density) = n_pages * sum(weights)."""
+    from countrymaam_spark.functions import geo as G
+
+    rows = [("p1", 10.0, 20.0), ("p2", 10.0, 20.0)]
+    df = spark.createDataFrame(rows, "url string, lat double, lon double")
+    out = {r["cell"]: r["density"] for r in CL.kde_heatmap(df, 7, 1).collect()}
+    [center] = [
+        r["c"]
+        for r in df.limit(1)
+        .select(G.encode_cell(F.col("lat"), F.col("lon"), 7).alias("c"))
+        .collect()
+    ]
+    assert out[center] == 4  # 2 pages * center weight 2
+    assert len(out) == 5  # disc of radius 1: center + 4 edge neighbors
+    assert sorted(out.values()) == [2, 2, 2, 2, 4]
+    assert sum(out.values()) == 2 * sum(w for _, _, w in CL._kde_offsets(1))
+
+
+def test_kde_heatmap_wraps_longitude_and_clamps_poles(spark):
+    """A page in the last longitude column spreads across the antimeridian
+    seam (pmod wrap); a page in the top latitude row loses its
+    beyond-the-pole kernel rows (clamp) — checked against the oracle, which
+    implements the identical topology independently."""
+    rows = [("seam", 0.0, 179.9), ("pole", 89.9, 0.0)]
+    df = spark.createDataFrame(rows, "url string, lat double, lon double")
+    got = sorted(tuple(r) for r in CL.kde_heatmap(df, 5, 2).collect())
+    vals = ", ".join(f"('{u}', {la!r}, {lo!r})" for u, la, lo in rows)
+    rel = f"(SELECT * FROM (VALUES {vals}) t(url, lat, lon))"
+    want = sorted(tuple(t) for t in duckdb.sql(CL.kde_heatmap_sql(rel, 5, 2)).fetchall())
+    assert got == want and len(got) > 0
+    # clamp really dropped rows: pole page contributes < full-disc weight
+    total = sum(d for _, d in got)
+    assert total < 2 * sum(w for _, _, w in CL._kde_offsets(2))
+    # wrap really happened: some output cell is in the x=0 column while no
+    # input page is (seam page at lon 179.9 -> last column at res 5)
+    from countrymaam_spark.functions.geo import _R_SHIFT, _X_SHIFT
+    xs = {(c % _R_SHIFT) // _X_SHIFT for c, _ in got}
+    assert 0 in xs
