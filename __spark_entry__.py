@@ -112,6 +112,9 @@ DBSCAN_EPS_KM = 1.0  # exact DBSCAN: same eps scale as the near-pairs row
 DBSCAN_MIN_PTS = 3
 KDE_RES = 7  # kernel-density raster grid + disc radius (integer kernel)
 KDE_RADIUS = 2
+# contour levels: 5 keeps the percolated world-spanning region in play (the
+# oracle's pointer-doubling stress case), 100/1000 isolate the city blobs
+KDE_LEVELS = [5, 100, 1000]
 # line-level boilerplate threshold: the 8 shared filler sentences appear in
 # thousands of pages at every sf; page-unique segments (ids/coords) never
 # reach df 10, so the threshold is insensitive across the fixture range
@@ -257,6 +260,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return CLU.kde_heatmap(_pages_geo(s, d), KDE_RES, KDE_RADIUS)
 
     q["geo_kde"] = _kde
+
+    # raster->vector contours: threshold the pinned KDE raster per level,
+    # 8-connected regions via large-star/small-star, min-cell labels
+    def _kde_contours(s: SparkSession, d: str) -> DataFrame:
+        from countrymaam_spark.operators import cluster as CLU
+
+        return CLU.kde_contours(_pages_geo(s, d), KDE_RES, KDE_RADIUS, KDE_LEVELS)
+
+    q["geo_kde_contours"] = _kde_contours
 
     q["knn_flat"] = lambda s, d: flat_knn(
         _pages_geo(s, d), PG.load_knn_queries(s, d), k=10
@@ -1436,6 +1448,7 @@ def oracle_sql() -> dict[str, str]:
     o["geo_hotspot_stats"] = CLU.hotspot_stats_sql(pg, HOTSPOT_RES, HOTSPOT_MIN_PTS)
     o["geo_dbscan"] = CLU.dbscan_points_sql(pg, DBSCAN_EPS_KM, DBSCAN_MIN_PTS)
     o["geo_kde"] = CLU.kde_heatmap_sql(pg, KDE_RES, KDE_RADIUS)
+    o["geo_kde_contours"] = CLU.kde_contours_sql(pg, KDE_RES, KDE_RADIUS, KDE_LEVELS)
     o["geo_near_pairs"] = geo_near_pairs_sql(pg, NEAR_PAIRS_KM)
     o["domain_spread"] = domain_spread_sql(pg)
     pages_raw = f"'{_fixture(ORACLE_SF, 'pages.parquet')}'"

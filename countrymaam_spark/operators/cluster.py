@@ -476,3 +476,74 @@ def kde_heatmap_sql(pg_rel: str, res: int, radius: int) -> str:
                CAST(SUM(contrib) AS BIGINT) AS density
         FROM kd_sp WHERE yy >= 0 AND yy < {ny} GROUP BY 1
     """
+
+
+def kde_contours(
+    geo: DataFrame, res: int, radius: int, levels: list[int]
+) -> DataFrame:
+    """(level, cell, region_id): vectorize the KDE raster back into labeled
+    regions — for each threshold in ``levels``, the cells with
+    ``density >= level`` group into 8-connected regions labeled by min cell
+    id (the contour-polygon interiors of a heatmap, completing the
+    raster->vector direction beside the vector->raster :func:`kde_heatmap`).
+
+    Scale shape: the raster is computed ONCE and pinned (every level reads
+    it); each level's region labeling runs entirely on its super-threshold
+    CELL table — corpus-independent, grid-bounded — through the same
+    ring-explode equi-join adjacency and large-star/small-star components
+    the hotspot operator audited. Levels are independent; their unions
+    concatenate without a shuffle."""
+    kde = kde_heatmap(geo, res, radius).localCheckpoint(eager=True)
+    out = None
+    for lv in sorted(int(x) for x in levels):
+        cells = (
+            kde.filter(F.col("density") >= lv)
+            .select("cell")
+            .localCheckpoint(eager=True)
+        )
+        comp = dup_components(cells, _adjacency(cells, res), id_col="cell")
+        part = comp.select(
+            F.lit(lv).cast("long").alias("level"),
+            "cell",
+            F.col("canonical_id").alias("region_id"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def kde_contours_sql(
+    pg_rel: str, res: int, radius: int, levels: list[int], rounds: int = 144
+) -> str:
+    """Oracle: the KDE raster CTE shared across levels, each level an
+    independent subquery scope (its own ``dense`` + nested minlabel
+    components — the unrolled pointer-doubling form, since a low threshold
+    can put most of the raster into one region and the recursive closure is
+    quadratic per component).
+
+    ``rounds`` is much larger than the minlabel default: on a PERCOLATED 2D
+    raster (a low level admits ~40% of a 256x128 grid, one world-spanning
+    region full of holes) the pointer-doubling contraction degrades toward
+    the hook's 1-hop-per-round floor — measured on the sf0.01 fixture,
+    level 5 converges between 60 and 100 rounds (a 300-link chain needs
+    < 18). 144 = 100 + margin bounded by the grid dimensions at res <= 7;
+    a too-short unroll still fails LOUDLY via the poison-row tail, never
+    silently."""
+    parts = []
+    for lv in sorted(int(x) for x in levels):
+        comp = components_minlabel_sql(
+            "dense", _adjacency_sql(res), id_col="cell", rounds=rounds
+        )
+        parts.append(f"""
+            SELECT level, cell, region_id FROM (
+                WITH dense AS MATERIALIZED (
+                    SELECT cell FROM kc_kde WHERE density >= {lv}
+                ),
+                lvl_comp AS ({comp})
+                SELECT CAST({lv} AS BIGINT) AS level, cell,
+                       canonical_id AS region_id
+                FROM lvl_comp
+            )""")
+    return f"""
+        WITH kc_kde AS MATERIALIZED ({kde_heatmap_sql(pg_rel, res, radius)})
+        {' UNION ALL '.join(parts)}
+    """

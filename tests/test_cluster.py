@@ -269,3 +269,40 @@ def test_kde_heatmap_wraps_longitude_and_clamps_poles(spark):
     from countrymaam_spark.functions.geo import _R_SHIFT, _X_SHIFT
     xs = {(c % _R_SHIFT) // _X_SHIFT for c, _ in got}
     assert 0 in xs
+
+
+def test_kde_contours_match_oracle(spark, geo, pg_rel):
+    got = sorted(
+        tuple(r) for r in CL.kde_contours(geo, 7, 2, [5, 50, 500]).collect()
+    )
+    want = sorted(
+        tuple(t)
+        for t in duckdb.sql(CL.kde_contours_sql(pg_rel, 7, 2, [5, 50, 500])).fetchall()
+    )
+    assert got == want and len(got) > 0
+    assert {lv for lv, _, _ in got} <= {5, 50, 500}
+
+
+def test_kde_contours_planted_merge_and_empty_level(spark):
+    """Two 5-page blobs 4 cells apart: their radius-2 kernel smears overlap,
+    so the low contour level is ONE region while the high level (centers
+    only, density 25) is TWO; an impossible level contributes zero rows
+    (empty-level totality). Region ids are the min member cell."""
+    from countrymaam_spark.functions import geo as G
+
+    # res 5: cell edge 360/64 = 5.625 deg; centers 4 cells apart in x
+    rows = [(f"a{i}", 2.0, 2.0) for i in range(5)] + [
+        (f"b{i}", 2.0, 2.0 + 4 * 5.625) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "url string, lat double, lon double")
+    out = CL.kde_contours(df, 5, 2, [5, 25, 999999]).collect()
+    by_level = {}
+    for r in out:
+        by_level.setdefault(r["level"], set()).add(r["region_id"])
+    assert 999999 not in by_level  # empty level: zero rows, no crash
+    assert len(by_level[25]) == 2  # centers separate
+    assert len(by_level[5]) == 1  # smears merge through the overlap
+    # the merged region is labeled by the min cell of its members
+    cells5 = [r["cell"] for r in out if r["level"] == 5]
+    (lbl5,) = by_level[5]
+    assert lbl5 == min(cells5)
