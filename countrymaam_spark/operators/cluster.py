@@ -395,7 +395,9 @@ def _kde_offsets(radius: int) -> list[tuple[int, int, int]]:
     ]
 
 
-def kde_heatmap(geo: DataFrame, res: int, radius: int) -> DataFrame:
+def kde_heatmap(
+    geo: DataFrame, res: int, radius: int, stats: DataFrame | None = None
+) -> DataFrame:
     """(cell, density): kernel-density raster at grid resolution ``res`` —
     the vector->raster half of the tile family (points in, smoothed grid
     out). ``density(t) = sum over source cells s within the kernel disc of
@@ -410,15 +412,25 @@ def kde_heatmap(geo: DataFrame, res: int, radius: int) -> DataFrame:
     whose input is |cells| * O(radius^2) rows. Longitude wraps via pmod;
     latitude rows beyond the poles are dropped (both exactly as
     ``ring_cells`` defines the grid topology).
+
+    ``stats`` — the persisted per-cell count state (cell, cnt) from
+    ``knn.build_cell_stats`` at the SAME ``res`` (batch-built, incrementally
+    appended, or stream-maintained) — makes the raster a pure state-serving
+    query: the corpus is never rescanned, only the grid-bounded cell table
+    spreads. Identical output to the corpus path by construction — both
+    spread the same aggregate (pytest-pinned).
     """
     nx, ny = 2 << res, 1 << res
     offs = _kde_offsets(radius)
-    cnt = (
-        geo.filter(F.col("lat").isNotNull())
-        .select(G.encode_cell(F.col("lat"), F.col("lon"), res).alias("cell"))
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    if stats is not None:
+        cnt = stats.select("cell", F.col("cnt").alias("n"))
+    else:
+        cnt = (
+            geo.filter(F.col("lat").isNotNull())
+            .select(G.encode_cell(F.col("lat"), F.col("lon"), res).alias("cell"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
     off_arr = F.array(
         *[
             F.struct(
@@ -479,7 +491,11 @@ def kde_heatmap_sql(pg_rel: str, res: int, radius: int) -> str:
 
 
 def kde_contours(
-    geo: DataFrame, res: int, radius: int, levels: list[int]
+    geo: DataFrame,
+    res: int,
+    radius: int,
+    levels: list[int],
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """(level, cell, region_id): vectorize the KDE raster back into labeled
     regions — for each threshold in ``levels``, the cells with
@@ -504,7 +520,7 @@ def kde_contours(
     lvs = sorted({int(x) for x in levels})
     if len(lvs) > (1 << 5):
         raise ValueError("too many contour levels for the composite encoding")
-    kde = kde_heatmap(geo, res, radius).localCheckpoint(eager=True)
+    kde = kde_heatmap(geo, res, radius, stats=stats).localCheckpoint(eager=True)
     off = 1 << 58  # multiple of _R_SHIFT: cell_x/cell_y decode unaffected
     nodes = None
     edges = None

@@ -306,3 +306,27 @@ def test_kde_contours_planted_merge_and_empty_level(spark):
     cells5 = [r["cell"] for r in out if r["level"] == 5]
     (lbl5,) = by_level[5]
     assert lbl5 == min(cells5)
+
+
+def test_kde_from_stats_state_equals_corpus_path(spark, geo):
+    """Serving the raster (and its contours) from the persisted per-cell
+    count state is bit-identical to the corpus path — the state-serving
+    shape shared with hotspot_cells(stats=...), including after an
+    incremental append."""
+    from countrymaam_spark.operators.knn import build_cell_stats, update_cell_stats
+
+    g = geo.filter(F.col("lat").isNotNull())
+    half_a = g.filter(F.crc32(F.col("url").cast("binary")) % 2 == 0)
+    half_b = g.filter(F.crc32(F.col("url").cast("binary")) % 2 == 1)
+    stats = update_cell_stats(build_cell_stats(half_a, 7), half_b, 7)
+    want = sorted(tuple(r) for r in CL.kde_heatmap(g, 7, 2).collect())
+    got = sorted(
+        tuple(r) for r in CL.kde_heatmap(None, 7, 2, stats=stats).collect()
+    )
+    assert got == want and len(got) > 0
+    want_c = sorted(tuple(r) for r in CL.kde_contours(g, 7, 2, [5, 50]).collect())
+    got_c = sorted(
+        tuple(r)
+        for r in CL.kde_contours(None, 7, 2, [5, 50], stats=stats).collect()
+    )
+    assert got_c == want_c and len(got_c) > 0
