@@ -110,6 +110,7 @@ HOTSPOT_MIN_PTS = 10
 NEAR_PAIRS_KM = 1.0  # geo_near_pairs self-join threshold (clustered fixture)
 DBSCAN_EPS_KM = 1.0  # exact DBSCAN: same eps scale as the near-pairs row
 DBSCAN_MIN_PTS = 3
+RKNN_TARGET_MOD = 200  # reverse-kNN monitored-target hash slice
 KDE_RES = 7  # kernel-density raster grid + disc radius (integer kernel)
 KDE_RADIUS = 2
 # contour levels: 5 keeps the percolated world-spanning region in play (the
@@ -311,6 +312,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return knn_join(_pages_geo(s, d), k=10, res=CELL_RES, query_mod=50)
 
     q["geo_knn_join"] = _knn_join
+
+    # reverse kNN (influence sets): which tracked corpus pages would each
+    # query displace into — per-target k-th-neighbor radius from the exact
+    # cell-indexed self-join, then the per-row-radius ring join
+    def _reverse_knn(s, d):
+        from countrymaam_spark.operators.knn import reverse_knn
+
+        return reverse_knn(
+            _pages_geo(s, d), PG.load_knn_queries(s, d), k=10,
+            res=CELL_RES, target_mod=RKNN_TARGET_MOD,
+        )
+
+    q["geo_reverse_knn"] = _reverse_knn
 
     # exact within-distance spatial join (range query): ring candidates sized
     # analytically from the inverted branch-and-bound bound, one probe round
@@ -1442,6 +1456,11 @@ def oracle_sql() -> dict[str, str]:
     from countrymaam_spark.operators.knn import knn_join_sql
 
     o["geo_knn_join"] = knn_join_sql(pg, k=10, query_mod=50)
+    from countrymaam_spark.operators.knn import reverse_knn_sql
+
+    o["geo_reverse_knn"] = reverse_knn_sql(
+        pg, q_rel, k=10, target_mod=RKNN_TARGET_MOD
+    )
     from countrymaam_spark.operators import cluster as CLU
 
     o["geo_hotspots"] = CLU.hotspot_cells_sql(pg, HOTSPOT_RES, HOTSPOT_MIN_PTS)

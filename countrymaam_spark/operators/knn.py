@@ -1097,3 +1097,217 @@ def knn_join_sql(
         ) t
         WHERE rk <= {k}
     """
+
+
+def radius_join_var(
+    points: DataFrame,
+    probes: DataFrame,
+    res: int = 7,
+    cell_col: str | None = None,
+    broadcast_limit: int | None = None,
+) -> DataFrame:
+    """:func:`radius_join` with a PER-ROW radius: ``probes`` carries
+    (probe_id, lat, lon, radius_km) and every (probe, point) pair with
+    ``haversine <= radius_km(probe)`` comes back as
+    (probe_id, url, dist_km). A NULL radius means unbounded (the probe
+    matches every point) — the ring degrades to the exact full-wrap
+    latitude band covering the whole grid, no special-case join.
+
+    Same one-probe-round shape as the fixed-radius join — the analytic
+    (rx, ry) sizing just evaluates per row (``ring_cells_xy`` already takes
+    Columns): ry from the meridian bound, rx from the band-edge cosine
+    inversion, full wrap when the asin argument leaves its domain. The
+    exploded (probe, cell) table is the only thing that moves
+    (estimate-gated); points are probed by a hash equi-join on ``cell``.
+    """
+    nx, ny = 2 << res, 1 << res
+    cd = geo.cell_deg(res)
+    if cell_col is not None:
+        narrow = points.filter(F.col("lat").isNotNull()).select(
+            "url", "lat", "lon", F.col(cell_col).alias("cell")
+        )
+    else:
+        narrow = (
+            points.filter(F.col("lat").isNotNull())
+            .select("url", "lat", "lon")
+            .withColumn("cell", geo.encode_cell(F.col("lat"), F.col("lon"), res))
+        )
+    pages_cells = _widen(narrow)
+
+    # NULL radius -> beyond-antipodal sentinel: s >= 1 takes the full-wrap
+    # branch and ry clamps to the pole, so "unbounded" needs no extra path
+    r_km = F.coalesce(
+        F.col("radius_km").cast("double"),
+        F.lit(4.0 * geo.EARTH_RADIUS_KM * math.pi),
+    )
+    r_deg = r_km / F.lit(geo.KM_PER_DEG)
+    ry_col = F.least(
+        (F.ceil(r_deg / F.lit(cd)) + 1).cast("long"), F.lit(ny).cast("long")
+    )
+    cmin = F.greatest(
+        F.cos(
+            F.radians(
+                F.least(
+                    F.abs(F.col("qlat")) + (ry_col + 1).cast("double") * F.lit(cd),
+                    F.lit(90.0),
+                )
+            )
+        ),
+        F.lit(0.0),
+    )
+    s = r_km / F.lit(2.0 * geo.EARTH_RADIUS_KM) / F.greatest(cmin, F.lit(1e-15))
+    rx_needed = (
+        F.ceil(F.degrees(F.asin(F.least(s, F.lit(1.0))) * 2.0) / F.lit(cd)) + 1
+    ).cast("long")
+    rx_col = F.when(s >= 1.0, F.lit(nx // 2).cast("long")).otherwise(
+        F.least(rx_needed, F.lit(nx // 2).cast("long"))
+    )
+
+    q = probes.select(
+        "probe_id",
+        F.col("lat").alias("qlat"),
+        F.col("lon").alias("qlon"),
+        F.col("radius_km").cast("double").alias("radius_km"),
+    ).withColumn("rx", rx_col).withColumn("ry", ry_col)
+    est = q.agg(
+        F.sum(
+            F.least(F.col("rx") * 2 + 1, F.lit(nx))
+            * F.least(F.col("ry") * 2 + 1, F.lit(2 * ny))
+        )
+    ).collect()[0][0]
+    qcell = geo.encode_cell(F.col("qlat"), F.col("qlon"), res)
+    exploded = q.select(
+        "probe_id",
+        "qlat",
+        "qlon",
+        "radius_km",
+        F.explode(
+            geo.ring_cells_xy(qcell, res, F.col("rx"), F.col("ry"))
+        ).alias("jcell"),
+    )
+    exploded = gate_broadcast(exploded, int(est or 0), limit=broadcast_limit)
+    cand = exploded.join(pages_cells, exploded["jcell"] == pages_cells["cell"])
+    dist = geo.haversine_km(F.col("lat"), F.col("lon"), F.col("qlat"), F.col("qlon"))
+    # compare at the engine's 6-dp distance contract: per-row radii normally
+    # COME from engine outputs (knn_join's rounded dist_km), so a raw-vs-
+    # rounded compare would break exact ties by sub-micrometre noise; the
+    # ring guarantee has whole-cell slack, so the 1e-6 km widening never
+    # admits a point outside the enumerated ring
+    return (
+        cand.withColumn("dist_km", F.round(dist, 6))
+        .filter(
+            F.col("radius_km").isNull() | (F.col("dist_km") <= F.col("radius_km"))
+        )
+        .select("probe_id", "url", "dist_km")
+    )
+
+
+def reverse_knn(
+    pages_geo: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    res: int = 7,
+    target_mod: int | None = None,
+    salt: str = "kj0",
+    broadcast_limit: int | None = None,
+    **cell_kw,
+) -> DataFrame:
+    """Reverse kNN (influence sets, Korn & Muthukrishnan 2000): for each
+    query q, the corpus pages p that q would DISPLACE INTO — i.e.
+    ``dist(p, q) <= r_k(p)`` with ``r_k(p)`` the distance from p to its
+    k-th nearest OTHER corpus page -> (query_id, url, dist_km). The
+    monitoring question kNN cannot answer: "whose neighborhoods does this
+    new point enter", with |RkNN| naturally varying per query (0 in dense
+    regions far from q, unbounded around isolated points).
+
+    Ties INCLUDE: dist(p,q) == r_k(p) counts as entering (q ties the k-th
+    neighbor); the oracle applies the identical rule.
+
+    Two stages, both already-audited shapes:
+
+    1. ``r_k`` per target from :func:`knn_join` (the exact cell-indexed
+       self-join) — one row at rank k. Targets with fewer than k other
+       pages have NO rank-k row: their k-th neighbor does not exist, so
+       EVERY query enters — the left join leaves their radius NULL and the
+       variable-radius join treats NULL as unbounded.
+    2. :func:`radius_join_var` with the per-target radius: targets probe
+       their analytically-sized rings against the (small) query-point
+       table. The exploded ring table is the only moving object —
+       estimate-gated; at production target counts it is the shuffle
+       equi-join regime, cell-partitioned on both sides.
+
+    ``target_mod`` runs the operator on the deterministic 1/mod hash slice
+    of the corpus (same progressive-backfill contract as ``knn_join``).
+    """
+    from countrymaam_spark.functions import text as T
+
+    radii = (
+        knn_join(
+            pages_geo, k=k, res=res, query_mod=target_mod, salt=salt, **cell_kw
+        )
+        .filter(F.col("rk") == k)
+        .select(F.col("query_id").alias("_tid"), F.col("dist_km").alias("radius_km"))
+    )
+    qid = T.tok_hash(F.concat(F.lit(salt), F.col("url")))
+    targets = pages_geo.filter(F.col("lat").isNotNull()).select(
+        qid.alias("_tid"), F.col("url").alias("_turl"), "lat", "lon"
+    )
+    if target_mod is not None:
+        targets = targets.filter(F.col("_tid") % F.lit(target_mod) == 0)
+    probes = targets.join(radii, "_tid", "left").select(
+        F.col("_turl").alias("probe_id"), "lat", "lon", "radius_km"
+    )
+    qpts = queries.select(
+        F.col("query_id").alias("url"), "lat", "lon"
+    )
+    out = radius_join_var(
+        qpts, probes, res=res, broadcast_limit=broadcast_limit
+    )
+    return out.select(
+        F.col("url").alias("query_id"),
+        F.col("probe_id").alias("url"),
+        "dist_km",
+    )
+
+
+def reverse_knn_sql(
+    pages_rel: str,
+    queries_rel: str,
+    k: int = 10,
+    target_mod: int | None = None,
+    salt: str = "kj0",
+) -> str:
+    """DuckDB oracle: brute k-th-distance window per (sliced) target over
+    the full corpus, then the identical <=-radius filter against the query
+    points; targets lacking a rank-k row match every query (LEFT JOIN +
+    NULL-radius pass-through)."""
+    from countrymaam_spark.functions import text as T
+
+    th = T.tok_hash_sql("'" + salt + "' || t.url")
+    ph = T.tok_hash_sql("'" + salt + "' || p.url")
+    mod = f"AND {th} % {target_mod} = 0" if target_mod is not None else ""
+    hav_tp = geo.haversine_km_sql("p.lat", "p.lon", "t.lat", "t.lon")
+    hav_tq = geo.haversine_km_sql("q.lat", "q.lon", "t.lat", "t.lon")
+    return f"""
+        WITH rk_t AS (
+            SELECT url, lat, lon FROM {pages_rel} t
+            WHERE lat IS NOT NULL {mod}
+        ),
+        rk_r AS (
+            SELECT url, radius_km FROM (
+                SELECT t.url, ROUND({hav_tp}, 6) AS radius_km,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY t.url
+                           ORDER BY {hav_tp} ASC, p.url ASC
+                       ) AS rk
+                FROM rk_t t, {pages_rel} p
+                WHERE p.lat IS NOT NULL AND {ph} <> {th}
+            ) WHERE rk = {k}
+        )
+        SELECT q.query_id AS query_id, t.url AS url,
+               ROUND({hav_tq}, 6) AS dist_km
+        FROM rk_t t
+        LEFT JOIN rk_r r ON t.url = r.url
+        CROSS JOIN {queries_rel} q
+        WHERE r.radius_km IS NULL OR ROUND({hav_tq}, 6) <= r.radius_km
+    """

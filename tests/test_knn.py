@@ -492,3 +492,74 @@ def test_knn_join_state_served_bit_equal(spark, geo_small, tmp_path):
         )
     )
     assert stateful == stateless
+
+
+# --- reverse kNN (influence sets) --------------------------------------------
+
+
+def test_reverse_knn_matches_oracle(spark, geo_small, queries_small):
+    """Corpus-fixture parity with the brute kth-distance-window oracle,
+    including the mod slice."""
+    import duckdb
+
+    from countrymaam_spark.operators.knn import reverse_knn, reverse_knn_sql
+    from countrymaam_spark.operators.geotag import extract_geo_sql
+
+    out = pg.fixture_dir("sf0.001")
+    rel = "(" + extract_geo_sql(f"'{out}/pages.parquet'") + ")"
+    qrel = (
+        f"(SELECT * FROM '{out}/knn_queries.parquet' "
+        "WHERE query_id < 32 OR query_id >= 192)"
+    )
+    got = sorted(
+        tuple(r)
+        for r in reverse_knn(
+            geo_small, queries_small, k=5, res=6, target_mod=20
+        ).collect()
+    )
+    want = sorted(
+        tuple(t)
+        for t in duckdb.sql(
+            reverse_knn_sql(rel, qrel, k=5, target_mod=20)
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_reverse_knn_planted_semantics(spark):
+    """The three RkNN behaviors kNN cannot express, on hand-checked
+    geometry (degrees on the equator, ~111.19 km/deg):
+
+    - membership is governed by the TARGET's k-th-neighbor radius, not the
+      query's: q_in (0.5 deg from A) enters A's k=1 ball (radius 1 deg to
+      B) while q_out (1.5 deg) does not;
+    - a tie with the k-th neighbor counts as entering (q_tie at exactly
+      1 deg on the mirrored side of A);
+    - a target with fewer than k other pages has NO k-th neighbor: its
+      radius is unbounded and EVERY query enters (k=5 > |corpus|-1).
+    """
+    from countrymaam_spark.operators.knn import reverse_knn
+
+    corpus = spark.createDataFrame(
+        [("A", 0.0, 0.0), ("B", 0.0, 1.0)], "url string, lat double, lon double"
+    )
+    qs = spark.createDataFrame(
+        [(1, 0.0, -0.5), (2, 0.0, -1.5), (3, 0.0, -1.0)],
+        "query_id long, lat double, lon double",
+    )
+    got = {
+        (r["query_id"], r["url"])
+        for r in reverse_knn(corpus, qs, k=1, res=6).collect()
+    }
+    # q1 (0.5 deg) enters both A (radius 1 deg) and... B's radius is also
+    # 1 deg (A is B's 1-NN) but q1 is 1.5 deg from B -> only A.
+    # q3 sits at EXACTLY A's k-th distance (haversine symmetric in dlon).
+    assert (1, "A") in got and (1, "B") not in got
+    assert (2, "A") not in got and (2, "B") not in got
+    assert (3, "A") in got  # tie included
+    # unbounded radius: k exceeds the corpus, everyone enters everywhere
+    got_unbounded = {
+        (r["query_id"], r["url"])
+        for r in reverse_knn(corpus, qs, k=5, res=6).collect()
+    }
+    assert got_unbounded == {(q, u) for q in (1, 2, 3) for u in ("A", "B")}
