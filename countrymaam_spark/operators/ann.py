@@ -640,3 +640,137 @@ def cosine_near_pairs_sql(corpus_rel: str, tau: float = 0.95) -> str:
             WHERE a.vec_id < b.vec_id
         ) t WHERE cos >= {tau}
     """
+
+
+def _nearest_list_dist(vec_col, cents: np.ndarray):
+    """struct<list_id int, cdist double>: nearest centroid id + TRUE L2
+    distance to it (one BLAS matmul per Arrow batch)."""
+    c = cents.astype(np.float64)
+    c2 = (c * c).sum(axis=1)
+
+    @F.pandas_udf("struct<list_id: int, cdist: double>")
+    def _nd(vs: pd.Series) -> pd.DataFrame:
+        if len(vs) == 0:
+            return pd.DataFrame({"list_id": [], "cdist": []})
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        d = c2[None, :] - 2.0 * (m @ c.T) + (m * m).sum(axis=1)[:, None]
+        idx = np.argmin(d, axis=1)
+        best = np.sqrt(np.maximum(d[np.arange(len(idx)), idx], 0.0))
+        return pd.DataFrame(
+            {"list_id": idx.astype(np.int32), "cdist": best}
+        )
+
+    return _nd(vec_col)
+
+
+def _lists_within(vec_col, cents: np.ndarray, radii: np.ndarray, bound: float):
+    """array<int> of list ids that can contain a point within the L2 range:
+    keep list l iff d(q, c_l) <= bound + r_l (triangle inequality — any x
+    in l within the range has d(q,c_l) <= d(q,x) + d(x,c_l))."""
+    c = cents.astype(np.float64)
+    c2 = (c * c).sum(axis=1)
+    r = radii.astype(np.float64)
+
+    @F.pandas_udf("array<int>")
+    def _lw(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        d = np.sqrt(
+            np.maximum(c2[None, :] - 2.0 * (m @ c.T) + (m * m).sum(axis=1)[:, None], 0.0)
+        )
+        keep = d <= (r[None, :] + bound)
+        return pd.Series([np.nonzero(row)[0].astype(np.int32) for row in keep])
+
+    return _lw(vec_col)
+
+
+def ivf_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    tau: float,
+    n_lists: int = 16,
+    sample_n: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    broadcast_limit: int | None = None,
+) -> DataFrame:
+    """EXACT vector range search with IVF list pruning — every corpus
+    vector within TRUE L2 distance ``tau`` of each query ->
+    (query_id, vec_id, dist) with ``dist`` the squared L2 (the engine's
+    kNN distance contract), filtered on ``round3(sq_l2) <= tau^2``.
+
+    The range sibling of :func:`ivf_knn` (the reference exposes only kNN;
+    range search is the classic companion — radius_join is the geo
+    analog): kNN prunes lists by probe COUNT and is approximate below
+    n_probe = n_lists; the range predicate admits an EXACT prune with no
+    budget knob — the triangle inequality drops list l whenever
+    ``d(q, c_l) > tau + r_l`` (r_l = the list's member-to-centroid radius,
+    one |corpus|-row aggregate into n_lists rows), because no member of l
+    can then be within tau. A small slack on the bound covers the 3-dp
+    rounding the output filter applies, so pruning NEVER loses an emitted
+    row; results equal the brute threshold scan bit-for-bit.
+
+    Scale shape: assignment table carries (cid, cv, list_id) exactly like
+    the persisted IVF state (bucketed by list_id at scale -> file
+    pruning); the probe side is |Q| x (surviving lists) structs,
+    estimate-gated; one equi-join on list_id, exact filter after. Queries
+    in empty space emit zero candidate lists and zero rows — no full scan
+    ever happens for them.
+    """
+    cents = _kmeans_centroids(corpus, vec_col, n_lists, sample_n, iters, seed)
+    asg = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        _nearest_list_dist(F.col(vec_col), cents).alias("_nl"),
+    ).select("cid", "cv", F.col("_nl.list_id").alias("list_id"), F.col("_nl.cdist").alias("cdist"))
+    asg = asg.localCheckpoint(eager=True)
+    rad = {
+        int(r["list_id"]): float(r["_r"])
+        for r in asg.groupBy("list_id").agg(F.max("cdist").alias("_r")).collect()
+    }
+    radii = np.zeros(len(cents))
+    for i, r in rad.items():
+        radii[i] = r
+    # slack: round3(sq) <= tau^2 admits sq up to tau^2 + 5e-4, i.e. d up to
+    # sqrt(tau^2 + 5e-4); 0.01 absolute dominates that gap for any tau
+    bound = tau + 0.01
+    q_lists = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.col(query_vec_col).alias("qv"),
+        F.explode(_lists_within(F.col(query_vec_col), cents, radii, bound)).alias(
+            "list_id"
+        ),
+    )
+    est = q_lists.count()
+    q_lists = gate_broadcast(q_lists, est, broadcast_limit)
+    tau_sq = float(tau) * float(tau)
+    return (
+        asg.join(q_lists, "list_id")
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("dist", F.round(_dist("sq_l2", F.col("cv"), F.col("qv")), 3))
+        .filter(F.col("dist") <= F.lit(tau_sq))
+        .select(F.col("qid").alias("query_id"), F.col("cid").alias("vec_id"), "dist")
+    )
+
+
+def range_search_sql(corpus_rel: str, queries_rel: str, tau: float) -> str:
+    """DuckDB oracle: brute threshold scan, identical order-preserving
+    per-element fold, identical round-then-compare at tau^2."""
+    d = (
+        "list_sum(list_transform(generate_series(1, len(c.embedding)), "
+        "i -> POW(CAST(c.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE), 2)))"
+    )
+    tau_sq = float(tau) * float(tau)
+    return f"""
+        SELECT query_id, vec_id, dist FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   ROUND({d}, 3) AS dist
+            FROM {corpus_rel} c, {queries_rel} q
+            WHERE c.vec_id <> q.vec_id
+        ) t WHERE dist <= {tau_sq!r}
+    """

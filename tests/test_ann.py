@@ -318,3 +318,49 @@ def test_ivf_append_pipeline_equals_full_reassign(spark, corpus, queries, tmp_pa
     rep2 = PL.build_ivf_pipeline(spark, old, out, n_lists=8, seed=1)
     assert rep2["ivf_lists"]["skipped"] and rep2["ivf_centroids"]["skipped"]
     assert rep2["ivf_lists"]["rows"] == corpus.count()
+
+
+# --- exact IVF range search ---------------------------------------------------
+
+
+def test_range_search_matches_brute_oracle(spark, corpus, queries):
+    """Triangle-inequality list pruning never loses a row: the pruned probe
+    equals the brute threshold scan exactly, at two radii."""
+    for tau in (1.1, 1.35):
+        got = sorted(
+            tuple(r)
+            for r in ann.ivf_range_search(corpus, queries, tau=tau, n_lists=8).collect()
+        )
+        want = sorted(
+            tuple(t)
+            for t in duckdb.sql(
+                ann.range_search_sql(
+                    f"'{EMB}'", f"(SELECT * FROM '{EMB}' WHERE vec_id < 8)", tau=tau
+                )
+            ).fetchall()
+        )
+        assert got == want, tau
+    assert len(got) > 0
+
+
+def test_range_search_prunes_and_handles_empty(spark, corpus):
+    """A query far from the whole corpus keeps ZERO candidate lists (the
+    prune bound kills every list) and emits zero rows — no scan, no crash;
+    a tiny tau on a real query prunes to a strict subset of lists."""
+    import numpy as np
+
+    dim = len(corpus.select("embedding").first()[0])
+    far = spark.createDataFrame(
+        [(999999, [100.0] * dim)], "query_id long, query_vec array<float>"
+    )
+    got = ann.ivf_range_search(corpus, far, tau=1.0, n_lists=8).collect()
+    assert got == []
+    # prune evidence: the candidate-list UDF keeps < n_lists lists for a
+    # small radius around an actual corpus vector
+    cents = ann._kmeans_centroids(corpus, "embedding", 8, 2048, 8, 42)
+    asg_radii = np.zeros(8)  # radii of empty lists stay 0 -> prunable
+    q = corpus.limit(1).select(
+        ann._lists_within(F.col("embedding"), cents, asg_radii, 0.5).alias("ls")
+    )
+    kept = len(q.first()["ls"])
+    assert kept < 8
