@@ -112,6 +112,7 @@ DBSCAN_EPS_KM = 1.0  # exact DBSCAN: same eps scale as the near-pairs row
 DBSCAN_MIN_PTS = 3
 RKNN_TARGET_MOD = 200  # reverse-kNN monitored-target hash slice
 RANGE_TAU = 1.2  # vector range-search L2 radius (~top-10 ball on the fixture)
+RANGE_TAU_SQ_U8 = 23000  # u8 flavor: integer squared threshold, same ball
 KDE_RES = 7  # kernel-density raster grid + disc radius (integer kernel)
 KDE_RADIUS = 2
 # contour levels: 5 keeps the percolated world-spanning region in play (the
@@ -533,6 +534,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the radius itself bounds which inverted lists can contain a hit)
     q["embed_range_ivf"] = lambda s, d: ann.ivf_range_search(
         _emb(s, d), _emb_queries(s, d), tau=RANGE_TAU, n_lists=16
+    )
+    # the u8 flavor: integer threshold, integer distances — zero rounding
+    q["embed_range_u8"] = lambda s, d: ann.ivf_range_search_u8(
+        _emb(s, d), _emb_queries(s, d), tau_sq=RANGE_TAU_SQ_U8, n_lists=16
     )
     q["embed_knn_cosine"] = lambda s, d: ann.brute_knn(
         _emb(s, d), _emb_queries(s, d), k=5, metric="cosine"
@@ -1671,6 +1676,9 @@ def oracle_sql() -> dict[str, str]:
     emb_q = "(SELECT * FROM embeddings WHERE vec_id < 8)"
     o["embed_knn_l2"] = ann.brute_knn_sql("embeddings", emb_q, k=5)
     o["embed_range_ivf"] = ann.range_search_sql("embeddings", emb_q, tau=RANGE_TAU)
+    o["embed_range_u8"] = ann.range_search_u8_sql(
+        "embeddings", emb_q, tau_sq=RANGE_TAU_SQ_U8
+    )
     o["embed_knn_cosine"] = ann.brute_knn_sql("embeddings", emb_q, k=5, metric="cosine")
     # recall 1.0 at the query's LSH config on this fixture -> exact oracle
     o["embed_lsh_knn"] = ann.brute_knn_sql("embeddings", emb_q, k=5)

@@ -21,6 +21,8 @@ large dim swap `_dist` for a numpy/Arrow `mapInPandas` kernel — the plan shape
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -433,20 +435,25 @@ U8_LO, U8_HI = -1.0, 1.0  # quantization window; scale = 256/(hi-lo) = 128,
 # an exact power of two, so (x - lo) * scale is fp-exact in both engines
 
 
+def _quantize_np(v, lo: float = U8_LO, hi: float = U8_HI) -> np.ndarray:
+    """The ONE quantization kernel (UDF and driver-side sampling share it,
+    so the two paths are bit-identical by construction): clip to [lo, hi],
+    floor((x-lo)*256/(hi-lo)), cap at 255."""
+    scale = 256.0 / (hi - lo)
+    a = np.clip(np.asarray(v, dtype=np.float64), lo, hi)
+    return np.minimum(np.floor((a - lo) * scale), 255.0).astype(np.uint8)
+
+
 def quantize_u8(vec_col, lo: float = U8_LO, hi: float = U8_HI):
     """array<float> -> binary: clip to [lo, hi], floor((x-lo)*256/(hi-lo)),
     cap at 255, one uint8 per dimension. Deterministic and replicated
     verbatim by the SQL oracle (same double math, same floor)."""
-    scale = 256.0 / (hi - lo)
 
     @F.pandas_udf("binary")
     def _q(vs: pd.Series) -> pd.Series:
-        out = []
-        for v in vs:
-            a = np.clip(np.asarray(v, dtype=np.float64), lo, hi)
-            q = np.minimum(np.floor((a - lo) * scale), 255.0)
-            out.append(q.astype(np.uint8).tobytes())
-        return pd.Series(out, dtype=object)
+        return pd.Series(
+            [_quantize_np(v, lo, hi).tobytes() for v in vs], dtype=object
+        )
 
     return _q(vec_col)
 
@@ -587,12 +594,16 @@ def ivf_knn_u8(
     round-3 advisor's leak)."""
     if pre_quantized:
         c_bin = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cb"))
+        vs = _sample_vectors(c_bin, "cb", sample_n, seed)
+        x = np.stack([np.frombuffer(b, dtype=np.uint8) for b in vs]).astype(np.float64)
     else:
         c_bin = corpus.select(
             F.col(id_col).alias("cid"), quantize_u8(F.col(vec_col)).alias("cb")
         )
-    vs = _sample_vectors(c_bin, "cb", sample_n, seed)
-    x = np.stack([np.frombuffer(b, dtype=np.uint8) for b in vs]).astype(np.float64)
+        # raw-float sample + shared driver-side kernel: bit-identical bytes,
+        # no UDF pass for the sample actions (see ivf_range_search_u8)
+        vs = _sample_vectors(corpus, vec_col, sample_n, seed)
+        x = np.stack([_quantize_np(v) for v in vs]).astype(np.float64)
     cents = _kmeans_np(x, n_lists, iters, seed)
     c_lists = c_bin.withColumn(
         "list_id", F.element_at(_nearest_lists_u8(F.col("cb"), cents, 1), 1)
@@ -773,4 +784,134 @@ def range_search_sql(corpus_rel: str, queries_rel: str, tau: float) -> str:
             FROM {corpus_rel} c, {queries_rel} q
             WHERE c.vec_id <> q.vec_id
         ) t WHERE dist <= {tau_sq!r}
+    """
+
+
+def _nearest_list_dist_u8(bin_col, cents: np.ndarray):
+    """struct<list_id int, cdist double>: nearest u8-code-space centroid +
+    TRUE L2 distance to it, for PACKED-uint8 vectors."""
+    c = cents.astype(np.float64)
+    c2 = (c * c).sum(axis=1)
+
+    @F.pandas_udf("struct<list_id: int, cdist: double>")
+    def _nd(vs: pd.Series) -> pd.DataFrame:
+        if len(vs) == 0:
+            return pd.DataFrame({"list_id": [], "cdist": []})
+        m = np.stack([np.frombuffer(x, dtype=np.uint8) for x in vs]).astype(np.float64)
+        d = c2[None, :] - 2.0 * (m @ c.T) + (m * m).sum(axis=1)[:, None]
+        idx = np.argmin(d, axis=1)
+        best = np.sqrt(np.maximum(d[np.arange(len(idx)), idx], 0.0))
+        return pd.DataFrame({"list_id": idx.astype(np.int32), "cdist": best})
+
+    return _nd(bin_col)
+
+
+def _lists_within_u8(bin_col, cents: np.ndarray, radii: np.ndarray, bound: float):
+    """array<int> of triangle-surviving list ids for PACKED-uint8 queries."""
+    c = cents.astype(np.float64)
+    c2 = (c * c).sum(axis=1)
+    r = radii.astype(np.float64)
+
+    @F.pandas_udf("array<int>")
+    def _lw(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack([np.frombuffer(x, dtype=np.uint8) for x in vs]).astype(np.float64)
+        d = np.sqrt(
+            np.maximum(c2[None, :] - 2.0 * (m @ c.T) + (m * m).sum(axis=1)[:, None], 0.0)
+        )
+        keep = d <= (r[None, :] + bound)
+        return pd.Series([np.nonzero(row)[0].astype(np.int32) for row in keep])
+
+    return _lw(bin_col)
+
+
+def ivf_range_search_u8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    tau_sq: int,
+    n_lists: int = 16,
+    sample_n: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    pre_quantized: bool = False,
+    broadcast_limit: int | None = None,
+) -> DataFrame:
+    """:func:`ivf_range_search` over the packed-uint8 dtype — and here the
+    exactness story is WHOLLY integer: ``tau_sq`` is an integer squared-L2
+    threshold in u8 code space, the emitted ``dist`` is the exact integer
+    ``u8_sq_l2``, there is no rounding anywhere, so the only float math is
+    the INTERNAL pruning bound (true-L2 triangle inequality in code space,
+    with a 1e-6 slack for the float matmul). Completes the dtype dispatch
+    matrix: every serving family — kNN, range — now has f32 and u8 paths.
+    """
+    if pre_quantized:
+        c_bin = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cb"))
+        vs = _sample_vectors(c_bin, "cb", sample_n, seed)
+        x = np.stack([np.frombuffer(b, dtype=np.uint8) for b in vs]).astype(np.float64)
+    else:
+        c_bin = corpus.select(
+            F.col(id_col).alias("cid"), quantize_u8(F.col(vec_col)).alias("cb")
+        )
+        # sample the RAW floats (no UDF pass) and quantize driver-side with
+        # the shared kernel — bit-identical bytes, two fewer corpus-sized
+        # Python passes (the sample's count + collect run UDF-free)
+        vs = _sample_vectors(corpus, vec_col, sample_n, seed)
+        x = np.stack([_quantize_np(v) for v in vs]).astype(np.float64)
+    cents = _kmeans_np(x, n_lists, iters, seed)
+    asg = c_bin.select(
+        "cid", "cb", _nearest_list_dist_u8(F.col("cb"), cents).alias("_nl")
+    ).select(
+        "cid", "cb",
+        F.col("_nl.list_id").alias("list_id"),
+        F.col("_nl.cdist").alias("cdist"),
+    ).localCheckpoint(eager=True)
+    radii = np.zeros(len(cents))
+    for r in asg.groupBy("list_id").agg(F.max("cdist").alias("_r")).collect():
+        radii[int(r["list_id"])] = float(r["_r"])
+    bound = math.sqrt(float(int(tau_sq))) + 1e-6
+    q_bin = queries.select(
+        F.col(query_id_col).alias("qid"),
+        quantize_u8(F.col(query_vec_col)).alias("qb"),
+    )
+    q_lists = q_bin.select(
+        "qid", "qb",
+        F.explode(_lists_within_u8(F.col("qb"), cents, radii, bound)).alias("list_id"),
+    )
+    q_lists = gate_broadcast(q_lists, q_lists.count(), broadcast_limit)
+    return (
+        asg.join(q_lists, "list_id")
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("dist", u8_sq_l2(F.col("cb"), F.col("qb")))
+        .filter(F.col("dist") <= F.lit(int(tau_sq)))
+        .select(F.col("qid").alias("query_id"), F.col("cid").alias("vec_id"), "dist")
+    )
+
+
+def range_search_u8_sql(
+    corpus_rel: str, queries_rel: str, tau_sq: int,
+    lo: float = U8_LO, hi: float = U8_HI,
+) -> str:
+    """DuckDB oracle: brute integer threshold scan with the inline
+    quantizer of :func:`brute_knn_u8_sql` — bit-exact, no rounding."""
+    scale = 256.0 / (hi - lo)
+
+    def q8(e: str) -> str:
+        return (
+            f"LEAST(FLOOR((LEAST(GREATEST(CAST({e} AS DOUBLE), {lo}), {hi})"
+            f" - ({lo})) * {scale}), 255.0)"
+        )
+
+    d = (
+        "CAST(list_sum(list_transform(generate_series(1, len(c.embedding)), "
+        f"i -> POW({q8('c.embedding[i]')} - {q8('q.embedding[i]')}, 2))) AS BIGINT)"
+    )
+    return f"""
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {d} AS dist
+        FROM {corpus_rel} c, {queries_rel} q
+        WHERE c.vec_id <> q.vec_id AND {d} <= {int(tau_sq)}
     """

@@ -364,3 +364,26 @@ def test_range_search_prunes_and_handles_empty(spark, corpus):
     )
     kept = len(q.first()["ls"])
     assert kept < 8
+
+
+def test_range_search_u8_matches_brute_oracle(spark, corpus, queries):
+    """u8 range search is WHOLLY integer at the compare: pruned probe equals
+    the brute integer threshold scan bit-for-bit."""
+    for tau_sq in (20000, 24000):
+        got = sorted(
+            tuple(r)
+            for r in ann.ivf_range_search_u8(
+                corpus, queries, tau_sq=tau_sq, n_lists=8
+            ).collect()
+        )
+        want = sorted(
+            tuple(t)
+            for t in duckdb.sql(
+                ann.range_search_u8_sql(
+                    f"'{EMB}'", f"(SELECT * FROM '{EMB}' WHERE vec_id < 8)",
+                    tau_sq=tau_sq,
+                )
+            ).fetchall()
+        )
+        assert got == want, tau_sq
+    assert len(got) > 0
