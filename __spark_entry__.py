@@ -1175,6 +1175,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_bm25_serve"] = _stream_bm25_serve
 
+    def _stream_pip_serve(s: SparkSession, d: str) -> DataFrame:
+        """Streaming GEOFENCING — the ingest-side twin of the query-side
+        serve rows: PAGES arrive over time (two file drops split by url
+        hash parity); each micro-batch is geotagged and point-in-polygon
+        joined against the static polygon table inside the same foreachBatch
+        loop. The union of streamed batches equals the one-shot batch
+        pip_join, so its SQL oracle applies verbatim."""
+        import shutil
+        import tempfile
+
+        from countrymaam_spark.operators.geotag import extract_geo as _eg
+        from countrymaam_spark.streaming import serve as SV
+
+        edges = PG.load_polygon_edges(s, d).localCheckpoint(eager=True)
+        pages = PG.load_pages(s, d).select("url", "warc_ts", "lang", "text")
+        work = tempfile.mkdtemp(prefix="cm_pip_serve_")
+        try:
+            pdir = os.path.join(work, "drops")
+            os.makedirs(pdir)
+            half = os.path.join(work, "half")
+            parity = F.crc32(F.col("url").cast("binary")) % 2
+            for i in (0, 1):
+                pages.filter(parity == i).coalesce(1).write.parquet(f"{half}{i}")
+                part = [
+                    f for f in os.listdir(f"{half}{i}") if f.endswith(".parquet")
+                ][0]
+                os.rename(
+                    os.path.join(f"{half}{i}", part),
+                    os.path.join(pdir, f"p{i}.parquet"),
+                )
+            pstream = (
+                s.readStream.schema(pages.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(pdir)
+            )
+            sink = os.path.join(work, "fenced")
+            sq = SV.serve_knn_stream(
+                pstream,
+                lambda batch: point_in_polygon(_eg(batch), edges, res=6),
+                sink_dir=sink,
+                checkpoint_dir=os.path.join(work, "ckpt"),
+            )
+            SV.await_stream(sq, 600)
+            out = (
+                s.read.parquet(sink)
+                .select("poly_id", "url")
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        return out
+
+    q["stream_pip_serve"] = _stream_pip_serve
+
     q["region_revenue"] = lambda s, d: (
         s.read.parquet(os.path.join(d, "orders.parquet"))
         .join(
@@ -1802,6 +1856,8 @@ def oracle_sql() -> dict[str, str]:
     # streamed serving unions exact per-batch flat kNN -> the flat oracle
     o["stream_knn_serve"] = o["knn_flat"]
     o["stream_bm25_serve"] = o["bm25_search"]
+    # streamed geofencing unions exact per-batch pip joins -> the pip oracle
+    o["stream_pip_serve"] = o["pip_join"]
 
     o["region_revenue"] = """
         SELECT r_name, COUNT(*) AS n_orders,
