@@ -548,6 +548,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embed_lsh_knn"] = lambda s, d: ann.rp_lsh_knn(
         _emb(s, d), _emb_queries(s, d), k=5, n_tables=24, bits=4
     )
+    # multi-probe: 8 tables x 5 probes reaches the same exact recall the
+    # single-probe config needs 24 tables for — a 3x smaller signed corpus
+    q["embed_lsh_multiprobe"] = lambda s, d: ann.rp_lsh_knn(
+        _emb(s, d), _emb_queries(s, d), k=5, n_tables=8, bits=4, n_probes=5
+    )
     # packed-uint8 dtype flavor (reference linalg.go:38-53): integer
     # distances, bit-exact vs the SQL oracle's replicated quantization
     q["embed_knn_u8"] = lambda s, d: ann.brute_knn_u8(
@@ -1736,6 +1741,8 @@ def oracle_sql() -> dict[str, str]:
     o["embed_knn_cosine"] = ann.brute_knn_sql("embeddings", emb_q, k=5, metric="cosine")
     # recall 1.0 at the query's LSH config on this fixture -> exact oracle
     o["embed_lsh_knn"] = ann.brute_knn_sql("embeddings", emb_q, k=5)
+    # multi-probe at (8 tables, 5 probes) is exact on the fixture -> same oracle
+    o["embed_lsh_multiprobe"] = ann.brute_knn_sql("embeddings", emb_q, k=5)
     o["embed_knn_u8"] = ann.brute_knn_u8_sql("embeddings", emb_q, k=5)
     o["embed_knn_ivf"] = ann.brute_knn_sql("embeddings", emb_q, k=5)
     o["embed_knn_u8_ivf"] = ann.brute_knn_u8_sql("embeddings", emb_q, k=5)

@@ -137,6 +137,45 @@ def rp_signature(vec_col, planes: np.ndarray) -> "F.Column":
     return _sig(vec_col)
 
 
+def rp_probe_keys(vec_col, planes: np.ndarray, n_probes: int) -> "F.Column":
+    """array<struct<tbl int, key long>>: per table, the base bucket key plus
+    the ``n_probes - 1`` single-bit perturbations in INCREASING hyperplane
+    margin order — the multi-probe sequence (Lv et al. 2007, single-flip
+    form): the bits most likely to be on the wrong side of their plane for
+    a near neighbor are exactly the smallest-|dot| bits, so probing those
+    flipped buckets buys recall without more tables. Same one-matmul-per-
+    Arrow-batch shape as :func:`rp_signature`."""
+    n_tables, bits, dim = planes.shape
+    p = max(1, min(int(n_probes), bits + 1))
+    w = planes.reshape(n_tables * bits, dim).astype(np.float64).T.copy()
+    pows = 1 << np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf("array<struct<tbl: int, key: bigint>>")
+    def _pk(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        proj = (m @ w).reshape(len(vs), n_tables, bits)
+        base = ((proj > 0) * pows).sum(axis=2)  # (n, T)
+        order = np.argsort(np.abs(proj), axis=2)  # (n, T, B) asc margin
+        keys = [base]
+        for j in range(p - 1):
+            keys.append(base ^ pows[order[:, :, j]])
+        ks = np.stack(keys, axis=2)  # (n, T, P)
+        out = []
+        for i in range(len(vs)):
+            out.append(
+                [
+                    {"tbl": int(t), "key": int(ks[i, t, j])}
+                    for t in range(n_tables)
+                    for j in range(p)
+                ]
+            )
+        return pd.Series(out)
+
+    return _pk(vec_col)
+
+
 def rp_lsh_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -150,10 +189,18 @@ def rp_lsh_knn(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     seed: int = 42,
+    n_probes: int = 1,
     broadcast_limit: int | None = None,
 ) -> DataFrame:
     """Approximate kNN: union of same-bucket candidates over n_tables random
-    hyperplane tables, exact re-rank. -> (query_id, rk, vec_id, dist)."""
+    hyperplane tables, exact re-rank. -> (query_id, rk, vec_id, dist).
+
+    ``n_probes > 1`` turns on query-side MULTI-PROBE: each query also
+    probes the buckets reached by flipping its lowest-margin sign bits
+    (:func:`rp_probe_keys`) — recall per table rises steeply, so the same
+    recall needs FEWER tables, i.e. a smaller signed corpus (the index) at
+    the cost of a wider probe side. The corpus side is untouched — only the
+    query explode widens from n_tables to n_tables*n_probes rows."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_tables, bits, seed)
@@ -162,16 +209,31 @@ def rp_lsh_knn(
         F.col(vec_col).alias("cv"),
         F.posexplode(rp_signature(F.col(vec_col), planes)).alias("tbl", "key"),
     )
-    q_sig = queries.select(
-        F.col(query_id_col).alias("qid"),
-        F.col(query_vec_col).alias("qv"),
-        F.posexplode(rp_signature(F.col(query_vec_col), planes)).alias("tbl", "key"),
+    if n_probes > 1:
+        q_sig = queries.select(
+            F.col(query_id_col).alias("qid"),
+            F.col(query_vec_col).alias("qv"),
+            F.explode(
+                rp_probe_keys(F.col(query_vec_col), planes, n_probes)
+            ).alias("_pk"),
+        ).select(
+            "qid", "qv", F.col("_pk.tbl").alias("tbl"), F.col("_pk.key").alias("key")
+        )
+    else:
+        q_sig = queries.select(
+            F.col(query_id_col).alias("qid"),
+            F.col(query_vec_col).alias("qv"),
+            F.posexplode(
+                rp_signature(F.col(query_vec_col), planes)
+            ).alias("tbl", "key"),
+        )
+    # the probe side holds |Q| x n_tables x n_probes structs: broadcast while
+    # that fits, shuffle equi-join on (tbl, key) past the limit (one count
+    # job on the small query table; at cluster scale the signed corpus is
+    # bucketed by (tbl, key), so only the probe side moves)
+    q_sig = gate_broadcast(
+        q_sig, queries.count() * n_tables * max(1, n_probes), broadcast_limit
     )
-    # the probe side holds |Q| x n_tables structs: broadcast while that fits,
-    # shuffle equi-join on (tbl, key) past the limit (one count job on the
-    # small query table; at cluster scale the signed corpus is bucketed by
-    # (tbl, key), so only the probe side moves)
-    q_sig = gate_broadcast(q_sig, queries.count() * n_tables, broadcast_limit)
     cands = (
         c_sig.join(q_sig, ["tbl", "key"])
         .filter(F.col("cid") != F.col("qid"))

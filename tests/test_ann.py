@@ -387,3 +387,28 @@ def test_range_search_u8_matches_brute_oracle(spark, corpus, queries):
         )
         assert got == want, tau_sq
     assert len(got) > 0
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, corpus, queries):
+    """Multi-probe at the same table count strictly improves recall (the
+    flipped low-margin buckets are extra candidates, a superset), and the
+    (8 tables, 5 probes, 4 bits) config is EXACT on the fixture — the
+    config the driver row pins against the brute oracle."""
+    exact = _key(ann.brute_knn(corpus, queries, k=5).collect())
+
+    def recall(nt, npb):
+        got = set(
+            (r["query_id"], r["vec_id"])
+            for r in ann.rp_lsh_knn(
+                corpus, queries, k=5, n_tables=nt, bits=4, n_probes=npb
+            ).collect()
+        )
+        want = set((q, v) for q, _, v in exact)
+        return len(got & want) / len(want)
+
+    r1, r3, r5 = recall(4, 1), recall(4, 3), recall(4, 5)
+    assert r1 <= r3 <= r5
+    assert r5 > r1  # probes actually bought recall at fixed table count
+    assert _key(
+        ann.rp_lsh_knn(corpus, queries, k=5, n_tables=8, bits=4, n_probes=5).collect()
+    ) == exact
