@@ -209,6 +209,29 @@ def rp_lsh_knn(
         F.col(vec_col).alias("cv"),
         F.posexplode(rp_signature(F.col(vec_col), planes)).alias("tbl", "key"),
     )
+    return rp_lsh_knn_from_state(
+        c_sig, planes, queries, k=k, metric=metric,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        n_probes=n_probes, broadcast_limit=broadcast_limit,
+    )
+
+
+def rp_lsh_knn_from_state(
+    c_sig: DataFrame,
+    planes: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "sq_l2",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    n_probes: int = 1,
+    broadcast_limit: int | None = None,
+) -> DataFrame:
+    """Serve LSH kNN from PERSISTED state (the signed corpus of
+    ``plans.pipeline.build_lsh_pipeline`` + planes recreated from its
+    manifest params) — the Save/Load path: the corpus-wide signing matmul
+    never re-runs; only the query batch is signed per call."""
+    n_tables = planes.shape[0]
     if n_probes > 1:
         q_sig = queries.select(
             F.col(query_id_col).alias("qid"),

@@ -883,3 +883,95 @@ def load_dedup_state(spark: SparkSession, out_dir: str):
         spark.read.parquet(os.path.join(out_dir, "dedup_shingles")),
         spark.read.parquet(os.path.join(out_dir, "dedup_bands")),
     )
+
+
+def build_lsh_pipeline(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    n_tables: int = 8,
+    bits: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Save/Load for the LSH family. The hyperplanes themselves are
+    seeded-deterministic (recreated from the manifest params — nothing to
+    serialize), but the SIGNED CORPUS is the build cost worth saving: at
+    10^12 rows re-signing is a full-corpus matmul pass per serving session.
+    The signature table persists partitioned by ``tbl`` (within a table,
+    bucket by ``key`` at cluster scale); params (n_tables/bits/seed/dim)
+    key the stage, so changing any of them invalidates the snapshot instead
+    of serving signatures from foreign planes."""
+    from countrymaam_spark.operators import ann
+
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    manifest = Manifest(out_dir)
+    params = {
+        "n_tables": int(n_tables), "bits": int(bits), "seed": int(seed),
+        "dim": int(dim), "id_col": id_col, "vec_col": vec_col,
+    }
+    planes = ann._hyperplanes(dim, n_tables, bits, seed)
+    sig_df, skipped = run_stage(
+        spark,
+        manifest,
+        "lsh_signatures",
+        lambda: corpus.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cv"),
+            F.posexplode(ann.rp_signature(F.col(vec_col), planes)).alias(
+                "tbl", "key"
+            ),
+        ),
+        params=params,
+        partition_by=["tbl"],
+    )
+    return {"lsh_signatures": {"rows": sig_df.count(), "skipped": skipped}}
+
+
+def load_lsh(spark: SparkSession, out_dir: str):
+    """-> (c_sig, planes): the persisted signature table plus the plane
+    tensor recreated from the manifest's build params (bit-identical — the
+    generator is a seeded PRNG)."""
+    from countrymaam_spark.operators import ann
+
+    manifest = Manifest(out_dir)
+    p = manifest.stages["lsh_signatures"]["params"]
+    planes = ann._hyperplanes(p["dim"], p["n_tables"], p["bits"], p["seed"])
+    c_sig = spark.read.parquet(os.path.join(out_dir, "lsh_signatures")).select(
+        "cid", "cv", F.col("tbl").cast("int").alias("tbl"), "key"
+    )
+    return c_sig, planes
+
+
+def append_lsh_pipeline(
+    spark: SparkSession,
+    new_corpus: DataFrame,
+    out_dir: str,
+) -> dict:
+    """Incremental append: sign ONLY the delta with the frozen planes (the
+    manifest's params) and parquet-append into the tbl-partitioned
+    snapshot. Bit-equivalent to re-signing the full corpus — signatures are
+    per-row, so unlike IVF there is not even a drift trade to document."""
+    from countrymaam_spark.operators import ann
+
+    manifest = Manifest(out_dir)
+    p = manifest.stages["lsh_signatures"]["params"]
+    planes = ann._hyperplanes(p["dim"], p["n_tables"], p["bits"], p["seed"])
+    delta = new_corpus.select(
+        F.col(p["id_col"]).alias("cid"),
+        F.col(p["vec_col"]).alias("cv"),
+        F.posexplode(ann.rp_signature(F.col(p["vec_col"]), planes)).alias(
+            "tbl", "key"
+        ),
+    )
+    path = os.path.join(out_dir, "lsh_signatures")
+    delta.write.mode("append").partitionBy("tbl").parquet(path)
+    out = _refresh_stage_entry(spark, manifest, "lsh_signatures")
+    return {
+        "lsh_signatures": {
+            "rows": out.count(), "appended": delta.count(), "skipped": False,
+        }
+    }

@@ -412,3 +412,36 @@ def test_multiprobe_recall_dominates_single_probe(spark, corpus, queries):
     assert _key(
         ann.rp_lsh_knn(corpus, queries, k=5, n_tables=8, bits=4, n_probes=5).collect()
     ) == exact
+
+
+def test_lsh_state_round_trip_and_append(spark, corpus, queries, tmp_path):
+    """build_lsh_pipeline -> load_lsh -> rp_lsh_knn_from_state is
+    bit-identical to the in-session path (multi-probe included); appending
+    the second half onto a half-built snapshot equals the full build; a
+    re-run with identical params SKIPS the signing stage."""
+    from countrymaam_spark.plans import pipeline as P
+
+    want = _key(
+        ann.rp_lsh_knn(corpus, queries, k=5, n_tables=8, bits=4, n_probes=3).collect()
+    )
+    out = str(tmp_path / "lsh_full")
+    r1 = P.build_lsh_pipeline(spark, corpus, out, n_tables=8, bits=4)
+    assert not r1["lsh_signatures"]["skipped"]
+    c_sig, planes = P.load_lsh(spark, out)
+    got = _key(
+        ann.rp_lsh_knn_from_state(c_sig, planes, queries, k=5, n_probes=3).collect()
+    )
+    assert got == want
+    r2 = P.build_lsh_pipeline(spark, corpus, out, n_tables=8, bits=4)
+    assert r2["lsh_signatures"]["skipped"]  # resume verified, not rebuilt
+
+    half_a = corpus.filter(F.col("vec_id") % 2 == 0)
+    half_b = corpus.filter(F.col("vec_id") % 2 == 1)
+    out2 = str(tmp_path / "lsh_inc")
+    P.build_lsh_pipeline(spark, half_a, out2, n_tables=8, bits=4)
+    P.append_lsh_pipeline(spark, half_b, out2)
+    c_sig2, planes2 = P.load_lsh(spark, out2)
+    got2 = _key(
+        ann.rp_lsh_knn_from_state(c_sig2, planes2, queries, k=5, n_probes=3).collect()
+    )
+    assert got2 == want
