@@ -95,6 +95,7 @@ def main() -> None:
         from countrymaam_spark.plans.pipeline import (
             build_graph_pipeline,
             build_ivf_pipeline,
+            build_lsh_pipeline,
             build_pq_pipeline,
         )
 
@@ -102,6 +103,7 @@ def main() -> None:
         report.update(build_ivf_pipeline(spark, emb, args.out, seed=args.seed))
         report.update(build_pq_pipeline(spark, emb, args.out, seed=args.seed))
         report.update(build_graph_pipeline(spark, emb, args.out, seed=args.seed))
+        report.update(build_lsh_pipeline(spark, emb, args.out, seed=args.seed))
     # refresh the counters metrics table with ALL stages (build_index_pipeline
     # wrote only its own four)
     spark.createDataFrame(
