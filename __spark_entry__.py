@@ -273,6 +273,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geo_kde_contours"] = _kde_contours
 
+    # Getis-Ord Gi* statistical hotspots: z-scores from exact integer
+    # aggregates through one fixed IEEE expression tree (no float sums)
+    def _gi_star(s: SparkSession, d: str) -> DataFrame:
+        from countrymaam_spark.operators import cluster as CLU
+
+        return CLU.gi_star(_pages_geo(s, d), KDE_RES, KDE_RADIUS)
+
+    q["geo_gi_star"] = _gi_star
+
     q["knn_flat"] = lambda s, d: flat_knn(
         _pages_geo(s, d), PG.load_knn_queries(s, d), k=10
     )
@@ -1538,6 +1547,7 @@ def oracle_sql() -> dict[str, str]:
     o["geo_dbscan"] = CLU.dbscan_points_sql(pg, DBSCAN_EPS_KM, DBSCAN_MIN_PTS)
     o["geo_kde"] = CLU.kde_heatmap_sql(pg, KDE_RES, KDE_RADIUS)
     o["geo_kde_contours"] = CLU.kde_contours_sql(pg, KDE_RES, KDE_RADIUS, KDE_LEVELS)
+    o["geo_gi_star"] = CLU.gi_star_sql(pg, KDE_RES, KDE_RADIUS)
     o["geo_near_pairs"] = geo_near_pairs_sql(pg, NEAR_PAIRS_KM)
     o["domain_spread"] = domain_spread_sql(pg)
     pages_raw = f"'{_fixture(ORACLE_SF, 'pages.parquet')}'"

@@ -34,6 +34,8 @@ transitive closure of ``dedup.dup_components_sql``.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -578,4 +580,132 @@ def kde_contours_sql(
     return f"""
         WITH kc_kde AS MATERIALIZED ({kde_heatmap_sql(pg_rel, res, radius)})
         {' UNION ALL '.join(parts)}
+    """
+
+
+# --- Getis-Ord Gi* statistical hotspots --------------------------------------
+
+
+def gi_star(
+    geo: DataFrame, res: int, radius: int, stats: DataFrame | None = None
+) -> DataFrame:
+    """(cell, w_n, gi_z): the Getis-Ord Gi* statistic (Getis & Ord 1992) per
+    grid cell — the STATISTICAL hotspot measure beside the threshold
+    clustering above: how many standard errors the box-neighborhood page
+    count sits above the global mean, under binary weights w_ij = 1 within
+    Chebyshev ``radius`` (self included — the * variant). Emitted for the
+    neighborhood-sum support (every cell whose box holds >= 1 page).
+
+    Exactness discipline: every aggregate the statistic consumes is an
+    exact INTEGER (per-cell counts, their global sum and sum of squares,
+    the per-cell neighbor count ``w_n`` from wrap/clamp arithmetic, the
+    grid size n); the only float math is a fixed tree of IEEE double ops
+    over those integers, identical expression-for-expression in the SQL
+    oracle — deterministic in any partitioning/order, no float SUM ever.
+    z = (L - x̄·W) / (S·sqrt((n·W - W²)/(n-1))), L = box sum, x̄ = Σx/n,
+    S = sqrt(Σx²/n - x̄²), n = nx·ny grid cells (empty cells are real
+    zeros in the population).
+
+    Scale shape: one corpus cell aggregation (or the ``stats`` state —
+    corpus never rescanned), two O(1)-row scalar aggregates, a
+    constant-fan-out scatter over the non-empty cell table, and column
+    math. Same topology as :func:`kde_heatmap` (lon wraps, poles clamp —
+    and the clamp is not just topology here: it shrinks W at the poles,
+    which the z-score must and does account for).
+    """
+    nx, ny = 2 << res, 1 << res
+    if stats is not None:
+        cnt = stats.select("cell", F.col("cnt").alias("n"))
+    else:
+        cnt = (
+            geo.filter(F.col("lat").isNotNull())
+            .select(G.encode_cell(F.col("lat"), F.col("lon"), res).alias("cell"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    cnt = cnt.localCheckpoint(eager=True)
+    tot = cnt.agg(
+        F.sum("n").alias("sx"), F.sum(F.col("n") * F.col("n")).alias("sxx")
+    ).collect()[0]
+    sx, sxx = int(tot["sx"] or 0), int(tot["sxx"] or 0)
+    n_cells = nx * ny
+    xbar = sx / n_cells
+    s = math.sqrt(sxx / n_cells - xbar * xbar)
+    l_sum = (
+        cnt.select(
+            F.explode(G.ring_cells(F.col("cell"), res, radius)).alias("cell"),
+            F.col("n"),
+        )
+        .groupBy("cell")
+        .agg(F.sum("n").alias("l"))
+    )
+    y = G.cell_y(F.col("cell"))
+    wx = min(2 * radius + 1, nx)
+    wy = (
+        F.least(y + F.lit(radius), F.lit(ny - 1))
+        - F.greatest(y - F.lit(radius), F.lit(0))
+        + 1
+    )
+    w = (F.lit(wx) * wy).cast("long")
+    z = (F.col("l") - F.lit(xbar) * F.col("w_n")) / (
+        F.lit(s)
+        * F.sqrt(
+            (F.lit(n_cells) * F.col("w_n") - F.col("w_n") * F.col("w_n"))
+            / F.lit(float(n_cells - 1))
+        )
+    )
+    return l_sum.withColumn("w_n", w).select(
+        "cell", "w_n", F.round(z, 6).alias("gi_z")
+    )
+
+
+def gi_star_sql(pg_rel: str, res: int, radius: int) -> str:
+    """Oracle: identical integer aggregates, identical IEEE expression tree
+    (scalars from single-row CTEs — exact-integer inputs make the float ops
+    deterministic on both engines)."""
+    nx, ny = 2 << res, 1 << res
+    n_cells = nx * ny
+    cell = G.encode_cell_sql("lat", "lon", res)
+    wx = min(2 * radius + 1, nx)
+    return f"""
+        WITH gs_cnt AS (
+            SELECT {cell} AS cell, COUNT(*) AS n
+            FROM {pg_rel} WHERE lat IS NOT NULL GROUP BY 1
+        ),
+        gs_tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS sx,
+                   CAST(SUM(n * n) AS BIGINT) AS sxx
+            FROM gs_cnt
+        ),
+        gs_off AS (
+            SELECT gx.range AS dx, gy.range AS dy
+            FROM range(-{radius}, {radius + 1}) gx,
+                 range(-{radius}, {radius + 1}) gy
+        ),
+        gs_l AS (
+            SELECT CAST({res} AS BIGINT) * {_R_SHIFT}
+                   + ((((cell % {_R_SHIFT}) // {_X_SHIFT} + dx) % {nx} + {nx})
+                      % {nx}) * {_X_SHIFT}
+                   + (cell % {_X_SHIFT}) + dy AS cell,
+                   CAST(SUM(n) AS BIGINT) AS l
+            FROM gs_cnt, gs_off
+            WHERE (cell % {_X_SHIFT}) + dy >= 0
+              AND (cell % {_X_SHIFT}) + dy < {ny}
+            GROUP BY 1
+        )
+        SELECT cell, w_n,
+               ROUND((l - (CAST(sx AS DOUBLE) / {n_cells}) * w_n)
+                     / (SQRT(CAST(sxx AS DOUBLE) / {n_cells}
+                             - (CAST(sx AS DOUBLE) / {n_cells})
+                               * (CAST(sx AS DOUBLE) / {n_cells}))
+                        * SQRT(({n_cells} * w_n - w_n * w_n)
+                               / CAST({n_cells - 1} AS DOUBLE))), 6) AS gi_z
+        FROM (
+            SELECT cell, l,
+                   CAST({wx} AS BIGINT) * (
+                       LEAST((cell % {_X_SHIFT}) + {radius}, {ny - 1})
+                       - GREATEST((cell % {_X_SHIFT}) - {radius}, 0) + 1
+                   ) AS w_n
+            FROM gs_l
+        ), gs_tot
     """

@@ -330,3 +330,49 @@ def test_kde_from_stats_state_equals_corpus_path(spark, geo):
         for r in CL.kde_contours(None, 7, 2, [5, 50], stats=stats).collect()
     )
     assert got_c == want_c and len(got_c) > 0
+
+
+# --- Getis-Ord Gi* statistical hotspots --------------------------------------
+
+
+def test_gi_star_matches_oracle(spark, geo, pg_rel):
+    got = sorted(tuple(r) for r in CL.gi_star(geo, 7, 2).collect())
+    want = sorted(
+        tuple(t) for t in duckdb.sql(CL.gi_star_sql(pg_rel, 7, 2)).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # the fixture's city blobs must be extreme statistical hotspots
+    assert max(z for _, _, z in got) > 5.0
+
+
+def test_gi_star_planted_hand_computed(spark):
+    """One 10-page cell in an otherwise empty world: the z-score of every
+    covered interior cell equals the hand-evaluated Getis-Ord formula (the
+    same IEEE expression tree over the same exact integers), and a
+    pole-row cell has a clamp-shrunk neighbor count with a correspondingly
+    LARGER z for the same box sum."""
+    import math as m
+
+    res, radius = 5, 1
+    nx, ny = 2 << res, 1 << res
+    rows = [(f"p{i}", 0.1, 0.1) for i in range(10)] + [("polar", 89.0, 0.1)]
+    df = spark.createDataFrame(rows, "url string, lat double, lon double")
+    out = {r["cell"]: (r["w_n"], r["gi_z"]) for r in CL.gi_star(df, res, radius).collect()}
+    n = nx * ny
+    sx, sxx = 11, 101  # 10^2 + 1^2
+    xbar = sx / n
+    s = m.sqrt(sxx / n - xbar * xbar)
+
+    def z(l, w):
+        return round((l - xbar * w) / (s * m.sqrt((n * w - w * w) / float(n - 1))), 6)
+
+    # equator source: the 9 cells covering it have W = 9, box sum 10
+    assert sum(1 for wn, gz in out.values() if (wn, gz) == (9, z(10, 9))) == 9
+    # the polar page sits in the TOP row (y = ny-1): the 3 covered top-row
+    # cells have W = 3*2 = 6 (dy=+1 clamped away); the 3 covered cells one
+    # row below still see the full 3x3 box (W = 9) with box sum 1
+    assert sum(1 for wn, gz in out.values() if (wn, gz) == (6, z(1, 6))) == 3
+    assert sum(1 for wn, gz in out.values() if (wn, gz) == (9, z(1, 9))) == 3
+    assert len(out) == 15
+    # the clamp shrinks W, which must RAISE z for the same box sum
+    assert z(1, 6) > z(1, 9)
