@@ -282,6 +282,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geo_gi_star"] = _gi_star
 
+    # global Moran's I: the one-number autocorrelation companion — exact
+    # integer aggregates, pair sum via the scatter (no pair table)
+    def _morans(s: SparkSession, d: str) -> DataFrame:
+        from countrymaam_spark.operators import cluster as CLU
+
+        return CLU.morans_i(_pages_geo(s, d), KDE_RES, KDE_RADIUS)
+
+    q["geo_morans_i"] = _morans
+
     q["knn_flat"] = lambda s, d: flat_knn(
         _pages_geo(s, d), PG.load_knn_queries(s, d), k=10
     )
@@ -1548,6 +1557,7 @@ def oracle_sql() -> dict[str, str]:
     o["geo_kde"] = CLU.kde_heatmap_sql(pg, KDE_RES, KDE_RADIUS)
     o["geo_kde_contours"] = CLU.kde_contours_sql(pg, KDE_RES, KDE_RADIUS, KDE_LEVELS)
     o["geo_gi_star"] = CLU.gi_star_sql(pg, KDE_RES, KDE_RADIUS)
+    o["geo_morans_i"] = CLU.morans_i_sql(pg, KDE_RES, KDE_RADIUS)
     o["geo_near_pairs"] = geo_near_pairs_sql(pg, NEAR_PAIRS_KM)
     o["domain_spread"] = domain_spread_sql(pg)
     pages_raw = f"'{_fixture(ORACLE_SF, 'pages.parquet')}'"

@@ -709,3 +709,141 @@ def gi_star_sql(pg_rel: str, res: int, radius: int) -> str:
             FROM gs_l
         ), gs_tot
     """
+
+
+def morans_i(
+    geo: DataFrame, res: int, radius: int, stats: DataFrame | None = None
+) -> DataFrame:
+    """One row (n_cells, w_tot, morans_i): global Moran's I spatial
+    autocorrelation of the per-cell page counts over the FULL grid (empty
+    cells are real zeros), binary box weights within Chebyshev ``radius``,
+    self excluded (w_ii = 0). Near +1 = clustered (a crawl with cities),
+    ~ -1/(n-1) = spatially random.
+
+    Exact-integer decomposition (the Gi* discipline, taken further — even
+    the pair sum never materializes pairs):
+    ``sum_ij w z_i z_j = S_xy - 2 x̄ S_xw + x̄² W_tot`` with
+    ``S_xy = Σ x·(L - x)`` (L = box sum incl self — the pair sum via the
+    scatter, only non-empty cells contribute), ``S_xw = Σ x·(W - 1)``
+    (clamp-aware neighbor counts), and ``W_tot`` in closed form over the
+    grid rows; denominator ``Σ z² = Σx² - n x̄²`` absorbs the empty cells
+    analytically. Four integer aggregates -> one fixed IEEE expression,
+    identical in the oracle; no float sum, no pair table, O(|non-empty
+    cells|) work after the corpus aggregation."""
+    nx, ny = 2 << res, 1 << res
+    if stats is not None:
+        cnt = stats.select("cell", F.col("cnt").alias("n"))
+    else:
+        cnt = (
+            geo.filter(F.col("lat").isNotNull())
+            .select(G.encode_cell(F.col("lat"), F.col("lon"), res).alias("cell"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    cnt = cnt.localCheckpoint(eager=True)
+    l_sum = (
+        cnt.select(
+            F.explode(G.ring_cells(F.col("cell"), res, radius)).alias("cell"),
+            F.col("n"),
+        )
+        .groupBy("cell")
+        .agg(F.sum("n").alias("l"))
+    )
+    y = G.cell_y(F.col("cell"))
+    wx = min(2 * radius + 1, nx)
+    wy = (
+        F.least(y + F.lit(radius), F.lit(ny - 1))
+        - F.greatest(y - F.lit(radius), F.lit(0))
+        + 1
+    )
+    w_i = (F.lit(wx) * wy).cast("long")
+    agg = (
+        cnt.join(l_sum, "cell")
+        .select(
+            "n",
+            (F.col("n") * (F.col("l") - F.col("n"))).alias("_xy"),
+            (F.col("n") * (w_i - F.lit(1))).alias("_xw"),
+        )
+        .agg(
+            F.sum("n").alias("sx"),
+            F.sum(F.col("n") * F.col("n")).alias("sxx"),
+            F.sum("_xy").alias("sxy"),
+            F.sum("_xw").alias("sxw"),
+        )
+        .collect()[0]
+    )
+    sx, sxx = int(agg["sx"] or 0), int(agg["sxx"] or 0)
+    sxy, sxw = int(agg["sxy"] or 0), int(agg["sxw"] or 0)
+    n = nx * ny
+    # W_tot over ALL cells (empty included): wx is constant (nx > 2r+1 at
+    # every supported res), wy clamps per row — closed row sum
+    w_tot = sum(
+        wx * (min(yy + radius, ny - 1) - max(yy - radius, 0) + 1) - 1
+        for yy in range(ny)
+    ) * nx
+    xbar = sx / n
+    num = sxy - 2.0 * xbar * sxw + xbar * xbar * w_tot
+    den = sxx - n * xbar * xbar
+    i = (n / w_tot) * (num / den)
+    spark = geo.sparkSession if geo is not None else stats.sparkSession
+    return spark.createDataFrame(
+        [(int(n), int(w_tot), float(round(i, 8)))],
+        "n_cells long, w_tot long, morans_i double",
+    )
+
+
+def morans_i_sql(pg_rel: str, res: int, radius: int) -> str:
+    """Oracle: identical integer aggregates (the scatter via the offsets
+    cross, the neighbor counts via the same clamp arithmetic) and the
+    identical IEEE expression; W_tot and n are plan-time integer literals
+    computed by the same closed form."""
+    nx, ny = 2 << res, 1 << res
+    n = nx * ny
+    cell = G.encode_cell_sql("lat", "lon", res)
+    wx = min(2 * radius + 1, nx)
+    w_tot = sum(
+        wx * (min(yy + radius, ny - 1) - max(yy - radius, 0) + 1) - 1
+        for yy in range(ny)
+    ) * nx
+    return f"""
+        WITH mi_cnt AS (
+            SELECT {cell} AS cell, COUNT(*) AS n
+            FROM {pg_rel} WHERE lat IS NOT NULL GROUP BY 1
+        ),
+        mi_off AS (
+            SELECT gx.range AS dx, gy.range AS dy
+            FROM range(-{radius}, {radius + 1}) gx,
+                 range(-{radius}, {radius + 1}) gy
+        ),
+        mi_l AS (
+            SELECT CAST({res} AS BIGINT) * {_R_SHIFT}
+                   + ((((cell % {_R_SHIFT}) // {_X_SHIFT} + dx) % {nx} + {nx})
+                      % {nx}) * {_X_SHIFT}
+                   + (cell % {_X_SHIFT}) + dy AS cell,
+                   CAST(SUM(n) AS BIGINT) AS l
+            FROM mi_cnt, mi_off
+            WHERE (cell % {_X_SHIFT}) + dy >= 0
+              AND (cell % {_X_SHIFT}) + dy < {ny}
+            GROUP BY 1
+        ),
+        mi_agg AS (
+            SELECT CAST(SUM(c.n) AS BIGINT) AS sx,
+                   CAST(SUM(c.n * c.n) AS BIGINT) AS sxx,
+                   CAST(SUM(c.n * (lv.l - c.n)) AS BIGINT) AS sxy,
+                   CAST(SUM(c.n * ({wx} * (
+                       LEAST((c.cell % {_X_SHIFT}) + {radius}, {ny - 1})
+                       - GREATEST((c.cell % {_X_SHIFT}) - {radius}, 0) + 1
+                   ) - 1)) AS BIGINT) AS sxw
+            FROM mi_cnt c JOIN mi_l lv ON c.cell = lv.cell
+        )
+        SELECT CAST({n} AS BIGINT) AS n_cells,
+               CAST({w_tot} AS BIGINT) AS w_tot,
+               ROUND((CAST({n} AS DOUBLE) / {w_tot}) * (
+                   (sxy - 2.0 * (CAST(sx AS DOUBLE) / {n}) * sxw
+                        + (CAST(sx AS DOUBLE) / {n})
+                          * (CAST(sx AS DOUBLE) / {n}) * {w_tot})
+                   / (sxx - {n} * (CAST(sx AS DOUBLE) / {n})
+                              * (CAST(sx AS DOUBLE) / {n}))
+               ), 8) AS morans_i
+        FROM mi_agg
+    """

@@ -376,3 +376,34 @@ def test_gi_star_planted_hand_computed(spark):
     assert len(out) == 15
     # the clamp shrinks W, which must RAISE z for the same box sum
     assert z(1, 6) > z(1, 9)
+
+
+def test_morans_i_matches_oracle(spark, geo, pg_rel):
+    got = [tuple(r) for r in CL.morans_i(geo, 7, 2).collect()]
+    want = [tuple(t) for t in duckdb.sql(CL.morans_i_sql(pg_rel, 7, 2)).fetchall()]
+    assert got == want and len(got) == 1
+
+
+def test_morans_i_clustered_beats_scattered(spark):
+    """Two loads in ADJACENT cells autocorrelate; the same loads on opposite
+    sides of the world do not — planted geometry, oracle agreement on both
+    (res 3: 5.625-deg rows at the equator are ~625 km tall, 22.5-deg cols)."""
+    import duckdb as dk
+
+    near = [(f"a{i}", 0.1, 0.1) for i in range(10)] + [
+        (f"b{i}", 0.1, 23.0) for i in range(10)  # next cell over in x
+    ]
+    far = [(f"a{i}", 0.1, 0.1) for i in range(10)] + [
+        (f"b{i}", 0.1, 179.0) for i in range(10)
+    ]
+    vals = {}
+    for name, rows in (("near", near), ("far", far)):
+        df = spark.createDataFrame(rows, "url string, lat double, lon double")
+        [(n, wt, i)] = [tuple(r) for r in CL.morans_i(df, 3, 1).collect()]
+        sql_rows = ", ".join(f"('{u}', {la!r}, {lo!r})" for u, la, lo in rows)
+        rel = f"(SELECT * FROM (VALUES {sql_rows}) t(url, lat, lon))"
+        want = [tuple(t) for t in dk.sql(CL.morans_i_sql(rel, 3, 1)).fetchall()]
+        assert want == [(n, wt, i)], name
+        vals[name] = i
+    assert vals["near"] > 0 > vals["far"] or vals["near"] > vals["far"] > -1
+    assert vals["near"] > vals["far"]
