@@ -291,6 +291,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geo_morans_i"] = _morans
 
+    # local Moran's I (LISA): the per-cell sign structure — cluster cores
+    # positive, spatial outliers negative
+    def _lisa(s: SparkSession, d: str) -> DataFrame:
+        from countrymaam_spark.operators import cluster as CLU
+
+        return CLU.local_morans_i(_pages_geo(s, d), KDE_RES, KDE_RADIUS)
+
+    q["geo_local_morans"] = _lisa
+
     q["knn_flat"] = lambda s, d: flat_knn(
         _pages_geo(s, d), PG.load_knn_queries(s, d), k=10
     )
@@ -1558,6 +1567,7 @@ def oracle_sql() -> dict[str, str]:
     o["geo_kde_contours"] = CLU.kde_contours_sql(pg, KDE_RES, KDE_RADIUS, KDE_LEVELS)
     o["geo_gi_star"] = CLU.gi_star_sql(pg, KDE_RES, KDE_RADIUS)
     o["geo_morans_i"] = CLU.morans_i_sql(pg, KDE_RES, KDE_RADIUS)
+    o["geo_local_morans"] = CLU.local_morans_i_sql(pg, KDE_RES, KDE_RADIUS)
     o["geo_near_pairs"] = geo_near_pairs_sql(pg, NEAR_PAIRS_KM)
     o["domain_spread"] = domain_spread_sql(pg)
     pages_raw = f"'{_fixture(ORACLE_SF, 'pages.parquet')}'"

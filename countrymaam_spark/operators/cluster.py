@@ -847,3 +847,114 @@ def morans_i_sql(pg_rel: str, res: int, radius: int) -> str:
                ), 8) AS morans_i
         FROM mi_agg
     """
+
+
+def local_morans_i(
+    geo: DataFrame, res: int, radius: int, stats: DataFrame | None = None
+) -> DataFrame:
+    """(cell, w_n, lisa): local Moran's I (Anselin 1995, LISA) per non-empty
+    grid cell — the per-cell companion of :func:`morans_i` and the sign
+    structure :func:`gi_star` cannot express: positive = the cell sits in a
+    like-valued neighborhood (high-high cluster core or low-low basin),
+    negative = a spatial OUTLIER (a loaded cell amid emptiness, or a hole
+    in a hot region). ``I_i = (x_i - x̄) · (Σ_j w_ij (x_j - x̄)) / S²``,
+    binary box weights, self excluded.
+
+    Same exact-integer discipline as the siblings: the neighbor z-sum folds
+    to ``(L_i - x_i) - (W_i - 1)·x̄`` (box sum minus self, empty neighbors
+    enter analytically through the clamp-aware count), S² = Σx²/n - x̄²,
+    and the result is one fixed IEEE expression over integer aggregates —
+    deterministic in any partitioning, identical in the oracle. Emitted for
+    non-empty cells (x_i = 0 rows are identically determined by L and W;
+    the interesting set is where the data is)."""
+    nx, ny = 2 << res, 1 << res
+    if stats is not None:
+        cnt = stats.select("cell", F.col("cnt").alias("n"))
+    else:
+        cnt = (
+            geo.filter(F.col("lat").isNotNull())
+            .select(G.encode_cell(F.col("lat"), F.col("lon"), res).alias("cell"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    cnt = cnt.localCheckpoint(eager=True)
+    tot = cnt.agg(
+        F.sum("n").alias("sx"), F.sum(F.col("n") * F.col("n")).alias("sxx")
+    ).collect()[0]
+    sx, sxx = int(tot["sx"] or 0), int(tot["sxx"] or 0)
+    n = nx * ny
+    xbar = sx / n
+    s2 = sxx / n - xbar * xbar
+    l_sum = (
+        cnt.select(
+            F.explode(G.ring_cells(F.col("cell"), res, radius)).alias("cell"),
+            F.col("n"),
+        )
+        .groupBy("cell")
+        .agg(F.sum("n").alias("l"))
+    )
+    y = G.cell_y(F.col("cell"))
+    wx = min(2 * radius + 1, nx)
+    wy = (
+        F.least(y + F.lit(radius), F.lit(ny - 1))
+        - F.greatest(y - F.lit(radius), F.lit(0))
+        + 1
+    )
+    w = (F.lit(wx) * wy).cast("long")
+    j = cnt.join(l_sum, "cell").withColumn("w_n", w)
+    lisa = (
+        (F.col("n") - F.lit(xbar))
+        * ((F.col("l") - F.col("n")) - (F.col("w_n") - F.lit(1)) * F.lit(xbar))
+        / F.lit(s2)
+    )
+    return j.select("cell", "w_n", F.round(lisa, 6).alias("lisa"))
+
+
+def local_morans_i_sql(pg_rel: str, res: int, radius: int) -> str:
+    """Oracle: identical aggregates and expression tree."""
+    nx, ny = 2 << res, 1 << res
+    n = nx * ny
+    cell = G.encode_cell_sql("lat", "lon", res)
+    wx = min(2 * radius + 1, nx)
+    return f"""
+        WITH lm_cnt AS (
+            SELECT {cell} AS cell, COUNT(*) AS n
+            FROM {pg_rel} WHERE lat IS NOT NULL GROUP BY 1
+        ),
+        lm_tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS sx,
+                   CAST(SUM(n * n) AS BIGINT) AS sxx
+            FROM lm_cnt
+        ),
+        lm_off AS (
+            SELECT gx.range AS dx, gy.range AS dy
+            FROM range(-{radius}, {radius + 1}) gx,
+                 range(-{radius}, {radius + 1}) gy
+        ),
+        lm_l AS (
+            SELECT CAST({res} AS BIGINT) * {_R_SHIFT}
+                   + ((((cell % {_R_SHIFT}) // {_X_SHIFT} + dx) % {nx} + {nx})
+                      % {nx}) * {_X_SHIFT}
+                   + (cell % {_X_SHIFT}) + dy AS cell,
+                   CAST(SUM(n) AS BIGINT) AS l
+            FROM lm_cnt, lm_off
+            WHERE (cell % {_X_SHIFT}) + dy >= 0
+              AND (cell % {_X_SHIFT}) + dy < {ny}
+            GROUP BY 1
+        )
+        SELECT c.cell AS cell,
+               CAST({wx} AS BIGINT) * (
+                   LEAST((c.cell % {_X_SHIFT}) + {radius}, {ny - 1})
+                   - GREATEST((c.cell % {_X_SHIFT}) - {radius}, 0) + 1
+               ) AS w_n,
+               ROUND((c.n - (CAST(sx AS DOUBLE) / {n}))
+                     * ((lv.l - c.n)
+                        - (CAST({wx} AS BIGINT) * (
+                               LEAST((c.cell % {_X_SHIFT}) + {radius}, {ny - 1})
+                               - GREATEST((c.cell % {_X_SHIFT}) - {radius}, 0) + 1
+                           ) - 1) * (CAST(sx AS DOUBLE) / {n}))
+                     / (CAST(sxx AS DOUBLE) / {n}
+                        - (CAST(sx AS DOUBLE) / {n})
+                          * (CAST(sx AS DOUBLE) / {n})), 6) AS lisa
+        FROM lm_cnt c JOIN lm_l lv ON c.cell = lv.cell, lm_tot
+    """

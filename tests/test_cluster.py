@@ -407,3 +407,15 @@ def test_morans_i_clustered_beats_scattered(spark):
         vals[name] = i
     assert vals["near"] > 0 > vals["far"] or vals["near"] > vals["far"] > -1
     assert vals["near"] > vals["far"]
+
+
+def test_local_morans_i_matches_oracle_and_signs(spark, geo, pg_rel):
+    got = sorted(tuple(r) for r in CL.local_morans_i(geo, 7, 2).collect())
+    want = sorted(
+        tuple(t) for t in duckdb.sql(CL.local_morans_i_sql(pg_rel, 7, 2)).fetchall()
+    )
+    assert got == want and len(got) > 0
+    vals = [v for _, _, v in got]
+    # the fixture has both cluster cores (positive) and spatial outliers
+    # (isolated loaded cells -> negative)
+    assert max(vals) > 1.0 and min(vals) < 0.0
