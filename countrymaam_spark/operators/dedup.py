@@ -283,11 +283,46 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _components_driver(e: DataFrame):
+    """Exact union-find over a COLLECTED edge table -> [(node, min_label)]
+    for every node that appears in an edge. Path-halving + union by the
+    smaller ROOT id keeps labels deterministic; a final pass maps each root
+    to the true component minimum, so the contract is identical to the star
+    fixpoint's."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for row in e.collect():
+        u, v = row["u"], row["v"]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    label: dict = {}
+    for x in parent:
+        r = find(x)
+        if r not in label or x < label[r]:
+            label[r] = x
+    return [(x, label[find(x)]) for x in parent]
+
+
 def dup_components(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 60,
+    driver_limit: int | None = 500_000,
 ) -> DataFrame:
     """Near-dup pairs -> (doc_id, canonical_id): connected components by
     ALTERNATING large-star/small-star rounds (Kiveris et al. 2014) — the
@@ -306,6 +341,17 @@ def dup_components(
     at its min). Non-convergence within ``max_iter`` (60 covers any corpus
     that fits in 2^60 ids under the O(log n) practical bound) RAISES instead
     of returning partially-merged labels. Deterministic: min is order-free.
+
+    ``driver_limit`` is the gate_broadcast pattern applied to graph size:
+    when the (deduplicated) edge table holds at most this many rows, the
+    components are a SMALL-DATA problem — one bounded collect + exact
+    union-find replaces ~8 star rounds x ~4 driver jobs each (measured:
+    the contour/hotspot cell graphs are grid-bounded at a few 10^4 edges
+    and their wall time was pure per-round job latency). Above the limit —
+    corpus-scale near-dup graphs — the distributed star loop runs as
+    before. Identical output by construction (same min-label contract,
+    both deterministic); equality is pytest-pinned on random graphs.
+    ``None`` disables the gate.
     """
     nodes = docs.select(F.col(id_col).alias("node"))
     # pin the edge table ONCE: `pairs` is usually a lazy candidate pipeline
@@ -318,6 +364,24 @@ def dup_components(
         .dropDuplicates(["u", "v"])
         .localCheckpoint(eager=True)
     )
+    if driver_limit is not None and e.count() <= driver_limit:
+        labels = _components_driver(e)
+        spark = docs.sparkSession
+        node_type = nodes.schema["node"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        comp = spark.createDataFrame(
+            labels,
+            StructType(
+                [StructField("node", node_type), StructField("_m", node_type)]
+            ),
+        )
+        return nodes.join(comp, "node", "left").select(
+            F.col("node").alias(id_col),
+            F.least(
+                F.col("node"), F.coalesce(F.col("_m"), F.col("node"))
+            ).alias("canonical_id"),
+        )
     converged = e.isEmpty()
     for _ in range(max_iter):
         if converged:

@@ -208,7 +208,10 @@ def test_dup_components_raises_on_truncation(spark):
     docs = spark.createDataFrame([(i, "x") for i in range(1, 5)], "doc_id long, text string")
     pairs = spark.createDataFrame([(1, 2, 1.0), (2, 3, 1.0)], "id_a long, id_b long, jac double")
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dedup.dup_components(docs, pairs, max_iter=0)
+        # driver_limit=None pins the DISTRIBUTED loop (the truncation
+        # contract's subject; small graphs otherwise take the exact
+        # union-find gate, which has no rounds to exhaust)
+        dedup.dup_components(docs, pairs, max_iter=0, driver_limit=None)
 
 
 def test_components_minlabel_sql_long_chain_and_random_graphs():
@@ -529,3 +532,27 @@ def test_dup_representatives_total_on_empty_and_pairless(spark):
     docs = spark.createDataFrame([(1, "a b c"), (2, "d e f")], "doc_id long, text string")
     got = {r["doc_id"]: (r["rep_id"], r["keep"]) for r in dedup.dup_representatives(docs, no_pairs).collect()}
     assert got == {1: (1, True), 2: (2, True)}
+
+
+def test_components_driver_gate_equals_star_loop(spark):
+    """The small-graph driver path (bounded collect + union-find) must be
+    row-identical to the distributed star fixpoint on seeded random graphs
+    with singletons and chains mixed in — same min-label contract."""
+    import random
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        nodes = [f"d{i}" for i in range(40)]
+        edges = sorted(
+            {tuple(sorted(rng.sample(nodes, 2))) for _ in range(rng.randint(5, 40))}
+        )
+        docs = spark.createDataFrame([(x,) for x in nodes], "doc_id string")
+        pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+        fast = sorted(map(tuple, dedup.dup_components(docs, pairs).collect()))
+        slow = sorted(
+            map(
+                tuple,
+                dedup.dup_components(docs, pairs, driver_limit=None).collect(),
+            )
+        )
+        assert fast == slow, seed
