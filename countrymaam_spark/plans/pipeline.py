@@ -476,6 +476,7 @@ def build_cell_pipeline(
     out_dir: str,
     res: int = 7,
     cell_col: str | None = None,
+    partition_parent_res: int | None = None,
 ) -> dict:
     """Save/Load for the cell (quad-grid) kNN index: the encoded corpus and
     its per-cell count statistics persist as Manifest stages, so serving
@@ -486,11 +487,29 @@ def build_cell_pipeline(
     query-time work; at 10^12 rows the corpus ``groupBy(cell)`` this removes
     from serving is a full-table shuffle per query batch. Appends update the
     stats incrementally (per-cell count deltas), the same contract as the
-    tree pipeline's per-(parent,salt) rebuilds."""
+    tree pipeline's per-(parent,salt) rebuilds.
+
+    ``partition_parent_res`` directory-partitions the corpus snapshot on the
+    PARENT cell at that (coarser) resolution — the Iceberg partition-spec
+    analog for the spatial table. A spatially-local read (viewport scan,
+    region export, a kNN batch whose queries cluster in one metro) filters on
+    ``parent`` and Spark prunes whole directories at plan time
+    (``PartitionFilters`` in the scan — pytest-pinned), instead of listing a
+    10^12-row corpus to serve one city. Pick the parent res so directory
+    count stays O(10^2..10^4) (res 3 -> 128 dirs, res 5 -> 2048): too fine
+    re-creates the small-files problem partition specs exist to avoid.
+    Serving results are bit-identical to the unpartitioned snapshot (the
+    extra ``parent`` column is projection-pruned by ``cell_knn``)."""
     from countrymaam_spark.operators import knn
 
     manifest = Manifest(out_dir)
     params = {"res": res, "cell_col": cell_col}
+    if partition_parent_res is not None:
+        if partition_parent_res > res:
+            raise ValueError("partition_parent_res must be <= res")
+        # part of the shared invalidation key: changing the layout rebuilds
+        # corpus, stats, and lut together (never a mixed snapshot)
+        params["partition_parent_res"] = partition_parent_res
     from countrymaam_spark.functions import geo
 
     cell = (
@@ -498,14 +517,24 @@ def build_cell_pipeline(
         if cell_col
         else geo.encode_cell(F.col("lat"), F.col("lon"), res)
     )
+
+    def _corpus() -> DataFrame:
+        base = pages_geo.filter(F.col("lat").isNotNull()).select(
+            "url", "lat", "lon", cell.alias("cell")
+        )
+        if partition_parent_res is None:
+            return base
+        return base.withColumn(
+            "parent", geo.cell_parent(F.col("cell"), partition_parent_res, res)
+        )
+
     cells_df, skipped_c = run_stage(
         spark,
         manifest,
         "cell_corpus",
-        lambda: pages_geo.filter(F.col("lat").isNotNull()).select(
-            "url", "lat", "lon", cell.alias("cell")
-        ),
+        _corpus,
         params=params,
+        partition_by=["parent"] if partition_parent_res is not None else None,
     )
     stats_df, skipped_s = run_stage(
         spark,

@@ -149,6 +149,78 @@ def test_cell_knn_prebuilt_state_bit_equal(spark, geo_small, queries_small, tmp_
     assert not rep3["cell_corpus"]["skipped"] and not rep3["cell_stats"]["skipped"]
 
 
+def test_cell_pipeline_partitioned_layout(spark, geo_small, queries_small, tmp_path):
+    """The parent-partitioned corpus snapshot (Iceberg partition-spec analog)
+    must (a) serve bit-identically to the unpartitioned layout, (b) prune
+    directories at plan time for a parent filter (PartitionFilters in the
+    scan), and (c) share the invalidation key with stats/lut so a layout
+    change can never resume a mixed snapshot."""
+    import os as _os
+
+    from countrymaam_spark.functions import geo as G
+    from countrymaam_spark.plans import pipeline as P
+
+    plain = str(tmp_path / "cell_plain")
+    part = str(tmp_path / "cell_part")
+    P.build_cell_pipeline(spark, geo_small, plain, res=6)
+    rep = P.build_cell_pipeline(
+        spark, geo_small, part, res=6, partition_parent_res=3
+    )
+    assert not rep["cell_corpus"]["skipped"]
+    # directory layout: one dir per non-empty parent cell
+    dirs = [
+        d for d in _os.listdir(_os.path.join(part, "cell_corpus"))
+        if d.startswith("parent=")
+    ]
+    assert 1 < len(dirs) <= 128  # res-3 grid is 16x8
+
+    cells_plain, state_plain = P.load_cell_state(spark, plain)
+    cells_part, state_part = P.load_cell_state(spark, part)
+    want = _key(
+        cell_knn(
+            cells_plain, queries_small, k=5, res=6, cell_col="cell",
+            stats=state_plain,
+        ).collect()
+    )
+    got = _key(
+        cell_knn(
+            cells_part, queries_small, k=5, res=6, cell_col="cell",
+            stats=state_part,
+        ).collect()
+    )
+    assert got == want
+
+    # plan-time directory pruning: a parent filter must reach the scan as a
+    # PartitionFilter (directories outside the predicate are never listed)
+    one_parent = cells_part.select("parent").first()["parent"]
+    plan = (
+        cells_part.filter(F.col("parent") == one_parent)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "parent" in plan.split("PartitionFilters")[1][:200]
+    # the pruned read agrees with the logical filter on the plain layout
+    n_pruned = cells_part.filter(F.col("parent") == one_parent).count()
+    n_plain = cells_plain.filter(
+        G.cell_parent(F.col("cell"), 3, 6) == one_parent
+    ).count()
+    assert n_pruned == n_plain > 0
+
+    # layout is part of the shared params key: changing it rebuilds ALL
+    # stages together (corpus, stats, lut can never resume out of sync)
+    rep2 = P.build_cell_pipeline(
+        spark, geo_small, part, res=6, partition_parent_res=3
+    )
+    assert rep2["cell_corpus"]["skipped"] and rep2["cell_stats"]["skipped"]
+    rep3 = P.build_cell_pipeline(
+        spark, geo_small, part, res=6, partition_parent_res=4
+    )
+    assert not rep3["cell_corpus"]["skipped"]
+    assert not rep3["cell_stats"]["skipped"]
+    assert not rep3["cell_lut"]["skipped"]
+
+
 def test_update_cell_stats_equals_rebuild(spark, geo_small):
     """Appending a batch via per-cell deltas must equal a from-scratch stats
     build over the unioned corpus, and serving from the merged state must
