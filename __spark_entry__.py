@@ -332,6 +332,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_cell_state"] = _knn_cell_state
 
+    def _knn_cell_pruned(s, d):
+        # partition-pruned serving: the corpus snapshot directory-partitioned
+        # on the res-3 parent cell (Iceberg partition-spec analog), each
+        # round's ring probe reading only the parent directories its queries
+        # can touch (literal IN => PartitionFilters at plan time). Exactness
+        # never depends on the prune (superset cover; band/fallback unpruned)
+        # so the oracle is the same exact-kNN SQL
+        import tempfile
+
+        from countrymaam_spark.plans.pipeline import (
+            build_cell_pipeline,
+            load_cell_state,
+        )
+
+        out = tempfile.mkdtemp(prefix="cm_cellpart_")
+        build_cell_pipeline(
+            s, _pages_geo(s, d), out, res=CELL_RES, partition_parent_res=3
+        )
+        cells, state = load_cell_state(s, out)
+        return cell_knn(
+            cells, PG.load_knn_queries(s, d), k=10, res=CELL_RES,
+            cell_col="cell", stats=state, partition_parent_res=3,
+        )
+
+    q["knn_cell_pruned"] = _knn_cell_pruned
+
     # geo kNN SELF-join (|Q| = |corpus|/mod — the batch regime the gated
     # broadcast exists for); mod=50 keeps the driver's brute-force oracle
     # quadratic-but-small while the Spark side runs the indexed path
@@ -1548,6 +1574,7 @@ def oracle_sql() -> dict[str, str]:
     o["knn_idw"] = idw_estimate_sql(pg, q_rel, k=10)
     o["knn_cell_index"] = knn  # the escalation guarantee makes the index exact
     o["knn_cell_state"] = knn  # state path is bit-identical to stateless
+    o["knn_cell_pruned"] = knn  # parent-prune is a superset cover => exact
     o["knn_tree_index"] = knn  # full budget (ring=None + search_k >= leaves) => exact
     o["geo_radius_join"] = radius_join_sql(pg, q_rel, RADIUS_KM)
     from countrymaam_spark.operators.knn import knn_join_sql

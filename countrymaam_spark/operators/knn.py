@@ -375,6 +375,7 @@ def cell_knn(
     timings: dict | None = None,
     cell_col: str | None = None,
     stats: DataFrame | None = None,
+    partition_parent_res: int | None = None,
 ) -> DataFrame:
     """Exact kNN via cell-ring candidate generation + re-rank.
 
@@ -395,6 +396,21 @@ def cell_knn(
     opt-in and explicit because a stray ``cell`` column encoded at a
     different resolution would silently corrupt candidate generation.
     Results are bit-identical to the stateless path (pytest-pinned).
+
+    ``partition_parent_res``: when the persisted corpus is
+    directory-partitioned on a coarse ``parent`` cell
+    (``build_cell_pipeline(partition_parent_res=...)``), pass that res here
+    and each round's ring probe reads ONLY the directories its queries can
+    touch — a literal ``parent IN (...)`` planned from a provably-superset
+    parent cover of every ring (the IVF probed-list prune, spatially). A
+    metro-concentrated query batch then scans that metro's files instead of
+    the 10^12-row corpus. The cover bound: a round's coarse ring extends at
+    most rx + max(rx, ry) fine cells from the query (coarse level s has
+    2^(s+1) <= max(rx, ry)), so a parent ring of ceil((r + m)/w) + 1 covers
+    it; the band path and the flat fallback keep the unpruned corpus, so
+    exactness never depends on the prune. Skipped when the cover reaches
+    half the parent grid (a scan is cheaper than a 1000-term IN). Results
+    stay bit-identical (pytest-pinned).
     """
     import time as _time
 
@@ -432,6 +448,21 @@ def cell_knn(
         # real at-scale failure this gate prevents; per-round re-scans hit
         # the table with pruned columns instead.
         pages_cells = narrow
+
+    prune_src = None
+    if partition_parent_res is not None:
+        if cell_col is None or "parent" not in pages_geo.columns:
+            raise ValueError(
+                "partition_parent_res needs the persisted parent-partitioned "
+                "corpus (cell_col= plus a 'parent' column)"
+            )
+        if partition_parent_res > res:
+            raise ValueError("partition_parent_res must be <= res")
+        # filter BEFORE the narrow projection: the prune column is the
+        # directory key and must reach the scan to prune at plan time
+        prune_src = pages_geo.filter(F.col("lat").isNotNull())
+        p_w = 1 << (res - partition_parent_res)
+        p_grid = (2 << partition_parent_res) * (1 << partition_parent_res)
 
     remaining = queries.select(
         "query_id", F.col("lat").alias("qlat"), F.col("lon").alias("qlon")
@@ -531,6 +562,40 @@ def cell_knn(
             #    shuffle equi-join when it exceeds ~1M rows (at cluster
             #    scale the corpus side is cell-bucketed, so only the small
             #    exploded side moves).
+            corpus_ring = pages_cells
+            if prune_src is not None:
+                ppr = partition_parent_res
+                _t = _time.time()
+                m = F.greatest(F.col("rx"), F.col("ry"))
+                cover = (
+                    qcells.filter(~is_band)
+                    .select(
+                        F.explode(
+                            geo.ring_cells_xy(
+                                geo.encode_cell(
+                                    F.col("qlat"), F.col("qlon"), ppr
+                                ),
+                                ppr,
+                                (F.ceil((F.col("rx") + m) / F.lit(p_w)) + 1).cast("long"),
+                                (F.ceil((F.col("ry") + m) / F.lit(p_w)) + 1).cast("long"),
+                            )
+                        ).alias("p")
+                    )
+                    .distinct()
+                )
+                # bounded collect: <= the parent GRID (the directory count,
+                # O(10^2..10^4) by layout contract) — the same magnitude as
+                # the planning collects above
+                probed = [r["p"] for r in cover.collect()]
+                _mark("round_prune_plan", _t)
+                if timings is not None:
+                    timings[f"prune_parents_round{rnd}"] = len(probed)
+                if 2 * len(probed) <= p_grid:
+                    corpus_ring = prune_src.filter(
+                        F.col("parent").isin(probed)
+                    ).select(
+                        "url", "lat", "lon", F.col(cell_col).alias("cell")
+                    )
             ring_q = qcells.filter(~is_band).withColumn("s", s_expr)
             for s, est_cells in s_groups:
                 lv = res - s
@@ -553,7 +618,7 @@ def cell_knn(
                 )
                 parts.append(
                     exploded.join(
-                        pages_cells, exploded["jcell"] == join_key
+                        corpus_ring, exploded["jcell"] == join_key
                     ).select(out_cols)
                 )
         if band_groups:

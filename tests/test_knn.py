@@ -221,6 +221,67 @@ def test_cell_pipeline_partitioned_layout(spark, geo_small, queries_small, tmp_p
     assert not rep3["cell_lut"]["skipped"]
 
 
+def test_cell_knn_parent_prune_bit_equal(spark, geo_small, queries_small, tmp_path):
+    """Serving with the parent-directory prune (partition_parent_res=) must
+    be bit-identical to the stateless path — including escalation rounds and
+    sparse/band queries, which bypass the prune — and must actually engage
+    (bounded parent cover recorded per round)."""
+    from countrymaam_spark.plans import pipeline as P
+
+    want = _key(cell_knn(geo_small, queries_small, k=5, res=6).collect())
+
+    out = str(tmp_path / "cellpart")
+    P.build_cell_pipeline(spark, geo_small, out, res=6, partition_parent_res=3)
+    cells, state = P.load_cell_state(spark, out)
+    t: dict = {}
+    got = _key(
+        cell_knn(
+            cells, queries_small, k=5, res=6, cell_col="cell", stats=state,
+            partition_parent_res=3, timings=t,
+        ).collect()
+    )
+    assert got == want
+    prune_keys = [k_ for k_ in t if k_.startswith("prune_parents_round")]
+    assert prune_keys, f"prune never planned: {sorted(t)}"
+
+    # a metro-concentrated batch (the prune's target workload: the cover is
+    # a batch-level union, so one sparse query inflates it to the grid and
+    # the gate rightly skips) must ENGAGE: cover well under half the
+    # 128-parent res-3 grid, results still bit-equal
+    from countrymaam_spark.functions import geo as G
+
+    pts = geo_small.filter(F.col("lat").isNotNull())
+    hot = (
+        pts.groupBy(
+            G.encode_cell(F.col("lat"), F.col("lon"), 3).alias("p")
+        )
+        .count()
+        .orderBy(F.desc("count"), "p")
+        .first()["p"]
+    )
+    metro_q = (
+        pts.filter(G.encode_cell(F.col("lat"), F.col("lon"), 3) == hot)
+        .select(F.xxhash64("url").alias("query_id"), "lat", "lon")
+        .limit(8)
+    )
+    want_m = _key(cell_knn(geo_small, metro_q, k=5, res=6).collect())
+    tm: dict = {}
+    got_m = _key(
+        cell_knn(
+            cells, metro_q, k=5, res=6, cell_col="cell", stats=state,
+            partition_parent_res=3, timings=tm,
+        ).collect()
+    )
+    assert got_m == want_m
+    assert 0 < tm["prune_parents_round0"] <= 64
+
+    # misuse guards: pruning without the partitioned state must refuse
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cell_knn(geo_small, queries_small, k=5, res=6, partition_parent_res=3)
+
+
 def test_update_cell_stats_equals_rebuild(spark, geo_small):
     """Appending a batch via per-cell deltas must equal a from-scratch stats
     build over the unioned corpus, and serving from the merged state must
