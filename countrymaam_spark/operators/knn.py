@@ -45,6 +45,18 @@ from countrymaam_spark.functions import geo
 from countrymaam_spark.operators.adaptive import gate_broadcast
 from countrymaam_spark.operators.topk import topk_per_group
 
+# fan-in skew gate (cell_knn pruned serving): minimum expected pairs in the
+# hottest fine cell before the round-robin spread of the pruned subset pays
+# for its shuffle (~seconds of single-task haversine kernel time), and the
+# concentration criterion (spread when the hot cell's share of the pairs
+# exceeds FACTOR/parallelism — i.e. one task would do FACTOR x its fair
+# share). Module constants so tests can pin the regime switch, like
+# BROADCAST_STRUCT_LIMIT. Note the relative test is unsatisfiable at
+# parallelism <= FACTOR — correct: with 4 cores a straggler costs at most
+# the 4x it already has.
+FANIN_SPREAD_MIN_PAIRS = 2_000_000
+FANIN_SPREAD_FACTOR = 4
+
 
 def _widen(narrow: DataFrame) -> DataFrame:
     """Repartition an under-partitioned narrow corpus projection up to the
@@ -596,6 +608,65 @@ def cell_knn(
                     ).select(
                         "url", "lat", "lon", F.col(cell_col).alias("cell")
                     )
+                    # fan-in skew gate: the ring join streams the corpus
+                    # under a broadcast query side, so each scan task's work
+                    # is (its corpus rows) x (queries whose rings cover
+                    # them) — and the directory layout CLUSTERS a dense
+                    # cell's rows into one file. A metro-concentrated batch
+                    # then serializes nearly the whole join on the task
+                    # holding the hot cell (measured at sf0.1: 500 metro
+                    # queries, one fine cell with 42k rows -> 20M of the
+                    # pairs in ONE task, 71 s of a 75 s call; round-robin
+                    # spreading the pruned subset: 6-7 s). Estimate pairs
+                    # per fine cell from the round's s=0 ring plan x the
+                    # per-cell counts already in `stats` (one tiny
+                    # query-side job, 1-row collect; never a corpus scan)
+                    # and spread only when one cell's share of the pairs
+                    # defeats the parallelism. The shuffle this buys is of
+                    # exactly the rows the join must stream anyway.
+                    if stats is not None:
+                        fine_cnt = (
+                            stats.filter(F.col("lv") == res).select("cell", "cnt")
+                            if "lv" in stats.columns
+                            else stats.select("cell", "cnt")
+                        )
+                        _t = _time.time()
+                        fan = (
+                            qcells.filter(~is_band)
+                            .filter(s_expr == 0)
+                            .select(
+                                F.explode(
+                                    geo.ring_cells_xy(
+                                        F.col("qcell"), res,
+                                        F.col("rx"), F.col("ry"),
+                                    )
+                                ).alias("cell")
+                            )
+                            .groupBy("cell")
+                            .agg(F.count("*").alias("nq"))
+                            .join(fine_cnt, "cell")
+                            .agg(
+                                F.max(F.col("nq") * F.col("cnt")).alias("mx"),
+                                F.sum(F.col("nq") * F.col("cnt")).alias("tot"),
+                            )
+                            .first()
+                        )
+                        _mark("round_fanin_plan", _t)
+                        # relative test: one cell's pairs defeat the
+                        # parallelism; absolute floor: a tiny batch always
+                        # looks "concentrated", so require the hot task's
+                        # work to be material (~seconds of single-task
+                        # kernel time) before paying the spread shuffle
+                        if (
+                            fan is not None
+                            and fan["mx"] is not None
+                            and fan["mx"] * target
+                            > FANIN_SPREAD_FACTOR * fan["tot"]
+                            and fan["mx"] > FANIN_SPREAD_MIN_PAIRS
+                        ):
+                            if timings is not None:
+                                timings[f"fanin_spread_round{rnd}"] = int(fan["mx"])
+                            corpus_ring = corpus_ring.repartition(target)
             ring_q = qcells.filter(~is_band).withColumn("s", s_expr)
             for s, est_cells in s_groups:
                 lv = res - s

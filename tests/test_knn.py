@@ -282,6 +282,88 @@ def test_cell_knn_parent_prune_bit_equal(spark, geo_small, queries_small, tmp_pa
         cell_knn(geo_small, queries_small, k=5, res=6, partition_parent_res=3)
 
 
+def test_cell_knn_fanin_spread_bit_equal(spark, tmp_path):
+    """A metro-concentrated batch over the parent-partitioned layout must
+    trip the fan-in skew gate (the directory layout clusters a dense cell's
+    rows into one file; the ring join would otherwise serialize ~all pairs
+    on the task holding it — measured 71 s of a 75 s call at sf0.1) and stay
+    bit-identical to the flat oracle. A lone scattered query must NOT trip
+    it (max cell share ~ uniform)."""
+    from countrymaam_spark.functions import geo as G
+    from countrymaam_spark.operators.knn import flat_knn
+    from countrymaam_spark.plans import pipeline as P
+
+    # deterministic clustered corpus: 1500 points inside ~one res-6 cell
+    # (cell width at res 6 is ~2.8 deg) + 300 scattered world-wide
+    n_dense, n_sparse = 1500, 300
+    rows = [
+        (
+            f"https://dense.example/{i}",
+            40.0 + (i * 37 % 1000) / 1000.0,
+            -74.0 + (i * 61 % 1000) / 1000.0,
+        )
+        for i in range(n_dense)
+    ] + [
+        (
+            f"https://sparse.example/{i}",
+            -80.0 + (i * 997 % 16000) / 100.0,
+            -179.0 + (i * 773 % 35800) / 100.0,
+        )
+        for i in range(n_sparse)
+    ]
+    corpus = spark.createDataFrame(rows, "url string, lat double, lon double")
+    out = str(tmp_path / "fanin_part")
+    P.build_cell_pipeline(spark, corpus, out, res=6, partition_parent_res=3)
+    cells, state = P.load_cell_state(spark, out)
+
+    metro_q = spark.createDataFrame(
+        [(i, 40.4 + i / 100.0, -73.6 - i / 100.0) for i in range(20)],
+        "query_id long, lat double, lon double",
+    )
+    want = _key(flat_knn(corpus, metro_q, k=10).collect())
+    from countrymaam_spark.operators import knn as knn_mod
+
+    # pin the regime switch (like the gate_broadcast tests): the fixture's
+    # ~30k hot-cell pairs are below the production floor by design, and the
+    # relative share test is unsatisfiable at the test session's small
+    # parallelism (by design — see the constants' docstring)
+    old_floor = knn_mod.FANIN_SPREAD_MIN_PAIRS
+    old_factor = knn_mod.FANIN_SPREAD_FACTOR
+    knn_mod.FANIN_SPREAD_MIN_PAIRS = 0
+    knn_mod.FANIN_SPREAD_FACTOR = 0
+    try:
+        t: dict = {}
+        got = _key(
+            cell_knn(
+                cells, metro_q, k=10, res=6, cell_col="cell", stats=state,
+                partition_parent_res=3, timings=t,
+            ).collect()
+        )
+    finally:
+        knn_mod.FANIN_SPREAD_MIN_PAIRS = old_floor
+        knn_mod.FANIN_SPREAD_FACTOR = old_factor
+    assert got == want
+    spreads = [k_ for k_ in t if k_.startswith("fanin_spread_round")]
+    assert spreads, f"fan-in gate never engaged: {sorted(t)}"
+    # the estimate is exact for the dominant cell: ~20 queries x ~n_dense
+    assert t[spreads[0]] >= 10 * n_dense
+
+    # a single scattered query: prune may engage, the spread must not
+    lone_q = spark.createDataFrame(
+        [(0, -20.0, 100.0)], "query_id long, lat double, lon double"
+    )
+    want_l = _key(flat_knn(corpus, lone_q, k=10).collect())
+    tl: dict = {}
+    got_l = _key(
+        cell_knn(
+            cells, lone_q, k=10, res=6, cell_col="cell", stats=state,
+            partition_parent_res=3, timings=tl,
+        ).collect()
+    )
+    assert got_l == want_l
+    assert not any(k_.startswith("fanin_spread") for k_ in tl)
+
+
 def test_update_cell_stats_equals_rebuild(spark, geo_small):
     """Appending a batch via per-cell deltas must equal a from-scratch stats
     build over the unioned corpus, and serving from the merged state must
