@@ -277,6 +277,48 @@ def main() -> None:
         ),
     )
 
+    # metro-concentrated serving over the parent-partitioned layout (the
+    # Iceberg partition-spec analog): 500 queries drawn from the densest
+    # res-3 parent. Without the directory prune + fan-in spread this batch
+    # serializes on the task holding the hot fine cell (measured 52-75 s at
+    # sf0.1 with one straggler; ~6-9 s with them — BENCH.md). Snapshot
+    # build is untimed (one-time index work, same as the lut fallback).
+    from countrymaam_spark.plans.pipeline import (
+        build_cell_pipeline,
+        load_cell_state,
+    )
+
+    if only_set is None or "knn_cell_metro" in only_set:
+        part_dir = tempfile.mkdtemp(prefix="cm_cellpart_")
+        build_cell_pipeline(
+            spark, g, part_dir, res=7, cell_col="cell", partition_parent_res=3
+        )
+        cells_p, state_p = load_cell_state(spark, part_dir)
+        hot_parent = (
+            cells_p.groupBy("parent")
+            .count()
+            .orderBy(F.desc("count"), "parent")
+            .first()["parent"]
+        )
+        metro_rows = (
+            cells_p.filter(F.col("parent") == hot_parent)
+            .select(F.xxhash64("url").alias("query_id"), "lat", "lon")
+            .limit(500)
+            .collect()
+        )
+        metro_q = spark.createDataFrame(
+            metro_rows, "query_id long, lat double, lon double"
+        )
+        timed(
+            "knn_cell_metro",
+            lambda: materialize(
+                cell_knn(
+                    cells_p, metro_q, k=10, res=7, cell_col="cell",
+                    stats=state_p, partition_parent_res=3,
+                )
+            ),
+        )
+
     # geo kNN SELF-join: every ~mod-th page is a query against the whole
     # corpus (|Q| grows with the data — the regime where the query side can
     # never broadcast and serving must shuffle; the north rule's batch shape)
