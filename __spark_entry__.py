@@ -174,6 +174,77 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries: name -> (spark, sf_dir) -> DataFrame
 # --------------------------------------------------------------------------
 
+# The driver's correctness gate verifies the FIRST 50 registry keys in
+# insertion order (CORRECTNESS_r0{1..4}.json key lists == registry prefix).
+# Rounds 1-4 left 47 queries — the BM25/span-dedup/scrub/decontam/chunk/
+# streaming-serve/PQ/sampling/pagerank families — outside that window, so
+# they were only ever pytest- and driver_sim-verified. Front-load them
+# (plus a 3-key geo smoke prefix) so round 5's driver window covers exactly
+# the never-before-checked set; everything previously green follows after.
+_DRIVER_PRIORITY = [
+    # geo smoke prefix (green every round; keeps the headline path watched)
+    "geotag_extract",
+    "cell_encode",
+    "knn_cell_index",
+    # never driver-checked through r4, in original registry order
+    "bm25_search",
+    "dedup_best_rep",
+    "docs_curated_spans",
+    "doc_dup_spans",
+    "doc_dup_intervals",
+    "doc_repetition",
+    "embed_range_ivf",
+    "embed_range_u8",
+    "embed_lsh_multiprobe",
+    "embed_knn_pq",
+    "embed_knn_ivfpq",
+    "embed_knn_graph_append",
+    "embed_knn_ivf_append",
+    "embed_dup_components",
+    "geo_tile_sample",
+    "stream_pip_rollup",
+    "stream_dedup",
+    "stream_kmv_hosts",
+    "stream_line_clean",
+    "stream_knn_serve",
+    "stream_bm25_serve",
+    "stream_pip_serve",
+    "host_latest",
+    "host_stats",
+    "pages_split",
+    "cell_distinct_hosts",
+    "crawl_host_overlap",
+    "token_heavy_hitters",
+    "page_line_stats",
+    "pages_line_clean",
+    "doc_rarity",
+    "doc_pii_stats",
+    "docs_scrubbed",
+    "doc_contamination",
+    "docs_decontaminated",
+    "doc_contam_intervals",
+    "doc_length_quantiles",
+    "docs_chunks",
+    "pages_chunks_sent",
+    "pages_training_chunks",
+    "pages_training_chunks_pii",
+    "host_asof",
+    "docs_sample",
+    "docs_sample_k",
+    "url_canonical_dups",
+    "host_pagerank",
+    "host_components",
+]
+
+
+def _driver_order(q: dict[str, Callable[[SparkSession, str], DataFrame]]):
+    """Reorder the registry: priority keys first, then the rest in
+    original insertion order. Pure reorder — same keys, same callables."""
+    head = {k: q[k] for k in _DRIVER_PRIORITY if k in q}
+    tail = {k: v for k, v in q.items() if k not in head}
+    return {**head, **tail}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -1535,7 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
-    return q
+    return _driver_order(q)
 
 
 # --------------------------------------------------------------------------

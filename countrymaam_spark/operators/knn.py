@@ -376,6 +376,62 @@ def _plan_radius(
     )
 
 
+def _fanin_pairs(qcells, is_band, s_expr, s_groups, cell_stats, res):
+    """Estimated (max-per-cell, total) candidate pairs for one cell_knn round.
+
+    The ring probe streams the corpus under a broadcast query side, so each
+    scan task's work is (its corpus rows) x (queries whose rings cover them)
+    — and the directory layout CLUSTERS a dense cell's rows into one file. A
+    metro-concentrated batch then serializes nearly the whole join on the
+    task holding the hot cell (measured at sf0.1: 500 metro queries, one
+    fine cell with 42k rows -> 20M of the pairs in ONE task, 71 s of a 75 s
+    call; round-robin spreading: 6-7 s). This estimates per-cell pairs from
+    the round's ring plan x the per-cell counts already in the caller's
+    stats state — tiny query-side jobs over an O(|cells|)-row table, never
+    a corpus scan. Coarse (s>0) groups are estimated against counts rolled
+    up to their planning level, which can only OVERstate single-task
+    concentration (a coarse cell spans several fine files) — conservative
+    in the safe direction, and the absolute min-pairs floor keeps a tiny
+    batch from paying the spread shuffle.
+
+    Returns a Row(mx, tot) or None when no ring group is estimable.
+    """
+    has_lv = "lv" in cell_stats.columns
+    fine_cnt = (
+        cell_stats.filter(F.col("lv") == res) if has_lv else cell_stats
+    ).select("cell", "cnt")
+    ests = []
+    for s, _est in s_groups:
+        lv = res - s
+        cnt_tbl = (
+            fine_cnt
+            if s == 0
+            else fine_cnt.groupBy(
+                geo.cell_parent(F.col("cell"), lv, res).alias("cell")
+            ).agg(F.sum("cnt").alias("cnt"))
+        )
+        shift = 1 << s
+        qc = geo.encode_cell(F.col("qlat"), F.col("qlon"), lv)
+        rcx = F.ceil(F.col("rx") / F.lit(shift)).cast("long")
+        rcy = F.ceil(F.col("ry") / F.lit(shift)).cast("long")
+        ests.append(
+            qcells.filter(~is_band)
+            .withColumn("s", s_expr)
+            .filter(F.col("s") == s)
+            .select(F.explode(geo.ring_cells_xy(qc, lv, rcx, rcy)).alias("cell"))
+            .groupBy("cell")
+            .agg(F.count("*").alias("nq"))
+            .join(cnt_tbl, "cell")
+            .select((F.col("nq") * F.col("cnt")).alias("pairs"))
+        )
+    if not ests:
+        return None
+    u = ests[0]
+    for e in ests[1:]:
+        u = u.unionByName(e)
+    return u.agg(F.max("pairs").alias("mx"), F.sum("pairs").alias("tot")).first()
+
+
 def cell_knn(
     pages_geo: DataFrame,
     queries: DataFrame,
@@ -608,65 +664,34 @@ def cell_knn(
                     ).select(
                         "url", "lat", "lon", F.col(cell_col).alias("cell")
                     )
-                    # fan-in skew gate: the ring join streams the corpus
-                    # under a broadcast query side, so each scan task's work
-                    # is (its corpus rows) x (queries whose rings cover
-                    # them) — and the directory layout CLUSTERS a dense
-                    # cell's rows into one file. A metro-concentrated batch
-                    # then serializes nearly the whole join on the task
-                    # holding the hot cell (measured at sf0.1: 500 metro
-                    # queries, one fine cell with 42k rows -> 20M of the
-                    # pairs in ONE task, 71 s of a 75 s call; round-robin
-                    # spreading the pruned subset: 6-7 s). Estimate pairs
-                    # per fine cell from the round's s=0 ring plan x the
-                    # per-cell counts already in `stats` (one tiny
-                    # query-side job, 1-row collect; never a corpus scan)
-                    # and spread only when one cell's share of the pairs
-                    # defeats the parallelism. The shuffle this buys is of
-                    # exactly the rows the join must stream anyway.
-                    if stats is not None:
-                        fine_cnt = (
-                            stats.filter(F.col("lv") == res).select("cell", "cnt")
-                            if "lv" in stats.columns
-                            else stats.select("cell", "cnt")
-                        )
-                        _t = _time.time()
-                        fan = (
-                            qcells.filter(~is_band)
-                            .filter(s_expr == 0)
-                            .select(
-                                F.explode(
-                                    geo.ring_cells_xy(
-                                        F.col("qcell"), res,
-                                        F.col("rx"), F.col("ry"),
-                                    )
-                                ).alias("cell")
-                            )
-                            .groupBy("cell")
-                            .agg(F.count("*").alias("nq"))
-                            .join(fine_cnt, "cell")
-                            .agg(
-                                F.max(F.col("nq") * F.col("cnt")).alias("mx"),
-                                F.sum(F.col("nq") * F.col("cnt")).alias("tot"),
-                            )
-                            .first()
-                        )
-                        _mark("round_fanin_plan", _t)
-                        # relative test: one cell's pairs defeat the
-                        # parallelism; absolute floor: a tiny batch always
-                        # looks "concentrated", so require the hot task's
-                        # work to be material (~seconds of single-task
-                        # kernel time) before paying the spread shuffle
-                        if (
-                            fan is not None
-                            and fan["mx"] is not None
-                            and fan["mx"] * target
-                            > FANIN_SPREAD_FACTOR * fan["tot"]
-                            and fan["mx"] > FANIN_SPREAD_MIN_PAIRS
-                        ):
-                            if timings is not None:
-                                timings[f"fanin_spread_round{rnd}"] = int(fan["mx"])
-                            corpus_ring = corpus_ring.repartition(target)
+                # fan-in skew gate (see _fanin_pairs for the measured
+                # straggler regime it exists for). Hoisted OUT of the
+                # prune-engaged branch: a hot-cell batch whose cover
+                # exceeds half the parent grid (prune skipped) still
+                # serializes the join on the task holding the hot fine
+                # cell, and the estimate never scans the corpus either
+                # way. `stats` is the CALLER's persisted cell-count state
+                # (the parameter, not the per-round result stats — those
+                # are `round_stats` below).
+                if stats is not None:
+                    _t = _time.time()
+                    fan = _fanin_pairs(qcells, is_band, s_expr, s_groups, stats, res)
+                    _mark("round_fanin_plan", _t)
+                    # relative test: one cell's pairs defeat the
+                    # parallelism; absolute floor: a tiny batch always
+                    # looks "concentrated", so require the hot task's
+                    # work to be material (~seconds of single-task
+                    # kernel time) before paying the spread shuffle
+                    if (
+                        fan is not None
+                        and fan["mx"] is not None
+                        and fan["mx"] * target
+                        > FANIN_SPREAD_FACTOR * fan["tot"]
+                        and fan["mx"] > FANIN_SPREAD_MIN_PAIRS
+                    ):
+                        if timings is not None:
+                            timings[f"fanin_spread_round{rnd}"] = int(fan["mx"])
+                        corpus_ring = corpus_ring.repartition(target)
             ring_q = qcells.filter(~is_band).withColumn("s", s_expr)
             for s, est_cells in s_groups:
                 lv = res - s
@@ -774,7 +799,11 @@ def cell_knn(
             F.col("kth")
             < _ring_guarantee_km(F.col("rx"), F.col("ry"), res, F.col("qlat"), nx)
         )
-        stats = ranked.groupBy("query_id").agg(
+        # NOTE: distinct name from the `stats` parameter (the caller's
+        # persisted cell-count state) — the fan-in gate above reads the
+        # parameter inside the round loop, so shadowing it here would make
+        # rounds >= 1 select the wrong columns (AnalysisException mid-serve)
+        round_stats = ranked.groupBy("query_id").agg(
             F.count("*").alias("cnt"),
             F.max("dist_km").alias("kth"),
             F.first("qlat").alias("qlat"),
@@ -788,21 +817,21 @@ def cell_knn(
             # switch keeps ry and covers all longitudes), so this round's
             # candidate count IS the cumulative distinct candidates seen.
             seen = cands.groupBy("query_id").agg(F.count("*").alias("cnt_seen"))
-            stats = stats.join(seen, "query_id", "left")
+            round_stats = round_stats.join(seen, "query_id", "left")
             ok_pred = ok_pred | (F.coalesce(F.col("cnt_seen"), F.lit(0)) >= search_k)
         _t = _time.time()
-        stats = stats.withColumn("ok", ok_pred)
+        round_stats = round_stats.withColumn("ok", ok_pred)
         if search_k is not None:
-            # with a budget, stats depends on `seen` (derived from the full
-            # candidate join) — pin it so the two ok_q consumers below don't
-            # re-run that join. In the exact path stats is a tiny groupBy
+            # with a budget, round_stats depends on `seen` (derived from the
+            # full candidate join) — pin it so the two ok_q consumers below
+            # don't re-run that join. In the exact path it is a tiny groupBy
             # over the already-checkpointed `ranked`; recomputing it inside
             # the consumers is cheaper than an extra eager checkpoint job.
-            stats = stats.localCheckpoint(eager=True)
-        n_ok = stats.filter("ok").count()
+            round_stats = round_stats.localCheckpoint(eager=True)
+        n_ok = round_stats.filter("ok").count()
         _mark("round_settle_check", _t)
         if n_ok:
-            ok_q = stats.filter("ok").select("query_id")
+            ok_q = round_stats.filter("ok").select("query_id")
             done = ranked.join(ok_q, "query_id").select(
                 "query_id", "rk", "url", F.round("dist_km", 6).alias("dist_km")
             )

@@ -364,6 +364,73 @@ def test_cell_knn_fanin_spread_bit_equal(spark, tmp_path):
     assert not any(k_.startswith("fanin_spread") for k_ in tl)
 
 
+def test_fanin_pairs_round1_shape_and_coarse_groups(spark):
+    """Regression for the caller-stats shadowing bug: the fan-in gate runs
+    inside the round loop reading the CALLER's cell-count state, which a
+    round-local `stats` rebind used to shadow — rounds >= 1 would have
+    selected missing `cell`/`lv` columns and crashed mid-serve. The gate
+    body now lives in `_fanin_pairs`; feed it the round-1 input shape
+    directly (rx != ry, multiple s-groups — the shape current round-0
+    planning never emits, so no end-to-end call can cover it) against both
+    stats layouts (fine-only and the multi-level lut with `lv`)."""
+    from countrymaam_spark.functions import geo as G
+    from countrymaam_spark.operators.knn import (
+        _fanin_pairs,
+        build_cell_lut,
+        build_cell_stats,
+    )
+
+    res = 6
+    # corpus: 200 points inside ONE res-6 cell (cell width ~2.8 deg; the
+    # cluster spans 0.1 x 0.2 deg well inside the cell at (40, -74)) + 50
+    # scattered
+    rows = [
+        (f"https://d.example/{i}", 40.0 + (i % 10) / 100.0, -74.0 + (i // 10) / 100.0)
+        for i in range(200)
+    ] + [
+        (f"https://s.example/{i}", -60.0 + i, -170.0 + 6.0 * i) for i in range(50)
+    ]
+    corpus = spark.createDataFrame(rows, "url string, lat double, lon double")
+    fine = build_cell_stats(corpus, res)
+    lut = build_cell_lut(fine, res)
+
+    # round-1-shaped query table: the dense-cell query has rx != ry (the
+    # post-escalation / init_radius shape) and a coarse group (s=1); the
+    # second query is a fine (s=0) group elsewhere
+    qrows = [(1, 40.05, -73.9, 4, 8), (2, -60.0, -170.0, 0, 0)]
+    qcells = spark.createDataFrame(
+        qrows, "query_id long, qlat double, qlon double, rx long, ry long"
+    ).withColumn("qcell", G.encode_cell(F.col("qlat"), F.col("qlon"), res))
+    is_band = F.lit(False)
+    # groups exactly as the round planner would bucket them: s from
+    # max(rx, ry) -> 8 lands in s=2, 0 in s=0
+    s_expr = F.when(F.greatest(F.col("rx"), F.col("ry")) >= 4, 2).otherwise(0)
+    s_groups = [(0, 1), (2, 15)]
+
+    fan_lut = _fanin_pairs(qcells, is_band, s_expr, s_groups, lut, res)
+    assert fan_lut is not None and fan_lut["mx"] is not None
+    # the dense cell holds 200 points and its coarse ring covers it
+    assert fan_lut["mx"] >= 200
+    assert fan_lut["tot"] >= fan_lut["mx"]
+
+    # fine-only stats (no `lv` column): same answer — coarse counts are
+    # rolled up from the finest level either way
+    fan_fine = _fanin_pairs(qcells, is_band, s_expr, s_groups, fine, res)
+    assert fan_fine is not None
+    assert (fan_fine["mx"], fan_fine["tot"]) == (fan_lut["mx"], fan_lut["tot"])
+
+    # a radius-0 fine ring over the lone dense-cell query: the estimate is
+    # EXACT — one cell, all 200 pairs
+    q0 = qcells.filter(F.col("query_id") == 1).withColumn(
+        "rx", F.lit(0).cast("long")
+    ).withColumn("ry", F.lit(0).cast("long"))
+    fan0 = _fanin_pairs(q0, is_band, F.lit(0), [(0, 1)], lut, res)
+    assert (fan0["mx"], fan0["tot"]) == (200, 200)
+
+    # no estimable groups -> None (band-only round)
+    assert _fanin_pairs(qcells, F.lit(True), s_expr, [], lut, res) is None
+
+
 def test_update_cell_stats_equals_rebuild(spark, geo_small):
     """Appending a batch via per-cell deltas must equal a from-scratch stats
     build over the unioned corpus, and serving from the merged state must
