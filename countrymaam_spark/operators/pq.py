@@ -296,13 +296,32 @@ def pq_knn_from_state(
         # broadcasts; here they ride the mapInPandas closure as LUTs
         cand = _adc_scan(codes, books, [(r["qid"], r["qv"]) for r in q.collect()], refine)
     else:
-        qb = gate_broadcast(q, n_queries, broadcast_limit)
-        cand = (
-            codes.crossJoin(qb)
-            .filter(F.col("cid") != F.col("qid"))
-            .withColumn("adist", _adc_dist(F.col("code"), F.col("qv"), books))
-            .select("qid", "cid", "adist")
-        )
+        # ADC work at this regime is inherently |Q| x |codes|, but the
+        # scale-safe SHAPE is repeated LUT scans over the (never-shuffled)
+        # code table, not a cartesian shuffle (the former fallback here,
+        # codes.crossJoin(q), planned as CartesianProduct once the gate
+        # declined the broadcast — the one plan in the repo that degraded
+        # to a cartesian). Slice the query set into <=max_scan_queries LUT
+        # closures and union the per-slice batch-local top-refine partials:
+        # each slice is one pass over the code table, identical kernel and
+        # numerics to the small-Q path, and the driver materializes one
+        # slice of query rows at a time (~16 KB of LUT per query rides
+        # each mapInPandas closure). Past ~100k queries against a non-IVF
+        # PQ index, route to IVF-PQ instead — probe-pruned lists cut the
+        # per-query scan itself rather than re-reading the full code table.
+        chunk = max(1, max_scan_queries)
+        parts: list[DataFrame] = []
+        buf: list = []
+        for r in q.toLocalIterator():
+            buf.append((r["qid"], r["qv"]))
+            if len(buf) == chunk:
+                parts.append(_adc_scan(codes, books, buf, refine))
+                buf = []
+        if buf:
+            parts.append(_adc_scan(codes, books, buf, refine))
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p)
     cand = topk_per_group(cand, ["qid"], "adist", "cid", refine, dedup=True).select(
         "qid", "cid"
     )

@@ -48,13 +48,26 @@ def test_pq_full_refine_is_exact_scan_path(spark, corpus, queries, brute):
     assert got == want
 
 
-def test_pq_pair_path_matches_scan_path(spark, corpus, queries, brute):
-    """max_scan_queries=0 forces the broadcast-gated pair join (the big-Q
-    fallback): same asymmetric distance, same exact result at full refine."""
+def test_pq_chunked_path_matches_scan_path(spark, corpus, queries, brute):
+    """max_scan_queries below |Q| forces the big-Q fallback, which now
+    chunks the query set through the same _adc_scan LUT kernel (one code
+    table pass per slice) instead of a cartesian pair join: bit-identical
+    result at full refine, and NO CartesianProduct anywhere in the plan at
+    any |Q| (the old crossJoin fallback degraded to one when the broadcast
+    gate declined)."""
     got = _full(
         pq.pq_knn(corpus, queries, k=5, m=8, refine=10**9, max_scan_queries=0).collect()
     )
     assert got == brute
+    # 8 queries / chunk size 3 -> 3 slices unioned; plan must stay
+    # cartesian-free even with the broadcast gate forced off
+    df = pq.pq_knn(
+        corpus, queries, k=5, m=8, refine=10**9, max_scan_queries=3,
+        broadcast_limit=0,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert _full(df.collect()) == brute
 
 
 def test_ivf_pq_full_budget_is_exact(spark, corpus, queries, brute):
