@@ -23,6 +23,7 @@ from __future__ import annotations
 import heapq
 import io
 import pickle
+import zlib
 
 import numpy as np
 
@@ -150,6 +151,101 @@ def serialize(tree: dict) -> bytes:
 
 def deserialize(blob: bytes) -> dict:
     return pickle.loads(blob)
+
+
+# --- serving-blob payload (compact v2) --------------------------------------
+#
+# Tree serving is BANDWIDTH-bound (91-94% of the measured single-box membw
+# ceiling under the interleaved N-vs-4N protocol): every probe streams blob
+# bytes through parquet decode -> Arrow -> Python memcpy -> unpickle. The v1
+# pickle payload per 5k-row group measured ~302 KB: urls 53% (utf-8 text,
+# highly compressible, but shipped raw through every layer since parquet
+# decompresses at scan), coords 27%, int64 tree arrays 20%. v2 keeps urls
+# zlib-compressed INSIDE the payload (only candidate urls are ever decoded,
+# via the (buf, offsets) form) and downcasts tree arrays (node ids/offsets
+# int32, split_dim int8) — ~2.4x fewer streamed bytes per blob, identical
+# search numerics (split_val and coords stay float64).
+
+_PAYLOAD_MAGIC = b"CMTB2\x00"
+
+
+def _tree_compact(tree: dict) -> dict:
+    out = {
+        "indice": np.asarray(tree["indice"], dtype=np.int32),
+        "begin": np.asarray(tree["begin"], dtype=np.int32),
+        "end": np.asarray(tree["end"], dtype=np.int32),
+        "left": np.asarray(tree["left"], dtype=np.int32),
+        "right": np.asarray(tree["right"], dtype=np.int32),
+        "split_dim": np.asarray(tree["split_dim"], dtype=np.int8),
+        "split_val": np.asarray(tree["split_val"], dtype=np.float64),
+        "kind": tree["kind"],
+    }
+    if "normals" in tree:
+        out["normals"] = np.asarray(tree["normals"], dtype=np.float64)
+    return out
+
+
+def pack_payload(
+    trees: list, urls: np.ndarray, lat: np.ndarray, lon: np.ndarray, cos0: float
+) -> bytes:
+    """Compact serving-blob bytes. Deterministic (fixed zlib level), so blob
+    builds stay a pure function of (row set, seed) — the incremental-add
+    bit-equivalence contract."""
+    ubytes = [str(u).encode("utf-8") for u in urls]
+    off = np.zeros(len(ubytes) + 1, dtype=np.uint32)
+    if ubytes:
+        np.cumsum([len(b) for b in ubytes], out=off[1:])
+    body = {
+        "trees": [_tree_compact(t) for t in trees],
+        "url_z": zlib.compress(b"".join(ubytes), 6),
+        "url_off_z": zlib.compress(off.tobytes(), 6),
+        "n_urls": len(ubytes),
+        "lat": np.asarray(lat, dtype=np.float64),
+        "lon": np.asarray(lon, dtype=np.float64),
+        "cos0": float(cos0),
+    }
+    return _PAYLOAD_MAGIC + pickle.dumps(body, protocol=4)
+
+
+def unpack_payload(blob: bytes) -> dict:
+    """Inverse of pack_payload -> {trees, url_buf, url_off, lat, lon, cos0}.
+
+    ``url_buf``/``url_off`` replace the v1 object-array ``urls``: consumers
+    decode ONLY selected candidates via ``url_buf[url_off[i]:url_off[i+1]]``
+    (per-probe decode cost scales with candidates, not blob rows). v1 pickle
+    blobs (pre-existing persisted state) are detected and adapted."""
+    if blob[: len(_PAYLOAD_MAGIC)] == _PAYLOAD_MAGIC:
+        body = pickle.loads(blob[len(_PAYLOAD_MAGIC):])
+        return {
+            "trees": body["trees"],
+            "url_buf": zlib.decompress(body["url_z"]),
+            "url_off": np.frombuffer(
+                zlib.decompress(body["url_off_z"]), dtype=np.uint32
+            ),
+            "lat": body["lat"],
+            "lon": body["lon"],
+            "cos0": body["cos0"],
+        }
+    old = pickle.loads(blob)
+    ubytes = [str(u).encode("utf-8") for u in old["urls"]]
+    off = np.zeros(len(ubytes) + 1, dtype=np.uint32)
+    if ubytes:
+        np.cumsum([len(b) for b in ubytes], out=off[1:])
+    return {
+        "trees": old["trees"],
+        "url_buf": b"".join(ubytes),
+        "url_off": off,
+        "lat": np.asarray(old["lat"], dtype=np.float64),
+        "lon": np.asarray(old["lon"], dtype=np.float64),
+        "cos0": old["cos0"],
+    }
+
+
+def decode_urls(url_buf: bytes, url_off: np.ndarray, isel: np.ndarray) -> list:
+    """Decode just the selected candidate urls out of the packed buffer."""
+    return [
+        url_buf[url_off[i] : url_off[i + 1]].decode("utf-8") for i in isel
+    ]
 
 
 def leaf_bounds(tree: dict, d: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -147,3 +147,46 @@ def test_search_batch_rp_fallback(cloud):
         per.setdefault(int(r), set()).add(int(i))
     for r in range(len(qpts)):
         assert per[r] == brute(cloud, qpts[r], 3)
+
+
+def test_payload_pack_roundtrip_and_v1_fallback(cloud):
+    """Serving-blob payload v2: compact arrays + compressed urls must
+    round-trip exactly (search numerics: split_val/coords float64
+    untouched), decode only selected candidate urls, read pre-existing v1
+    pickle blobs, and be deterministic (blob builds stay a pure function of
+    (row set, seed))."""
+    n = len(cloud)
+    lat = cloud[:, 0]
+    lon = cloud[:, 1]
+    urls = np.array([f"https://u{i:05d}.example/p{i}" for i in range(n)], dtype=object)
+    trees = [
+        kdtree.build(cloud, leaf_size=16, seed=2, kind="kd"),
+        kdtree.build(cloud, leaf_size=16, seed=3, kind="rp"),
+    ]
+    blob = kdtree.pack_payload(trees, urls, lat, lon, 0.7)
+    assert blob == kdtree.pack_payload(trees, urls, lat, lon, 0.7)
+    # materially smaller than the v1 pickle of the same payload
+    v1 = kdtree.serialize(
+        {"trees": trees, "urls": urls, "lat": lat, "lon": lon, "cos0": 0.7}
+    )
+    assert len(blob) < 0.7 * len(v1)
+
+    for p in (kdtree.unpack_payload(blob), kdtree.unpack_payload(v1)):
+        assert p["cos0"] == 0.7
+        assert np.array_equal(p["lat"], lat) and np.array_equal(p["lon"], lon)
+        isel = np.array([0, 3, n - 1])
+        assert kdtree.decode_urls(p["url_buf"], p["url_off"], isel) == [
+            str(urls[i]) for i in isel
+        ]
+        for t_in, t_out in zip(trees, p["trees"]):
+            for key in ("indice", "begin", "end", "left", "right", "split_dim"):
+                assert np.array_equal(t_in[key], t_out[key]), key
+            assert np.array_equal(t_in["split_val"], t_out["split_val"])
+            if t_in["kind"] == "rp":
+                assert np.array_equal(t_in["normals"], t_out["normals"])
+            # budgeted batch search over the unpacked tree: identical
+            # candidates (int downcasts must not perturb descent)
+            qpts = cloud[:6] + 0.01
+            a = kdtree.search_batch(t_in, cloud, qpts, k=3, max_leaves=4)
+            b = kdtree.search_batch(t_out, cloud, qpts, k=3, max_leaves=4)
+            assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
