@@ -226,12 +226,19 @@ def rp_lsh_knn_from_state(
     query_vec_col: str = "query_vec",
     n_probes: int = 1,
     broadcast_limit: int | None = None,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Serve LSH kNN from PERSISTED state (the signed corpus of
     ``plans.pipeline.build_lsh_pipeline`` + planes recreated from its
     manifest params) — the Save/Load path: the corpus-wide signing matmul
-    never re-runs; only the query batch is signed per call."""
+    never re-runs; only the query batch is signed per call.
+
+    ``n_queries``: optional caller-supplied batch size (a streaming serve
+    loop knows its maxFilesPerTrigger bound) — skips the per-call count
+    planning job the broadcast gate otherwise runs."""
     n_tables = planes.shape[0]
+    if n_queries is None:
+        n_queries = queries.count()
     if n_probes > 1:
         q_sig = queries.select(
             F.col(query_id_col).alias("qid"),
@@ -255,7 +262,7 @@ def rp_lsh_knn_from_state(
     # job on the small query table; at cluster scale the signed corpus is
     # bucketed by (tbl, key), so only the probe side moves)
     q_sig = gate_broadcast(
-        q_sig, queries.count() * n_tables * max(1, n_probes), broadcast_limit
+        q_sig, n_queries * n_tables * max(1, n_probes), broadcast_limit
     )
     cands = (
         c_sig.join(q_sig, ["tbl", "key"])
@@ -425,10 +432,15 @@ def ivf_knn_from_state(
     query_vec_col: str = "query_vec",
     broadcast_limit: int | None = None,
     prune_lists: bool = True,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Serve IVF kNN from persisted state (centroids + assignment table) —
     no k-means, no corpus re-assignment: the Save/Load serving path
     (reference loadIndex analog, /root/reference/index/io.go:28-36).
+
+    ``n_queries``: optional caller-supplied batch size — skips the per-call
+    count planning job on the query table (streaming serve loops know their
+    trigger-bounded batch size).
 
     ``prune_lists`` collects the DISTINCT probed list ids (bounded by
     n_lists — thousands of rows at most, never O(|Q|)) and pushes them as a
@@ -455,7 +467,9 @@ def ivf_knn_from_state(
     # probe side = |Q| x n_probe structs; past the limit the equi-join on
     # list_id shuffles only this small side (the assignment table is written
     # partitioned by list_id — build_ivf_pipeline — so probes prune files)
-    q_lists = gate_broadcast(q_lists, queries.count() * eff_probe, broadcast_limit)
+    if n_queries is None:
+        n_queries = queries.count()
+    q_lists = gate_broadcast(q_lists, n_queries * eff_probe, broadcast_limit)
     cands = (
         c_lists.join(q_lists, "list_id")
         .filter(F.col("cid") != F.col("qid"))
@@ -659,8 +673,11 @@ def ivf_knn_u8(
     seed: int = 42,
     pre_quantized: bool = False,
     broadcast_limit: int | None = None,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """IVF ANN over the packed-uint8 dtype -> (query_id, rk, vec_id, dist).
+    ``n_queries``: optional caller-supplied batch size — skips the per-call
+    count planning job the broadcast gate otherwise runs.
 
     The reference's dtype dispatch covers every index family
     (/root/reference/cmd/countrymaam/main.go:154-161); this extends ours past
@@ -701,7 +718,9 @@ def ivf_knn_u8(
     q_lists = q_bin.withColumn(
         "list_id", F.explode(_nearest_lists_u8(F.col("qb"), cents, eff_probe))
     )
-    q_lists = gate_broadcast(q_lists, queries.count() * eff_probe, broadcast_limit)
+    if n_queries is None:
+        n_queries = queries.count()
+    q_lists = gate_broadcast(q_lists, n_queries * eff_probe, broadcast_limit)
     cands = (
         c_lists.join(q_lists, "list_id")
         .filter(F.col("cid") != F.col("qid"))

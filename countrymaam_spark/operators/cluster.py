@@ -524,12 +524,30 @@ def kde_contours(
         raise ValueError("too many contour levels for the composite encoding")
     kde = kde_heatmap(geo, res, radius, stats=stats).localCheckpoint(eager=True)
     off = 1 << 58  # multiple of _R_SHIFT: cell_x/cell_y decode unaffected
+    # levels are NESTED (density >= lv shrinks as lv grows), so every
+    # level's adjacency is the lowest level's adjacency restricted to pairs
+    # whose BOTH endpoint densities clear the threshold — one ring-explode
+    # equi-join for the whole stage instead of one per level (the 3-level
+    # bench stage spent ~1 s/level re-deriving the same grid-bounded edge
+    # set). Pinned: every level filter reads the materialized edges.
+    base = kde.filter(F.col("density") >= lvs[0]).select("cell", "density")
+    ring = base.select(
+        F.col("cell").alias("id_a"),
+        F.col("density").alias("da"),
+        F.explode(G.ring_cells(F.col("cell"), res, 1)).alias("id_b"),
+    ).filter(F.col("id_a") < F.col("id_b"))
+    adj = ring.join(
+        base.select(F.col("cell").alias("id_b"), F.col("density").alias("db")),
+        "id_b",
+    ).localCheckpoint(eager=True)
     nodes = None
     edges = None
     for i, lv in enumerate(lvs):
-        cells = kde.filter(F.col("density") >= lv).select("cell")
-        n = cells.select((F.lit(i * off) + F.col("cell")).alias("cell"))
-        e = _adjacency(cells, res).select(
+        n = (
+            kde.filter(F.col("density") >= lv)
+            .select((F.lit(i * off) + F.col("cell")).alias("cell"))
+        )
+        e = adj.filter((F.col("da") >= lv) & (F.col("db") >= lv)).select(
             (F.lit(i * off) + F.col("id_a")).alias("id_a"),
             (F.lit(i * off) + F.col("id_b")).alias("id_b"),
         )

@@ -21,6 +21,7 @@ standard prefix-filter trick).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -343,25 +344,26 @@ def dup_components(
     of returning partially-merged labels. Deterministic: min is order-free.
 
     ``driver_limit`` is the gate_broadcast pattern applied to graph size:
-    when the (deduplicated) edge table holds at most this many rows, the
-    components are a SMALL-DATA problem — one bounded collect + exact
-    union-find replaces ~8 star rounds x ~4 driver jobs each (measured:
-    the contour/hotspot cell graphs are grid-bounded at a few 10^4 edges
-    and their wall time was pure per-round job latency). Above the limit —
-    corpus-scale near-dup graphs — the distributed star loop runs as
-    before. Identical output by construction (same min-label contract,
-    both deterministic); equality is pytest-pinned on random graphs.
-    ``None`` disables the gate.
+    when the RAW edge table (pre-dedup — a cheap upper bound that skips a
+    full shuffle on the small path; duplicate edges are harmless to exact
+    union-find) holds at most this many rows, the components are a
+    SMALL-DATA problem — one bounded collect + exact union-find replaces
+    ~8 star rounds x ~4 driver jobs each (measured: the contour/hotspot
+    cell graphs are grid-bounded at a few 10^4 edges and their wall time
+    was pure per-round job latency). Above the limit — corpus-scale
+    near-dup graphs — the distributed star loop runs as before (duplicates
+    removed there: every round joins the edge set). Identical output by
+    construction (same min-label contract, both deterministic); equality
+    is pytest-pinned on random graphs. ``None`` disables the gate.
     """
     nodes = docs.select(F.col(id_col).alias("node"))
     # pin the edge table ONCE: `pairs` is usually a lazy candidate pipeline
-    # (LSH banding + verification) and every star round joins against it —
-    # without the checkpoint the whole pair-generation DAG would re-execute
-    # per round
+    # (LSH banding + verification) and both paths read it at least twice
+    # (count gate + collect, or every star round) — without the checkpoint
+    # the whole pair-generation DAG would re-execute per read
     e = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .dropDuplicates(["u", "v"])
         .localCheckpoint(eager=True)
     )
     if driver_limit is not None and e.count() <= driver_limit:
@@ -370,18 +372,28 @@ def dup_components(
         node_type = nodes.schema["node"].dataType
         from pyspark.sql.types import StructField, StructType
 
-        comp = spark.createDataFrame(
-            labels,
-            StructType(
-                [StructField("node", node_type), StructField("_m", node_type)]
-            ),
+        schema = StructType(
+            [StructField("node", node_type), StructField("_m", node_type)]
         )
-        return nodes.join(comp, "node", "left").select(
+        # Arrow path (pandas) — a plain list-of-tuples createDataFrame
+        # pickles row-by-row and measured ~6x slower at ~30k labels
+        comp = spark.createDataFrame(
+            pd.DataFrame(
+                {"node": [x for x, _ in labels], "_m": [m for _, m in labels]}
+            )
+            if labels
+            else pd.DataFrame({"node": [], "_m": []}),
+            schema,
+        )
+        # the label table is bounded by driver_limit — never shuffle the
+        # node side for it
+        return nodes.join(F.broadcast(comp), "node", "left").select(
             F.col("node").alias(id_col),
             F.least(
                 F.col("node"), F.coalesce(F.col("_m"), F.col("node"))
             ).alias("canonical_id"),
         )
+    e = e.dropDuplicates(["u", "v"]).localCheckpoint(eager=True)
     converged = e.isEmpty()
     for _ in range(max_iter):
         if converged:

@@ -277,15 +277,21 @@ def pq_knn_from_state(
     query_vec_col: str = "query_vec",
     max_scan_queries: int = MAX_SCAN_QUERIES,
     broadcast_limit: int | None = None,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Serve kNN from persisted PQ state: ADC candidates (top-``refine`` by
     asymmetric distance) then exact re-rank on the raw vectors ->
     (query_id, rk, vec_id, dist). refine >= |corpus| => exact (= brute_knn,
-    same fold, same rounding, same tie order)."""
+    same fold, same rounding, same tie order).
+
+    ``n_queries``: optional caller-supplied batch size (a streaming serve
+    loop knows its maxFilesPerTrigger bound) — skips the per-call count
+    planning job that picks the scan-vs-chunk regime."""
     q = queries.select(
         F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
     )
-    n_queries = q.count()
+    if n_queries is None:
+        n_queries = q.count()
     if n_queries == 0:
         spark = queries.sparkSession
         return spark.createDataFrame(
@@ -395,11 +401,14 @@ def ivf_pq_knn_from_state(
     query_vec_col: str = "query_vec",
     broadcast_limit: int | None = None,
     prune_lists: bool = True,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Serve IVF-PQ kNN from persisted state: probed lists filter (literal
     IN = file pruning against the list_id-partitioned snapshot), ADC ranks
     the probed codes, exact re-rank on raw vectors finishes.
-    n_probe = n_lists AND refine >= |corpus| => exact."""
+    n_probe = n_lists AND refine >= |corpus| => exact. ``n_queries``:
+    optional caller-supplied batch size — skips the per-call count
+    planning job the broadcast gates otherwise run."""
     eff_probe = min(n_probe, len(cents))
     q = queries.select(
         F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
@@ -416,7 +425,8 @@ def ivf_pq_knn_from_state(
         )
         if len(probed) < len(cents):
             state = state.filter(F.col("list_id").isin(probed))
-    n_queries = q.count()
+    if n_queries is None:
+        n_queries = q.count()
     qb = gate_broadcast(q_lists, n_queries * eff_probe, broadcast_limit)
     cand = (
         state.join(qb, "list_id")

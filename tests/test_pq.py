@@ -70,6 +70,16 @@ def test_pq_chunked_path_matches_scan_path(spark, corpus, queries, brute):
     assert _full(df.collect()) == brute
 
 
+def test_pq_caller_supplied_n_queries(spark, corpus, queries, brute):
+    """A serving caller that knows its batch size (streaming serve loops
+    know their trigger bound) passes n_queries and skips the per-call count
+    planning job — results identical."""
+    got = _full(
+        pq.pq_knn(corpus, queries, k=5, m=8, refine=10**9, n_queries=8).collect()
+    )
+    assert got == brute
+
+
 def test_ivf_pq_full_budget_is_exact(spark, corpus, queries, brute):
     got = _full(
         pq.ivf_pq_knn(

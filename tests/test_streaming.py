@@ -251,9 +251,14 @@ def test_stream_knn_serve_equals_batch(spark, tmp_path):
         .parquet(str(flat))
     )
     sink = str(tmp_path / "served")
+    # the serve loop KNOWS its batch bound (maxFilesPerTrigger=1, 6-row
+    # drops): pass it as n_queries so each micro-batch skips the count
+    # planning job — one fewer job per batch, identical results
     sq = SV.serve_knn_stream(
         qstream,
-        lambda batch: ann.ivf_knn_from_state(lists_df, cents, batch, k=5, n_probe=8),
+        lambda batch: ann.ivf_knn_from_state(
+            lists_df, cents, batch, k=5, n_probe=8, n_queries=6
+        ),
         sink_dir=sink,
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
