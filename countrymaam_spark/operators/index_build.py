@@ -280,6 +280,28 @@ def knn_tree(
         qx = trees.select("parent", "salt").join(
             gate_broadcast(q_ring, n_queries * fanout, broadcast_limit), "parent"
         )
+        route_limit = (
+            broadcast_limit if broadcast_limit is not None else BROADCAST_ROUTE_LIMIT
+        )
+        if route_est > route_limit:
+            # two-stage gate: the max-salt product is a cheap UPPER bound,
+            # but on salted corpora it overestimates by the max/mean salt
+            # ratio (every query charged the hottest parent's fanout) and
+            # declining here costs a full blob-table shuffle — the one
+            # non-scaling membw pass left in serving (measured at sf10/20k:
+            # the declined route was ~14x below its bound). Before paying
+            # that, compute the EXACT route-struct count: the query-side
+            # ring explode joined to the per-parent salt factors — one tiny
+            # query-side job (the blob-side aggregate is |parents| rows,
+            # broadcast), never a corpus/blob scan. At production volume
+            # the exact count declines just as the bound did.
+            factors = trees.groupBy("parent").agg((F.max("salt") + 1).alias("_f"))
+            exact = (
+                q_ring.join(F.broadcast(factors), "parent")
+                .agg(F.sum("_f").alias("n"))
+                .first()["n"]
+            )
+            route_est = int(exact or 0)
     qagg = qx.groupBy("parent", "salt").agg(
         F.collect_list(F.struct("query_id", "qlat", "qlon")).alias("qs")
     )
