@@ -190,3 +190,36 @@ def test_payload_pack_roundtrip_and_v1_fallback(cloud):
             a = kdtree.search_batch(t_in, cloud, qpts, k=3, max_leaves=4)
             b = kdtree.search_batch(t_out, cloud, qpts, k=3, max_leaves=4)
             assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+
+
+def test_payload_urls_adversarial_roundtrip():
+    """The packed url buffer must survive adversarial url content: unicode
+    (IDN paths), empty strings, embedded newlines/NULs, 4-byte UTF-8, and
+    multi-KB outliers — the (buffer, offsets) form indexes by BYTE offsets,
+    so decode must never depend on separators or ASCII-ness."""
+    urls = np.array(
+        [
+            "https://example.com/",
+            "",  # empty url (degenerate row)
+            "https://xn--bcher-kva.example/bücher/straße",
+            "https://example.jp/東京/\U0001f30d",
+            "https://weird.example/a\nb\x00c",
+            "https://long.example/" + "x" * 4096,
+        ],
+        dtype=object,
+    )
+    n = len(urls)
+    lat = np.linspace(-1.0, 1.0, n)
+    lon = np.linspace(10.0, 11.0, n)
+    pts = np.stack([lat, lon], axis=1)
+    tree = kdtree.build(pts, leaf_size=2, seed=7)
+    blob = kdtree.pack_payload([tree], urls, lat, lon, 1.0)
+    p = kdtree.unpack_payload(blob)
+    every = np.arange(n)
+    assert kdtree.decode_urls(p["url_buf"], p["url_off"], every) == list(urls)
+    # v1 fallback sees the same adversarial content
+    v1 = kdtree.serialize(
+        {"trees": [tree], "urls": urls, "lat": lat, "lon": lon, "cos0": 1.0}
+    )
+    p1 = kdtree.unpack_payload(v1)
+    assert kdtree.decode_urls(p1["url_buf"], p1["url_off"], every) == list(urls)
