@@ -93,8 +93,15 @@ def flat_knn(pages_geo: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame
         )
     )
     # pairs are unique by construction (unique urls x unique queries):
-    # dedup=False skips a full shuffle of the pair set (explain-verified)
-    out = topk_per_group(pairs, ["query_id"], "dist_km", "url", k, dedup=False)
+    # dedup=False skips a full shuffle of the pair set (explain-verified).
+    # Project to the 3 columns the top-k needs BEFORE the window: the partial
+    # WindowGroupLimit sorts the full pair set per task, and sort cost here is
+    # row-width-bound (guide §2.3 "project before the exchange"; measured ~2x
+    # on the 20M-pair metro probe for the cell_knn sibling of this window).
+    out = topk_per_group(
+        pairs.select("query_id", "url", "dist_km"),
+        ["query_id"], "dist_km", "url", k, dedup=False,
+    )
     return out.select(
         "query_id", "rk", "url", F.round("dist_km", 6).alias("dist_km")
     )
@@ -376,7 +383,41 @@ def _plan_radius(
     )
 
 
-def _fanin_pairs(qcells, is_band, s_expr, s_groups, cell_stats, res):
+def _fanin_level_counts(cell_stats, res: int, s: int, cnt_cache: dict):
+    """Per-cell counts at planning level ``res - s``, shared across rounds.
+
+    With the multi-level lut state the level's counts ALREADY EXIST as the
+    ``lv == res - s`` slice (``build_cell_lut`` rolls them up from the same
+    fine counts — identical sums), so no per-round ``groupBy`` re-rollup runs
+    at all for the levels the planner uses. Only a coarser-than-lut level (or
+    a plain stats table) still rolls up from fine counts, and that plan is
+    built once per serve call (``cnt_cache``), not once per round (the r5
+    regression: the rollup is static per (stats, lv) but was re-planned and
+    re-run inside the round loop)."""
+    if s in cnt_cache:
+        return cnt_cache[s]
+    has_lv = "lv" in cell_stats.columns
+    lv = res - s
+    if s == 0:
+        tbl = (
+            cell_stats.filter(F.col("lv") == res) if has_lv else cell_stats
+        ).select("cell", "cnt")
+    elif has_lv and lv in _plan_levels(res):
+        tbl = cell_stats.filter(F.col("lv") == lv).select("cell", "cnt")
+    else:
+        fine = (
+            cell_stats.filter(F.col("lv") == res) if has_lv else cell_stats
+        ).select("cell", "cnt")
+        tbl = fine.groupBy(
+            geo.cell_parent(F.col("cell"), lv, res).alias("cell")
+        ).agg(F.sum("cnt").alias("cnt"))
+    cnt_cache[s] = tbl
+    return tbl
+
+
+def _fanin_pairs(
+    qcells, is_band, s_expr, s_groups, cell_stats, res, cnt_cache=None
+):
     """Estimated (max-per-cell, total) candidate pairs for one cell_knn round.
 
     The ring probe streams the corpus under a broadcast query side, so each
@@ -394,33 +435,34 @@ def _fanin_pairs(qcells, is_band, s_expr, s_groups, cell_stats, res):
     in the safe direction, and the absolute min-pairs floor keeps a tiny
     batch from paying the spread shuffle.
 
+    The per-cell query-count side is bounded by the round's estimated ring
+    cells (``est_cells``, already in hand from the round-plan collect), so it
+    rides the shared broadcast gate — the stats table is probed in place
+    instead of shuffling into a join (one exchange + one AQE stage sync
+    fewer per estimate).
+
     Returns a Row(mx, tot) or None when no ring group is estimable.
     """
-    has_lv = "lv" in cell_stats.columns
-    fine_cnt = (
-        cell_stats.filter(F.col("lv") == res) if has_lv else cell_stats
-    ).select("cell", "cnt")
+    if cnt_cache is None:
+        cnt_cache = {}
     ests = []
-    for s, _est in s_groups:
+    for s, est in s_groups:
         lv = res - s
-        cnt_tbl = (
-            fine_cnt
-            if s == 0
-            else fine_cnt.groupBy(
-                geo.cell_parent(F.col("cell"), lv, res).alias("cell")
-            ).agg(F.sum("cnt").alias("cnt"))
-        )
+        cnt_tbl = _fanin_level_counts(cell_stats, res, s, cnt_cache)
         shift = 1 << s
         qc = geo.encode_cell(F.col("qlat"), F.col("qlon"), lv)
         rcx = F.ceil(F.col("rx") / F.lit(shift)).cast("long")
         rcy = F.ceil(F.col("ry") / F.lit(shift)).cast("long")
-        ests.append(
+        nq = (
             qcells.filter(~is_band)
             .withColumn("s", s_expr)
             .filter(F.col("s") == s)
             .select(F.explode(geo.ring_cells_xy(qc, lv, rcx, rcy)).alias("cell"))
             .groupBy("cell")
             .agg(F.count("*").alias("nq"))
+        )
+        ests.append(
+            gate_broadcast(nq, est)
             .join(cnt_tbl, "cell")
             .select((F.col("nq") * F.col("cnt")).alias("pairs"))
         )
@@ -546,6 +588,11 @@ def cell_knn(
     n_total = n_remaining = remaining.count()
     _mark("plan_radius", _t)
     settled_parts: list[DataFrame] = []
+    # per-CALL fan-in state: level-count plans shared across rounds, and the
+    # lazily-computed (max fine cnt, total cnt) short-circuit bound — one
+    # tiny job at most per serve call, only on rounds past the first
+    fanin_cnt_cache: dict[int, DataFrame] = {}
+    fanin_bound: tuple[int, int] | None = None
 
     for rnd in range(max_rounds):
         if n_remaining == 0:
@@ -560,7 +607,12 @@ def cell_knn(
             "qcell", geo.encode_cell(F.col("qlat"), F.col("qlon"), res)
         )
         is_band = (F.col("rx") * 2 + 1) >= F.lit(nx)
-        out_cols = ["query_id", "qlat", "qlon", "rx", "ry", "cell", "url", "lat", "lon"]
+        # candidate rows carry ONLY what the haversine + top-k need; the
+        # per-query planning columns (rx, ry) rejoin from the tiny
+        # checkpointed `remaining` AFTER the top-k instead of riding every
+        # pair through the window sorts (guide §2.3: project before the
+        # exchange — measured 7.3 s -> 3.9 s on the 20M-pair metro probe)
+        out_cols = ["query_id", "qlat", "qlon", "url", "lat", "lon"]
         # ONE tiny driver action plans the whole round: band-vs-ring split,
         # the ring coarse-level groups, and their estimated exploded sizes.
         # Each additional collect here is a driver-synchronized job — the
@@ -675,7 +727,40 @@ def cell_knn(
                 # are `round_stats` below).
                 if stats is not None:
                     _t = _time.time()
-                    fan = _fanin_pairs(qcells, is_band, s_expr, s_groups, stats, res)
+                    fan = None
+                    skip_est = False
+                    if rnd > 0:
+                        # short-circuit (rounds past the first): when the
+                        # round's query count x the hottest cell count cannot
+                        # clear the absolute floor, the gate provably cannot
+                        # fire — skip the estimate job. The (max, total)
+                        # bound is one tiny agg over the stats state, run at
+                        # most once per serve call. A coarse (s>0) cell
+                        # aggregates <= 4^s fine cells, hence the 4^max_s
+                        # widening; min() with the corpus total keeps it
+                        # sound at any s.
+                        if fanin_bound is None:
+                            has_lv = "lv" in stats.columns
+                            _b = (
+                                stats.filter(F.col("lv") == res)
+                                if has_lv
+                                else stats
+                            ).agg(
+                                F.max("cnt").alias("m"), F.sum("cnt").alias("t")
+                            ).first()
+                            fanin_bound = (int(_b["m"] or 0), int(_b["t"] or 0))
+                        max_s = max(s for s, _ in s_groups)
+                        cell_ub = min(
+                            fanin_bound[1], fanin_bound[0] * (4 ** max_s)
+                        )
+                        skip_est = (
+                            n_remaining * cell_ub <= FANIN_SPREAD_MIN_PAIRS
+                        )
+                    if not skip_est:
+                        fan = _fanin_pairs(
+                            qcells, is_band, s_expr, s_groups, stats, res,
+                            fanin_cnt_cache,
+                        )
                     _mark("round_fanin_plan", _t)
                     # relative test: one cell's pairs defeat the
                     # parallelism; absolute floor: a tiny batch always
@@ -704,8 +789,6 @@ def cell_knn(
                     "query_id",
                     "qlat",
                     "qlon",
-                    "rx",
-                    "ry",
                     F.explode(geo.ring_cells_xy(qc, lv, rcx, rcy)).alias("jcell"),
                 )
                 exploded = gate_broadcast(exploded, est_cells)
@@ -742,7 +825,6 @@ def cell_knn(
                     F.col("query_id").alias("b_query_id"),
                     F.col("qlat").alias("b_qlat"),
                     F.col("qlon").alias("b_qlon"),
-                    F.col("rx").alias("b_rx"),
                     F.col("ry").alias("b_ry"),
                     qy.alias("b_qy"),
                     F.explode(F.sequence(lo, hi)).alias("crow"),
@@ -763,9 +845,6 @@ def cell_knn(
                         F.col("b_query_id").alias("query_id"),
                         F.col("b_qlat").alias("qlat"),
                         F.col("b_qlon").alias("qlon"),
-                        F.col("b_rx").alias("rx"),
-                        F.col("b_ry").alias("ry"),
-                        "cell",
                         "url",
                         "lat",
                         "lon",
@@ -782,7 +861,7 @@ def cell_knn(
         # ring_cells is array_distinct and urls are unique -> (query, url)
         # pairs are already unique; skip the dedup shuffle
         ranked = topk_per_group(
-            cands.select("query_id", "qlat", "rx", "ry", "url", "dist_km"),
+            cands.select("query_id", "url", "dist_km"),
             ["query_id"],
             "dist_km",
             "url",
@@ -802,13 +881,19 @@ def cell_knn(
         # NOTE: distinct name from the `stats` parameter (the caller's
         # persisted cell-count state) — the fan-in gate above reads the
         # parameter inside the round loop, so shadowing it here would make
-        # rounds >= 1 select the wrong columns (AnalysisException mid-serve)
+        # rounds >= 1 select the wrong columns (AnalysisException mid-serve).
+        # The settle-check columns (qlat, rx, ry) join back from the
+        # checkpointed per-query `remaining` table (n_remaining rows, gated
+        # broadcast) instead of being F.first-carried through the 10^7-row
+        # window above.
         round_stats = ranked.groupBy("query_id").agg(
             F.count("*").alias("cnt"),
             F.max("dist_km").alias("kth"),
-            F.first("qlat").alias("qlat"),
-            F.first("rx").alias("rx"),
-            F.first("ry").alias("ry"),
+        ).join(
+            gate_broadcast(
+                remaining.select("query_id", "qlat", "rx", "ry"), n_remaining
+            ),
+            "query_id",
         )
         if search_k is not None:
             # budget semantics: accept once >= search_k candidates have been
