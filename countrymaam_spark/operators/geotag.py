@@ -29,33 +29,39 @@ GEO_RE = r"near \w+ \((-?[0-9]+\.[0-9]+), (-?[0-9]+\.[0-9]+)\)"
 _GEO_PAT = re.compile(GEO_RE)
 
 
-def _make_extract():
+def _make_latlon():
     # created lazily: pandas_udf parses its DDL return type against the
     # active session, so decorating at import time would require a context
-    @F.pandas_udf("struct<text_sha:string, lat:double, lon:double>")
-    def _extract(texts: pd.Series) -> pd.DataFrame:
-        # NULL text stays a row with NULL sha/lat/lon (the JVM sha2+regexp
-        # path this UDF replaced was NULL-safe; na_action keeps that contract
-        # instead of crashing the task on t.encode(None))
-        sha = texts.map(
-            lambda t: hashlib.sha256(t.encode("utf-8")).hexdigest(),
-            na_action="ignore",
-        )
+    @F.pandas_udf("struct<lat:double, lon:double>")
+    def _latlon(texts: pd.Series) -> pd.DataFrame:
         ext = texts.str.extract(_GEO_PAT)
         return pd.DataFrame(
             {
-                "text_sha": sha,
                 "lat": pd.to_numeric(ext[0], errors="coerce"),
                 "lon": pd.to_numeric(ext[1], errors="coerce"),
             }
         )
 
-    # the values ARE deterministic (sha256 + regex); the marker only stops
-    # Catalyst pushing a consumer's lat-IS-NOT-NULL filter below the
-    # projection and DUPLICATING the UDF — the .explain showed two
-    # ArrowEvalPython nodes (one for the filter, one for the output), i.e.
-    # every filtered consumer paid the extraction twice
-    return _extract.asNondeterministic()
+    # the values ARE deterministic (regex); the marker only stops Catalyst
+    # pushing a consumer's lat-IS-NOT-NULL filter below the projection and
+    # DUPLICATING the UDF — the .explain showed two ArrowEvalPython nodes
+    # (one for the filter, one for the output), i.e. every filtered consumer
+    # paid the extraction twice
+    return _latlon.asNondeterministic()
+
+
+def _make_sha():
+    @F.pandas_udf("string")
+    def _sha(texts: pd.Series) -> pd.Series:
+        # NULL text stays a NULL sha (the JVM sha2 path this UDF replaced
+        # was NULL-safe; na_action keeps that contract instead of crashing
+        # the task on t.encode(None))
+        return texts.map(
+            lambda t: hashlib.sha256(t.encode("utf-8")).hexdigest(),
+            na_action="ignore",
+        )
+
+    return _sha.asNondeterministic()
 
 
 def extract_geo(pages: DataFrame) -> DataFrame:
@@ -63,15 +69,25 @@ def extract_geo(pages: DataFrame) -> DataFrame:
 
     Rows with no place mention get NULL lat/lon (kept; downstream geo
     operators filter them).
+
+    sha and lat/lon are SEPARATE vectorized UDFs so Catalyst prunes the one
+    a consumer never reads: the geo pipeline's (url, lat, lon) projection
+    used to hash every page anyway because both lived in one struct UDF —
+    an opaque function defeats column pruning inside itself (guide §4.1).
+    Consumers of both columns ship text across Arrow twice; every geo-only
+    consumer (the common case: cell encode, tiles, terms) skips sha256 of
+    the full corpus entirely.
     """
     return pages.select(
-        "url", "warc_ts", "lang", "text", _make_extract()(F.col("text")).alias("_g")
+        "url", "warc_ts", "lang", "text",
+        _make_sha()(F.col("text")).alias("text_sha"),
+        _make_latlon()(F.col("text")).alias("_g"),
     ).select(
         "url",
         "warc_ts",
         "lang",
         "text",
-        F.col("_g.text_sha").alias("text_sha"),
+        "text_sha",
         F.col("_g.lat").alias("lat"),
         F.col("_g.lon").alias("lon"),
     )

@@ -72,10 +72,19 @@ def training_chunks(
         (F.size(toks) >= int(min_tokens))
         & (_digit_frac(toks) <= float(max_digit_frac))
     )
+    # one canonical (min-url) page per cleaned-text sha in ONE aggregation:
+    # min_by(clean_text, url) picks the min-url row's text deterministically,
+    # exactly the rows the former groupBy(sha) -> min(url) -> self-join on
+    # url selected — but the self-join re-computed the whole clean_pages
+    # subtree (scan -> posexplode -> boiler anti-join -> per-url re-assembly)
+    # on BOTH sides (plan-verified: two full subtrees). Same rows, one pass
+    # (guide §2.4: remove shuffles outright / don't compute twice).
     canon = (
         good.groupBy(F.sha2(F.col("clean_text"), 256).alias("h"))
-        .agg(F.min("url").alias("url"))
-        .join(good, "url")
+        .agg(
+            F.min("url").alias("url"),
+            F.min_by("clean_text", "url").alias("clean_text"),
+        )
         .select("url", "clean_text")
     )
     return CH.chunk_docs(

@@ -410,3 +410,60 @@ def test_tile_terms_matches_oracle(spark, geo_small):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_tile_terms_python_tokenizer_matches_expression_form(spark):
+    """The mapInArrow tokenize+partial-count path (r6 optimization) must be
+    bit-identical to the expression-only form it replaced — including NULL
+    text, empty text, punctuation-only text, and non-ASCII input (the lower()
+    divergence risk is removed by lowercasing in the JVM before the Python
+    boundary; the [a-z0-9]+ findall equals split('[^a-z0-9]+') minus
+    empties by construction)."""
+    from pyspark.sql import Window
+
+    from countrymaam_spark.functions import text as T
+    from countrymaam_spark.operators.tiles import _tile_cols, tile_terms
+
+    rows = [
+        ("u0", 10.0, 20.0, "The quick HASH join;; the the fast-scan 42 a"),
+        ("u1", 10.0, 20.0, None),
+        ("u2", 10.0, 20.0, ""),
+        ("u3", 10.0, 20.0, ";;; .. !!"),
+        ("u4", 10.0, 20.0, "STRASSE Straße İstanbul café naive café"),
+        ("u5", -33.0, 151.0, "vector vector vector scan scan big TABLE table"),
+        ("u6", None, None, "no geo row drops out"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, lat double, lon double, text string"
+    )
+    got = sorted(
+        (r["z"], r["xt"], r["yt"], r["rk"], r["token"], r["cnt"])
+        for r in tile_terms(pages, 4, k=3).collect()
+    )
+
+    # the pre-r6 expression-only pipeline, inlined as the reference
+    xt, yt = _tile_cols(4)
+    sw = T.STOPWORDS["en"]
+    kept = F.filter(
+        T.tokens(F.col("text")),
+        lambda t: (F.length(t) >= 2) & ~t.isin(*sw),
+    )
+    counts = (
+        pages.filter(F.col("lat").isNotNull())
+        .select(xt.alias("xt"), yt.alias("yt"), F.explode(kept).alias("token"))
+        .groupBy("xt", "yt", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = counts.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("xt", "yt").orderBy(
+                F.col("cnt").desc(), F.col("token").asc()
+            )
+        ),
+    ).filter(F.col("rk") <= 3)
+    want = sorted(
+        (4, r["xt"], r["yt"], r["rk"], r["token"], r["cnt"])
+        for r in ranked.collect()
+    )
+    assert got == want

@@ -221,3 +221,57 @@ def test_ivfpq_pipeline_roundtrip_and_append(spark, corpus, queries, brute, tmp_
     assert [(r["cid"], r["list_id"], r["code"]) for r in got2] == [
         (r["cid"], r["list_id"], r["code"]) for r in want
     ]
+
+
+def test_pq_empty_batch_with_n_queries_hint(spark, corpus):
+    """A caller-supplied n_queries > 0 with an actually-empty query table
+    (streaming foreachBatch delivers empty micro-batches after restart) must
+    return the empty frame on BOTH regimes, not crash in np.stack/parts[0]
+    (round-5 advisor, medium)."""
+    books = pq.train_pq(corpus, m=8, sample_n=256, seed=42)
+    codes = pq.pq_codes(corpus, books)
+    empty_q = spark.createDataFrame(
+        [], "query_id long, query_vec array<double>"
+    )
+    # collect path (n_queries <= max_scan_queries)
+    out = pq.pq_knn_from_state(
+        codes, books, corpus, empty_q, k=5, refine=10, n_queries=3
+    )
+    assert out.count() == 0
+    # chunked path (n_queries > max_scan_queries)
+    out2 = pq.pq_knn_from_state(
+        codes, books, corpus, empty_q, k=5, refine=10,
+        n_queries=10, max_scan_queries=4,
+    )
+    assert out2.count() == 0
+
+
+def test_pq_auto_routes_to_ivfpq_at_volume(spark, corpus, queries, brute, monkeypatch):
+    """Past PQ_ROUTE_IVF_SLICES chunked passes, pq_knn_from_state with IVF-PQ
+    state routes to ivf_pq_knn_from_state (round-5 verdict #4). At full
+    budget (refine >= corpus, n_probe >= n_lists) the routed result equals
+    the unrouted chunked result equals brute."""
+    from countrymaam_spark.operators.ann import _kmeans_centroids
+
+    n = corpus.count()
+    books = pq.train_pq(corpus, m=8, sample_n=256, seed=42)
+    cents = _kmeans_centroids(corpus, "embedding", 4, 256, 4, 42)
+    state = pq.ivf_pq_state(corpus, cents, books)
+    codes = pq.pq_codes(corpus, books)
+
+    routed = pq.pq_knn_from_state(
+        codes, books, corpus, queries, k=5, refine=n,
+        max_scan_queries=1, n_queries=queries.count(),  # 8 > 20*1? no ->
+        ivf_state=state, ivf_cents=cents, ivf_n_probe=4,
+    )
+    # 8 queries, max_scan_queries=1 -> 8 slices < 20: must NOT route
+    assert _full(routed.collect()) == brute
+
+    monkeypatch.setattr(pq, "PQ_ROUTE_IVF_SLICES", 0)
+    routed2 = pq.pq_knn_from_state(
+        codes, books, corpus, queries, k=5, refine=n,
+        max_scan_queries=1, n_queries=queries.count(),
+        ivf_state=state, ivf_cents=cents, ivf_n_probe=4,
+    )
+    # 8 slices > 0: routes to IVF-PQ; full budget => identical to brute
+    assert _full(routed2.collect()) == brute
