@@ -139,17 +139,13 @@ def bm25_topk(
     # centroid counts); inlining them as literals keeps the serving plan
     # join-free here — the constant-key alternative folds back into a
     # nested-loop cross join under Catalyst's constant propagation.
-    # n_docs counts ALL docs (token-less docs have no postings row, so it
-    # cannot come from `post`); sum_dl can — dl is denormalized per (doc,
-    # term) and token-less docs contribute 0 by definition.
-    n_docs = docs.count()
-    srow = (
-        post.groupBy("doc_id")
-        .agg(F.max("dl").alias("dl"))
-        .agg(F.sum("dl").alias("s"))
-        .first()
-    )
-    sum_dl = int(srow[0] or 0)
+    # ONE stats job (count + sum of lengths together); this is the only
+    # remaining tokenize of the raw docs besides the postings build itself
+    # (n_docs must count token-less docs too, so it cannot come from `post`).
+    srow = doc_lengths(docs).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).first()
+    n_docs, sum_dl = int(srow[0]), int(srow[1] or 0)
     return bm25_topk_from_state(
         spark, post, term_df(post), n_docs, sum_dl, queries,
         k=k, k1=k1, b=b, broadcast_limit=broadcast_limit,

