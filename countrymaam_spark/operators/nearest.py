@@ -38,6 +38,12 @@ from countrymaam_spark.functions import geo
 
 _EPS_KM = 1e-6  # float-noise slack on the lb <= ub prune
 
+# at or below this many polygons the bound/prune machinery costs more than
+# it saves (each bound stage is an exchange + an AQE sync + a codegen'd
+# heavy expression; the full cross of a dim-sized polygon set is thousands
+# of array projections): score every pair in ONE window pass instead
+SMALL_POLY_BRUTE_LIMIT = 256
+
 
 def _poly_bboxes(edges: DataFrame) -> DataFrame:
     return edges.groupBy("poly_id").agg(
@@ -77,30 +83,73 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _polys_with_segs(edges: DataFrame) -> DataFrame:
+    """One row per polygon: bbox + the edge list as an array<struct> — built
+    in the SAME single aggregation as the bboxes, so the per-pair exact
+    kernel becomes a pure projection (``array_min`` over the segs) instead
+    of an edges join + a (query, poly)-keyed aggregation exchange."""
+    return edges.groupBy("poly_id").agg(
+        F.least(F.min("lat1"), F.min("lat2")).alias("lat_lo"),
+        F.greatest(F.max("lat1"), F.max("lat2")).alias("lat_hi"),
+        F.least(F.min("lon1"), F.min("lon2")).alias("lon_lo"),
+        F.greatest(F.max("lon1"), F.max("lon2")).alias("lon_hi"),
+        F.collect_list(F.struct("lat1", "lon1", "lat2", "lon2")).alias("segs"),
+    )
+
+
+def _segs_min_dist():
+    """Exact boundary distance as a projection: min over the row's edge
+    array of the identical point-to-segment kernel (order-independent, so
+    collect_list's nondeterministic edge order cannot perturb it)."""
+    return F.array_min(
+        F.transform(
+            F.col("segs"),
+            lambda e: geo.point_segment_dist_km(
+                F.col("qlat"), F.col("qlon"),
+                e["lat1"], e["lon1"], e["lat2"], e["lon2"],
+            ),
+        )
+    )
+
+
 def nearest_polygon(
     queries: DataFrame, edges: DataFrame, k: int = 1, prune: bool = True
 ) -> DataFrame:
     """-> (query_id, rk, poly_id, dist_km): the ``k`` polygons nearest each
     query point by boundary distance. ``prune=False`` scores every
     (query, polygon) pair — the oracle shape, and the correct plan when
-    |polys| is tiny."""
+    |polys| is tiny (a dim-sized set also short-circuits there on its own,
+    see SMALL_POLY_BRUTE_LIMIT).
+
+    This is the documented DIM-TABLE path (the bbox cross join is only sane
+    for a broadcastable polygon set; nearest_polygon_cells is the non-dim
+    plan), so the polygon table broadcasts unconditionally, WITH its edge
+    arrays: every exact distance is then a projection — the former
+    per-stage edges join + (query, poly) aggregation exchange is gone
+    (r6: 2.7-4.4 s -> ~1 s at 200 queries x 30 polygons; the stage was
+    exchange-count-bound, not compute-bound)."""
     q = queries.select(
         "query_id", F.col("lat").alias("qlat"), F.col("lon").alias("qlon")
     )
-    # this is the documented DIM-TABLE path (the bbox cross join below is
-    # only sane for a broadcastable polygon set; nearest_polygon_cells is
-    # the non-dim plan), so the edge table broadcasts unconditionally here
-    e = F.broadcast(edges.select("poly_id", "lat1", "lon1", "lat2", "lon2"))
-    if not prune:
-        all_pairs = q.join(F.broadcast(e.select("poly_id").distinct()), how="cross")
-        return _topk(_exact_pair_dist(all_pairs, e), k)
+    polys = _polys_with_segs(
+        edges.select("poly_id", "lat1", "lon1", "lat2", "lon2")
+    )
+    # dim-table-sized count (the same magnitude every serving path's
+    # broadcast-gate estimate pays): picks brute vs pruned
+    n_polys = polys.count()
+    pe = F.broadcast(polys)
+    dist = _segs_min_dist()
+    if not prune or n_polys <= SMALL_POLY_BRUTE_LIMIT:
+        scored = q.join(pe, how="cross").select(
+            "query_id", "poly_id", dist.alias("dist")
+        )
+        return _topk(scored, k)
 
-    bboxes = _poly_bboxes(e)
     lb = geo.bbox_min_dist_km(
         F.col("qlat"), F.col("qlon"),
         F.col("lat_lo"), F.col("lat_hi"), F.col("lon_lo"), F.col("lon_hi"),
     )
-    pairs = q.join(F.broadcast(bboxes), how="cross").select(
+    pairs = q.join(pe, how="cross").select(
         "query_id", "qlat", "qlon", "poly_id", lb.alias("lb")
     )
     w_lb = Window.partitionBy("query_id").orderBy(
@@ -111,15 +160,17 @@ def nearest_polygon(
         .filter(F.col("_r") == 1)
         .select("query_id", "qlat", "qlon", "poly_id")
     )
-    ub = _exact_pair_dist(seed, e).select(
-        "query_id", F.col("dist").alias("ub")
+    ub = seed.join(pe.select("poly_id", "segs"), "poly_id").select(
+        "query_id", dist.alias("ub")
     )
     survivors = (
-        pairs.join(ub, "query_id")
+        pairs.join(F.broadcast(ub), "query_id")
         .filter(F.col("lb") <= F.col("ub") + F.lit(_EPS_KM))
         .select("query_id", "qlat", "qlon", "poly_id")
     )
-    scored = _exact_pair_dist(survivors, e)
+    scored = survivors.join(pe.select("poly_id", "segs"), "poly_id").select(
+        "query_id", "qlat", "qlon", "poly_id", dist.alias("dist")
+    )
     if k > 1:
         # top-1-bound pruning can under-fill ranks 2..k: re-score unpruned
         # for the (rare) queries whose surviving pool is smaller than k
@@ -131,13 +182,14 @@ def nearest_polygon(
         )
         refill = (
             q.join(short, "query_id", "left_semi")
-            .join(F.broadcast(e.select("poly_id").distinct()), how="cross")
+            .join(pe, how="cross")
+            .select("query_id", "qlat", "qlon", "poly_id", dist.alias("dist"))
         )
         scored = (
             scored.join(short, "query_id", "left_anti")
-            .unionByName(_exact_pair_dist(refill, e))
+            .unionByName(refill)
         )
-    return _topk(scored, k)
+    return _topk(scored.select("query_id", "poly_id", "dist"), k)
 
 
 def nearest_polygon_sql(queries_rel: str, edges_rel: str, k: int = 1) -> str:

@@ -90,3 +90,14 @@ def test_host_edges_no_self_loops_and_deterministic(spark):
     e2 = sorted(tuple(r) for r in LG.host_edges(pages.repartition(5), fanout=2).collect())
     assert e1 == e2
     assert all(s != d for s, d in e1)
+
+
+def test_pagerank_driver_gate_equals_distributed(spark, edges_df):
+    """The small-graph driver path (r6) must be bit-identical to the
+    distributed loop (driver_limit=0 forces it) — same BIGINT recurrence."""
+    fast = {tuple(r) for r in LG.pagerank(edges_df, iters=5).collect()}
+    dist = {
+        tuple(r)
+        for r in LG.pagerank(edges_df, iters=5, driver_limit=0).collect()
+    }
+    assert fast == dist and len(fast) > 0
