@@ -62,7 +62,13 @@ def brute_knn(
         .filter(F.col("cid") != F.col("qid"))
         .withColumn("dist", _dist(metric, F.col("cv"), F.col("qv")))
     )
-    out = topk_per_group(pairs, ["qid"], "dist", "cid", k, dedup=False)
+    # drop both embedding arrays before the top-k window: the partial
+    # WindowGroupLimit sort is row-width-bound and the ~0.5 KB vectors per
+    # pair are dead weight past the distance (guide §2.3)
+    out = topk_per_group(
+        pairs.select("qid", "cid", "dist"), ["qid"], "dist", "cid", k,
+        dedup=False,
+    )
     return out.select(
         F.col("qid").alias("query_id"),
         "rk",
@@ -603,7 +609,12 @@ def brute_knn_u8(
         .filter(F.col("cid") != F.col("qid"))
         .withColumn("dist", u8_sq_l2(F.col("cb"), F.col("qb")))
     )
-    out = topk_per_group(pairs, ["qid"], "dist", "cid", k, dedup=False)
+    # narrow before the top-k window (guide §2.3): the quantized vectors are
+    # dead weight past the distance
+    out = topk_per_group(
+        pairs.select("qid", "cid", "dist"), ["qid"], "dist", "cid", k,
+        dedup=False,
+    )
     return out.select(
         F.col("qid").alias("query_id"), "rk", F.col("cid").alias("vec_id"), "dist"
     )

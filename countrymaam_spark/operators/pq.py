@@ -386,7 +386,11 @@ def pq_knn_from_state(
         .join(q, "qid")
         .withColumn("dist", V.sq_l2(F.col("cv"), F.col("qv")))
     )
-    out = topk_per_group(scored, ["qid"], "dist", "cid", k, dedup=False)
+    # narrow before the final window: re-rank rows carry two raw vectors
+    out = topk_per_group(
+        scored.select("qid", "cid", "dist"), ["qid"], "dist", "cid", k,
+        dedup=False,
+    )
     return out.select(
         F.col("qid").alias("query_id"),
         "rk",
@@ -491,7 +495,11 @@ def ivf_pq_knn_from_state(
         .join(q, "qid")
         .withColumn("dist", V.sq_l2(F.col("cv"), F.col("qv")))
     )
-    out = topk_per_group(scored, ["qid"], "dist", "cid", k, dedup=False)
+    # narrow before the final window: re-rank rows carry two raw vectors
+    out = topk_per_group(
+        scored.select("qid", "cid", "dist"), ["qid"], "dist", "cid", k,
+        dedup=False,
+    )
     return out.select(
         F.col("qid").alias("query_id"),
         "rk",
