@@ -415,7 +415,7 @@ def _fanin_level_counts(cell_stats, res: int, s: int, cnt_cache: dict):
     return tbl
 
 
-def _fanin_pairs(
+def _fanin_pairs_df(
     qcells, is_band, s_expr, s_groups, cell_stats, res, cnt_cache=None
 ):
     """Estimated (max-per-cell, total) candidate pairs for one cell_knn round.
@@ -471,7 +471,19 @@ def _fanin_pairs(
     u = ests[0]
     for e in ests[1:]:
         u = u.unionByName(e)
-    return u.agg(F.max("pairs").alias("mx"), F.sum("pairs").alias("tot")).first()
+    return u.agg(F.max("pairs").alias("mx"), F.sum("pairs").alias("tot"))
+
+
+def _fanin_pairs(
+    qcells, is_band, s_expr, s_groups, cell_stats, res, cnt_cache=None
+):
+    """``_fanin_pairs_df`` materialized: Row(mx, tot) or None (kept as the
+    standalone entry point; cell_knn folds the DF into the round's single
+    planning collect instead)."""
+    df = _fanin_pairs_df(
+        qcells, is_band, s_expr, s_groups, cell_stats, res, cnt_cache
+    )
+    return None if df is None else df.first()
 
 
 def cell_knn(
@@ -703,20 +715,7 @@ def cell_knn(
                     )
                     .distinct()
                 )
-                # bounded collect: <= the parent GRID (the directory count,
-                # O(10^2..10^4) by layout contract) — the same magnitude as
-                # the planning collects above
-                probed = [r["p"] for r in cover.collect()]
-                _mark("round_prune_plan", _t)
-                if timings is not None:
-                    timings[f"prune_parents_round{rnd}"] = len(probed)
-                if 2 * len(probed) <= p_grid:
-                    corpus_ring = prune_src.filter(
-                        F.col("parent").isin(probed)
-                    ).select(
-                        "url", "lat", "lon", F.col(cell_col).alias("cell")
-                    )
-                # fan-in skew gate (see _fanin_pairs for the measured
+                # fan-in skew gate (see _fanin_pairs_df for the measured
                 # straggler regime it exists for). Hoisted OUT of the
                 # prune-engaged branch: a hot-cell batch whose cover
                 # exceeds half the parent grid (prune skipped) still
@@ -725,20 +724,18 @@ def cell_knn(
                 # way. `stats` is the CALLER's persisted cell-count state
                 # (the parameter, not the per-round result stats — those
                 # are `round_stats` below).
+                fan_df = None
                 if stats is not None:
-                    _t = _time.time()
-                    fan = None
                     skip_est = False
                     if rnd > 0:
                         # short-circuit (rounds past the first): when the
                         # round's query count x the hottest cell count cannot
                         # clear the absolute floor, the gate provably cannot
-                        # fire — skip the estimate job. The (max, total)
-                        # bound is one tiny agg over the stats state, run at
-                        # most once per serve call. A coarse (s>0) cell
-                        # aggregates <= 4^s fine cells, hence the 4^max_s
-                        # widening; min() with the corpus total keeps it
-                        # sound at any s.
+                        # fire — skip the estimate. The (max, total) bound is
+                        # one tiny agg over the stats state, run at most once
+                        # per serve call. A coarse (s>0) cell aggregates
+                        # <= 4^s fine cells, hence the 4^max_s widening;
+                        # min() with the corpus total keeps it sound at any s.
                         if fanin_bound is None:
                             has_lv = "lv" in stats.columns
                             _b = (
@@ -757,26 +754,55 @@ def cell_knn(
                             n_remaining * cell_ub <= FANIN_SPREAD_MIN_PAIRS
                         )
                     if not skip_est:
-                        fan = _fanin_pairs(
+                        fan_df = _fanin_pairs_df(
                             qcells, is_band, s_expr, s_groups, stats, res,
                             fanin_cnt_cache,
                         )
-                    _mark("round_fanin_plan", _t)
-                    # relative test: one cell's pairs defeat the
-                    # parallelism; absolute floor: a tiny batch always
-                    # looks "concentrated", so require the hot task's
-                    # work to be material (~seconds of single-task
-                    # kernel time) before paying the spread shuffle
-                    if (
-                        fan is not None
-                        and fan["mx"] is not None
-                        and fan["mx"] * target
-                        > FANIN_SPREAD_FACTOR * fan["tot"]
-                        and fan["mx"] > FANIN_SPREAD_MIN_PAIRS
-                    ):
-                        if timings is not None:
-                            timings[f"fanin_spread_round{rnd}"] = int(fan["mx"])
-                        corpus_ring = corpus_ring.repartition(target)
+                # ONE bounded collect plans both the directory prune and the
+                # fan-in gate: the cover rows (<= the parent GRID, the
+                # directory count, O(10^2..10^4) by layout contract) union
+                # the 1-row fan-in aggregate — each extra collect here is a
+                # driver-synchronized job (the orchestration constant the
+                # round loop's docstring bounds).
+                merged = cover.select(
+                    F.lit(0).alias("_kind"), F.col("p"),
+                    F.lit(None).cast("long").alias("mx"),
+                    F.lit(None).cast("long").alias("tot"),
+                )
+                if fan_df is not None:
+                    merged = merged.unionByName(
+                        fan_df.select(
+                            F.lit(1).alias("_kind"),
+                            F.lit(None).cast("long").alias("p"),
+                            "mx", "tot",
+                        )
+                    )
+                rows = merged.collect()
+                probed = [r["p"] for r in rows if r["_kind"] == 0]
+                fan = next((r for r in rows if r["_kind"] == 1), None)
+                _mark("round_prune_plan", _t)
+                if timings is not None:
+                    timings[f"prune_parents_round{rnd}"] = len(probed)
+                if 2 * len(probed) <= p_grid:
+                    corpus_ring = prune_src.filter(
+                        F.col("parent").isin(probed)
+                    ).select(
+                        "url", "lat", "lon", F.col(cell_col).alias("cell")
+                    )
+                # relative test: one cell's pairs defeat the parallelism;
+                # absolute floor: a tiny batch always looks "concentrated",
+                # so require the hot task's work to be material (~seconds of
+                # single-task kernel time) before paying the spread shuffle
+                if (
+                    fan is not None
+                    and fan["mx"] is not None
+                    and fan["mx"] * target
+                    > FANIN_SPREAD_FACTOR * fan["tot"]
+                    and fan["mx"] > FANIN_SPREAD_MIN_PAIRS
+                ):
+                    if timings is not None:
+                        timings[f"fanin_spread_round{rnd}"] = int(fan["mx"])
+                    corpus_ring = corpus_ring.repartition(target)
             ring_q = qcells.filter(~is_band).withColumn("s", s_expr)
             for s, est_cells in s_groups:
                 lv = res - s
