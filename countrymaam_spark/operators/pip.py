@@ -75,8 +75,18 @@ def point_in_polygon(
     cover = _cover_cells(edges, res)
     e = edges.select("poly_id", "lat1", "lon1", "lat2", "lon2")
     if broadcast_polygons:
-        cover = F.broadcast(cover)
-        e = F.broadcast(e)
+        # dim-table regime: verify with the exchange-free edges-array parity
+        # (point_in_polygon_arrays' exact stage — pytest-pinned identical);
+        # the page scan flows through two broadcast joins and a filter, no
+        # groupBy(poly_id, url) exchange of the candidate set at all
+        cand = pages_cells.join(F.broadcast(cover), "cell")
+        withe = cand.join(F.broadcast(_edges_arrays(edges)), "poly_id")
+        crossings = F.size(F.filter(F.col("edges_arr"), _crossing_pred))
+        return (
+            withe.select("poly_id", "url", crossings.alias("_crossings"))
+            .filter(F.col("_crossings") % 2 == 1)
+            .select("poly_id", "url")
+        )
     cand = pages_cells.join(cover, "cell").select("poly_id", "url", "lat", "lon")
     return _verify_ray_cast(cand, e)
 
@@ -219,8 +229,16 @@ def point_in_polygon_compact(
     cover = compact_cover(_cover_cells(edges, res), res, min_res)
     e = edges.select("poly_id", "lat1", "lon1", "lat2", "lon2")
     if broadcast_polygons:
-        cover = F.broadcast(cover)
-        e = F.broadcast(e)
+        # same exchange-free edges-array verify as point_in_polygon's
+        # broadcast regime (results pinned identical in pytest)
+        cand = pages_cells.join(F.broadcast(cover), "cell")
+        withe = cand.join(F.broadcast(_edges_arrays(edges)), "poly_id")
+        crossings = F.size(F.filter(F.col("edges_arr"), _crossing_pred))
+        return (
+            withe.select("poly_id", "url", crossings.alias("_crossings"))
+            .filter(F.col("_crossings") % 2 == 1)
+            .select("poly_id", "url")
+        )
     cand = pages_cells.join(cover, "cell").select("poly_id", "url", "lat", "lon")
     return _verify_ray_cast(cand, e)
 
