@@ -175,65 +175,94 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 # The driver's correctness gate verifies the FIRST 50 registry keys in
-# insertion order (CORRECTNESS_r0{1..4}.json key lists == registry prefix).
-# Rounds 1-4 left 47 queries — the BM25/span-dedup/scrub/decontam/chunk/
-# streaming-serve/PQ/sampling/pagerank families — outside that window, so
-# they were only ever pytest- and driver_sim-verified. Front-load them
-# (plus a 3-key geo smoke prefix) so round 5's driver window covers exactly
-# the never-before-checked set; everything previously green follows after.
+# insertion order (CORRECTNESS_r0{1..5}.json key lists == registry prefix).
+# Round 5's window covered the 47 previously-unchecked families (all green,
+# CORRECTNESS_r05). Round 6 ROTATES the window (r5 verdict #8): front-load
+# the r1-r4 greens that r5's window displaced — in original registry order —
+# so every query is driver-re-verified at least every ~3 rounds; the r5
+# window keys follow after. The 3-key geo smoke prefix stays (headline path
+# watched every round), and the rotated window re-checks most of this
+# round's optimized operators (tiles/terms, pip family, nearest, tree
+# serving, dedup) on the new code.
 _DRIVER_PRIORITY = [
     # geo smoke prefix (green every round; keeps the headline path watched)
     "geotag_extract",
     "cell_encode",
     "knn_cell_index",
-    # never driver-checked through r4, in original registry order
-    "bm25_search",
-    "dedup_best_rep",
-    "docs_curated_spans",
-    "doc_dup_spans",
-    "doc_dup_intervals",
-    "doc_repetition",
-    "embed_range_ivf",
-    "embed_range_u8",
-    "embed_lsh_multiprobe",
-    "embed_knn_pq",
-    "embed_knn_ivfpq",
-    "embed_knn_graph_append",
-    "embed_knn_ivf_append",
-    "embed_dup_components",
-    "geo_tile_sample",
-    "stream_pip_rollup",
-    "stream_dedup",
-    "stream_kmv_hosts",
-    "stream_line_clean",
-    "stream_knn_serve",
-    "stream_bm25_serve",
-    "stream_pip_serve",
-    "host_latest",
-    "host_stats",
-    "pages_split",
-    "cell_distinct_hosts",
-    "crawl_host_overlap",
-    "token_heavy_hitters",
-    "page_line_stats",
-    "pages_line_clean",
-    "doc_rarity",
-    "doc_pii_stats",
-    "docs_scrubbed",
-    "doc_contamination",
-    "docs_decontaminated",
-    "doc_contam_intervals",
-    "doc_length_quantiles",
-    "docs_chunks",
-    "pages_chunks_sent",
-    "pages_training_chunks",
-    "pages_training_chunks_pii",
-    "host_asof",
-    "docs_sample",
-    "docs_sample_k",
-    "url_canonical_dups",
-    "host_pagerank",
-    "host_components",
+    # r1-r4-verified keys displaced by r5's window, in original registry
+    # order (the first 47 of these land inside the r6 driver window)
+    "tile_assign",
+    "tile_counts",
+    "tile_vectorize",
+    "tile_quadkeys",
+    "tile_domains",
+    "tile_top_pages",
+    "tile_terms",
+    "viewport_join",
+    "cell_density",
+    "geo_hotspots",
+    "geo_hotspot_stats",
+    "geo_dbscan",
+    "geo_kde",
+    "geo_kde_contours",
+    "geo_gi_star",
+    "geo_morans_i",
+    "geo_local_morans",
+    "knn_flat",
+    "knn_idw",
+    "knn_cell_state",
+    "knn_cell_pruned",
+    "geo_knn_join",
+    "geo_reverse_knn",
+    "geo_radius_join",
+    "geo_near_pairs",
+    "domain_spread",
+    "geocode_mentions",
+    "geocode_quality",
+    "pip_join",
+    "pip_join_compact",
+    "pip_join_arrays",
+    "polygon_stats",
+    "zonal_stats",
+    "polygon_overlaps",
+    "nearest_region",
+    "nearest_region_cells",
+    "geo_corridor_join",
+    "pip_outside",
+    "pip_counts",
+    "knn_tree_index",
+    "index_lineage",
+    "doc_token_count",
+    "doc_bpe_tokens",
+    "doc_lang_id",
+    "doc_quality_score",
+    "doc_fingerprint",
+    "doc_simhash",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_components",
+    "docs_curated",
+    "embed_knn_cosine",
+    "embed_lsh_knn",
+    "embed_knn_u8",
+    "embed_knn_ivf",
+    "embed_knn_u8_ivf",
+    "embed_knn_graph",
+    "embed_knn_composite",
+    "embed_near_pairs",
+    "embed_near_pairs_lsh",
+    "asset_stats",
+    "asset_near_dups",
+    "events_daily_agg",
+    "events_top_users",
+    "lineitem_pricing_summary",
+    "events_sessionize",
+    "stream_cell_rollup",
+    "stream_sessionize",
+    "region_revenue",
+    "order_customer_join",
 ]
 
 

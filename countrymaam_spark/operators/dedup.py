@@ -366,6 +366,13 @@ def dup_components(
         .filter(F.col("u") != F.col("v"))
         .localCheckpoint(eager=True)
     )
+    # NOTE (r5 advisor, low — accepted as documented): the gate counts RAW
+    # pre-dedup edges, so an LSH-band generator emitting one pair per band
+    # can exceed driver_limit raw while the deduplicated graph is far below
+    # it — the fast path is then skipped (perf only; output identical). If a
+    # band-duplicated pipeline regresses, gate on approx_count_distinct or
+    # dedup inside the gate when the raw count lands within a small multiple
+    # of the limit.
     if driver_limit is not None and e.count() <= driver_limit:
         labels = _components_driver(e)
         spark = docs.sparkSession
