@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from countrymaam_spark.operators.adaptive import gate_broadcast
+from countrymaam_spark.operators.adaptive import BROADCAST_STRUCT_LIMIT, gate_broadcast
 from countrymaam_spark.operators.pip import _cover_cells
 
 
@@ -85,6 +85,96 @@ def polygon_overlaps(edges: DataFrame, res: int = 5) -> DataFrame:
         )
         .distinct()
     )
+    if n_edges <= BROADCAST_STRUCT_LIMIT:
+        # dim-sized edge set: all three verify stages (edge-pair crossing,
+        # a-in-b, b-in-a) become PROJECTIONS over broadcast per-polygon edge
+        # arrays — the former shape reduced each through its own
+        # aggregation exchange (r6; the nearest_polygon/pip treatment,
+        # identical predicates so identical rows). The aggregated path
+        # below remains the country-scale regime.
+        polys = edges.groupBy("poly_id").agg(
+            F.collect_list(
+                F.struct("lat1", "lon1", "lat2", "lon2")
+            ).alias("segs"),
+            F.min_by(
+                F.struct(
+                    F.col("lat1").alias("vlat"), F.col("lon1").alias("vlon")
+                ),
+                F.col("seq"),
+            ).alias("v0"),
+        )
+        pa = F.broadcast(
+            polys.select(
+                F.col("poly_id").alias("poly_a"),
+                F.col("segs").alias("segs_a"), F.col("v0").alias("v0_a"),
+            )
+        )
+        pb = F.broadcast(
+            polys.select(
+                F.col("poly_id").alias("poly_b"),
+                F.col("segs").alias("segs_b"), F.col("v0").alias("v0_b"),
+            )
+        )
+
+        def _proper(a, b):
+            d1 = (b["lon2"] - b["lon1"]) * (a["lat1"] - b["lat1"]) - (
+                b["lat2"] - b["lat1"]
+            ) * (a["lon1"] - b["lon1"])
+            d2 = (b["lon2"] - b["lon1"]) * (a["lat2"] - b["lat1"]) - (
+                b["lat2"] - b["lat1"]
+            ) * (a["lon2"] - b["lon1"])
+            d3 = (a["lon2"] - a["lon1"]) * (b["lat1"] - a["lat1"]) - (
+                a["lat2"] - a["lat1"]
+            ) * (b["lon1"] - a["lon1"])
+            d4 = (a["lon2"] - a["lon1"]) * (b["lat2"] - a["lat1"]) - (
+                a["lat2"] - a["lat1"]
+            ) * (b["lon2"] - a["lon1"])
+            return (d1 * d2 < 0) & (d3 * d4 < 0)
+
+        def _inside(v, segs):
+            return (
+                F.size(
+                    F.filter(
+                        segs,
+                        lambda e: (
+                            (e["lat1"] > v["vlat"]) != (e["lat2"] > v["vlat"])
+                        )
+                        & (
+                            v["vlon"]
+                            < (e["lon2"] - e["lon1"])
+                            * (v["vlat"] - e["lat1"])
+                            / (e["lat2"] - e["lat1"])
+                            + e["lon1"]
+                        ),
+                    )
+                )
+                % 2
+                == 1
+            )
+
+        crosses_x = F.exists(
+            F.col("segs_a"),
+            lambda a: F.exists(F.col("segs_b"), lambda b: _proper(a, b)),
+        )
+        withp = cand.join(pa, "poly_a").join(pb, "poly_b").select(
+            "poly_a", "poly_b",
+            crosses_x.alias("crosses"),
+            _inside(F.col("v0_a"), F.col("segs_b")).alias("a_in_b"),
+            _inside(F.col("v0_b"), F.col("segs_a")).alias("b_in_a"),
+        )
+        return (
+            withp.filter(
+                F.col("crosses") | F.col("a_in_b") | F.col("b_in_a")
+            )
+            .select(
+                "poly_a",
+                "poly_b",
+                F.when(F.col("crosses"), F.lit("crosses"))
+                .when(F.col("a_in_b"), F.lit("within"))
+                .otherwise(F.lit("contains"))
+                .alias("relation"),
+            )
+        )
     ea = edges.select(
         F.col("poly_id").alias("poly_a"),
         F.col("lat1").alias("a1y"), F.col("lon1").alias("a1x"),
