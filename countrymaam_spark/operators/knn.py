@@ -984,7 +984,20 @@ def cell_knn(
     # exact fallback for stragglers (budget exhausted) — reference invariant:
     # budget >= corpus implies exact results
     if n_remaining > 0:
-        settled_parts.append(flat_knn(pages_geo, remaining.withColumnRenamed("qlat", "lat").withColumnRenamed("qlon", "lon"), k))
+        # scan the already-projected (and possibly pinned) narrow corpus,
+        # not the raw table: flat_knn re-projects identically, so results
+        # are unchanged, but the raw-table form re-listed and re-scanned
+        # the wide source (cell_col serving: the partitioned snapshot) for
+        # <= 1% straggler queries
+        settled_parts.append(
+            flat_knn(
+                pages_cells,
+                remaining.withColumnRenamed("qlat", "lat").withColumnRenamed(
+                    "qlon", "lon"
+                ),
+                k,
+            )
+        )
 
     if not settled_parts:
         return spark.createDataFrame([], "query_id long, rk int, url string, dist_km double")
