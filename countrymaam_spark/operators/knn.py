@@ -56,6 +56,19 @@ from countrymaam_spark.operators.topk import topk_per_group
 # the 4x it already has.
 FANIN_SPREAD_MIN_PAIRS = 2_000_000
 FANIN_SPREAD_FACTOR = 4
+# Un-pruned serving paths (stats state but no partition_parent_res — the
+# knn_join / knn_cell_index shape) probe the corpus under the same
+# clustered-file layout, so the same hot-cell straggler exists (measured at
+# sf1/mod=500: ONE task held the 417k-row metro cell and the probe ran 81 s
+# of a 95 s call; spread: ~50 s probe). There the estimate is a STANDALONE
+# driver job (no prune collect to merge with), so it only runs when the
+# cheap per-call upper bound (per-s-group query counts x that level's max
+# cell count, summed) clears this multiple of the spread floor — skipping
+# can only miss hot tasks bounded by that many pairs (a few seconds of
+# single-task kernel work, where the spread shuffle does not pay anyway —
+# measured at sf0.1/mod=500: spread 5.6 s vs unspread 4.4-5.2 s), while
+# sf0.1-scale batches never pay the estimate job at all.
+FANIN_PROBE_UB_FACTOR = 16
 
 
 def _widen(narrow: DataFrame) -> DataFrame:
@@ -604,7 +617,42 @@ def cell_knn(
     # lazily-computed (max fine cnt, total cnt) short-circuit bound — one
     # tiny job at most per serve call, only on rounds past the first
     fanin_cnt_cache: dict[int, DataFrame] = {}
-    fanin_bound: tuple[int, int] | None = None
+    fanin_bound: list = [None]
+
+    def _fanin_pairs_ub(s_groups, s_nq) -> int:
+        """Sound upper bound on the round's hottest-cell pair count:
+        sum over ring groups of (that group's query count x the max cell
+        count at its estimation level). Level maxima come from ONE tiny agg
+        over the stats state, run at most once per serve call (lut: per-lv
+        maxima + the corpus total; plain stats: the fine max, coarser
+        levels widened by 4^s and capped by the total). mx <= max_g(nq_g x
+        level_max_g) <= this sum, so skipping on it is sound."""
+        if fanin_bound[0] is None:
+            if "lv" in stats.columns:
+                rows_b = (
+                    stats.groupBy("lv")
+                    .agg(F.max("cnt").alias("m"), F.sum("cnt").alias("t"))
+                    .collect()
+                )
+                lv_max = {int(r["lv"]): int(r["m"] or 0) for r in rows_b}
+                total = max(
+                    (int(r["t"] or 0) for r in rows_b), default=0
+                )
+            else:
+                _b = stats.agg(
+                    F.max("cnt").alias("m"), F.sum("cnt").alias("t")
+                ).first()
+                lv_max = {res: int(_b["m"] or 0)}
+                total = int(_b["t"] or 0)
+            fanin_bound[0] = (lv_max, total)
+        lv_max, total = fanin_bound[0]
+        fine_max = lv_max.get(res, total)
+        ub = 0
+        for s, _ in s_groups:
+            lv = res - s
+            level_max = lv_max.get(lv, min(total, fine_max * (4 ** s)))
+            ub += s_nq.get(s, 0) * level_max
+        return ub
 
     for rnd in range(max_rounds):
         if n_remaining == 0:
@@ -672,6 +720,7 @@ def cell_knn(
         s_groups = [
             (int(r["s"]), int(r["est_cells"] or 0)) for r in plan_rows if not r["_band"]
         ]
+        s_nq = {int(r["s"]): int(r["nq"]) for r in plan_rows if not r["_band"]}
         parts = []
         if s_groups:
             # rings enumerate cells and equi-join the corpus (hash probe —
@@ -731,27 +780,10 @@ def cell_knn(
                         # short-circuit (rounds past the first): when the
                         # round's query count x the hottest cell count cannot
                         # clear the absolute floor, the gate provably cannot
-                        # fire — skip the estimate. The (max, total) bound is
-                        # one tiny agg over the stats state, run at most once
-                        # per serve call. A coarse (s>0) cell aggregates
-                        # <= 4^s fine cells, hence the 4^max_s widening;
-                        # min() with the corpus total keeps it sound at any s.
-                        if fanin_bound is None:
-                            has_lv = "lv" in stats.columns
-                            _b = (
-                                stats.filter(F.col("lv") == res)
-                                if has_lv
-                                else stats
-                            ).agg(
-                                F.max("cnt").alias("m"), F.sum("cnt").alias("t")
-                            ).first()
-                            fanin_bound = (int(_b["m"] or 0), int(_b["t"] or 0))
-                        max_s = max(s for s, _ in s_groups)
-                        cell_ub = min(
-                            fanin_bound[1], fanin_bound[0] * (4 ** max_s)
-                        )
+                        # fire — skip the estimate.
                         skip_est = (
-                            n_remaining * cell_ub <= FANIN_SPREAD_MIN_PAIRS
+                            _fanin_pairs_ub(s_groups, s_nq)
+                            <= FANIN_SPREAD_MIN_PAIRS
                         )
                     if not skip_est:
                         fan_df = _fanin_pairs_df(
@@ -789,20 +821,42 @@ def cell_knn(
                     ).select(
                         "url", "lat", "lon", F.col(cell_col).alias("cell")
                     )
-                # relative test: one cell's pairs defeat the parallelism;
-                # absolute floor: a tiny batch always looks "concentrated",
-                # so require the hot task's work to be material (~seconds of
-                # single-task kernel time) before paying the spread shuffle
+            elif stats is not None:
+                # UN-pruned stats serving (knn_join / knn_cell_index shape):
+                # the same clustered-file hot-cell straggler exists (sf1,
+                # mod=500: 81 s of a 95 s call in ONE task holding the
+                # 417k-row metro cell) but there is no prune collect to
+                # merge the estimate into — it is a standalone driver job,
+                # so it only runs when the cheap per-call upper bound clears
+                # FANIN_PROBE_UB_FACTOR x the spread floor. Skipping can
+                # only miss hot tasks bounded by that many pairs (~seconds
+                # of single-task work); small batches never pay the job.
+                _t = _time.time()
+                fan = None
                 if (
-                    fan is not None
-                    and fan["mx"] is not None
-                    and fan["mx"] * target
-                    > FANIN_SPREAD_FACTOR * fan["tot"]
-                    and fan["mx"] > FANIN_SPREAD_MIN_PAIRS
+                    _fanin_pairs_ub(s_groups, s_nq)
+                    > FANIN_PROBE_UB_FACTOR * FANIN_SPREAD_MIN_PAIRS
                 ):
-                    if timings is not None:
-                        timings[f"fanin_spread_round{rnd}"] = int(fan["mx"])
-                    corpus_ring = corpus_ring.repartition(target)
+                    fan = _fanin_pairs(
+                        qcells, is_band, s_expr, s_groups, stats, res,
+                        fanin_cnt_cache,
+                    )
+                _mark("round_fanin_plan", _t)
+            else:
+                fan = None
+            # relative test: one cell's pairs defeat the parallelism;
+            # absolute floor: a tiny batch always looks "concentrated",
+            # so require the hot task's work to be material (~seconds of
+            # single-task kernel time) before paying the spread shuffle
+            if (
+                fan is not None
+                and fan["mx"] is not None
+                and fan["mx"] * target > FANIN_SPREAD_FACTOR * fan["tot"]
+                and fan["mx"] > FANIN_SPREAD_MIN_PAIRS
+            ):
+                if timings is not None:
+                    timings[f"fanin_spread_round{rnd}"] = int(fan["mx"])
+                corpus_ring = corpus_ring.repartition(target)
             ring_q = qcells.filter(~is_band).withColumn("s", s_expr)
             for s, est_cells in s_groups:
                 lv = res - s

@@ -845,3 +845,62 @@ def test_reverse_knn_planted_semantics(spark):
         for r in reverse_knn(corpus, qs, k=5, res=6).collect()
     }
     assert got_unbounded == {(q, u) for q in (1, 2, 3) for u in ("A", "B")}
+
+
+def test_cell_knn_fanin_spread_unpruned_path(spark):
+    """r6: the fan-in gate also covers stats-serving WITHOUT the
+    partition-pruned corpus (the knn_join / knn_cell_index shape — measured
+    sf1 straggler: 81 s of a 95 s call in one task). With the floors pinned
+    to zero a hot-cell batch must engage the spread on the un-pruned path
+    and stay bit-identical to the flat oracle; the probe-ub factor gate is
+    bypassed by the zero floor (threshold = FACTOR * 0)."""
+    from countrymaam_spark.functions import geo as G
+    from countrymaam_spark.operators import knn as knn_mod
+    from countrymaam_spark.operators.knn import (
+        build_cell_lut,
+        build_cell_stats,
+        cell_knn,
+        flat_knn,
+    )
+
+    rows = [
+        (
+            f"https://dense.example/{i}",
+            40.0 + (i * 37 % 1000) / 1000.0,
+            -74.0 + (i * 61 % 1000) / 1000.0,
+        )
+        for i in range(1200)
+    ] + [
+        (
+            f"https://sparse.example/{i}",
+            -80.0 + (i * 997 % 16000) / 100.0,
+            -179.0 + (i * 773 % 35800) / 100.0,
+        )
+        for i in range(200)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "url string, lat double, lon double"
+    ).withColumn("cell", G.encode_cell(F.col("lat"), F.col("lon"), 6))
+    lut = build_cell_lut(build_cell_stats(corpus, 6, cell_col="cell"), 6)
+    metro_q = spark.createDataFrame(
+        [(i, 40.4 + i / 100.0, -73.6 - i / 100.0) for i in range(20)],
+        "query_id long, lat double, lon double",
+    )
+    want = _key(flat_knn(corpus, metro_q, k=10).collect())
+    old_floor = knn_mod.FANIN_SPREAD_MIN_PAIRS
+    old_factor = knn_mod.FANIN_SPREAD_FACTOR
+    knn_mod.FANIN_SPREAD_MIN_PAIRS = 0
+    knn_mod.FANIN_SPREAD_FACTOR = 0
+    try:
+        t: dict = {}
+        got = _key(
+            cell_knn(
+                corpus, metro_q, k=10, res=6, cell_col="cell", stats=lut,
+                timings=t,
+            ).collect()
+        )
+    finally:
+        knn_mod.FANIN_SPREAD_MIN_PAIRS = old_floor
+        knn_mod.FANIN_SPREAD_FACTOR = old_factor
+    assert got == want
+    assert any(k_.startswith("fanin_spread_round") for k_ in t), sorted(t)
