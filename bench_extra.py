@@ -228,6 +228,18 @@ def main() -> None:
 
             edges = PG.load_polygon_edges(spark, sf_dir)
             return point_in_polygon(g, edges, res=6)
+        if name == "pip_join_compact":
+            from countrymaam_spark.operators.pip import point_in_polygon_compact
+
+            edges = PG.load_polygon_edges(spark, sf_dir)
+            return point_in_polygon_compact(g, edges, res=6, min_res=3)
+        if name == "polygon_overlaps":
+            from countrymaam_spark.operators.overlay import polygon_overlaps
+
+            edges = PG.load_polygon_edges(spark, sf_dir)
+            return polygon_overlaps(edges, res=5)
+        if name == "geotag_cell_encode":
+            return _geo(pages)
         if name == "dedup_minhash_lsh":
             from countrymaam_spark.operators import dedup
 
